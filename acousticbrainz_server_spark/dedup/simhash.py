@@ -1,0 +1,68 @@
+"""SimHash near-duplicate signatures.
+
+Per doc: hash each token to a 32-bit value (md5-derived → engine-portable),
+sum ±1 per bit position weighted by token frequency, take the sign bit →
+32-bit fingerprint.  Near-dups = fingerprints within small Hamming distance.
+
+Implementation is pure column expressions: explode tokens → conv(md5 prefix)
+→ per-bit CASE sums via one groupBy(doc) — a single shuffle carrying 32 small
+ints per (doc, distinct-token).  Hamming-join at scale: band the 32 bits into
+4 bytes and join on any-equal-byte (pigeonhole: hamming<=3 ⇒ ≥1 byte equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+N_BITS = 32
+
+
+def token_hash32(col: F.Column) -> F.Column:
+    """First 8 md5 hex chars as a 32-bit unsigned int (portable to SQL:
+    CAST('0x'||substr(md5(s),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per doc: ``simhash`` 32-bit fingerprint (as long)."""
+    tok = docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = tok.select("doc", token_hash32(F.col("t")).alias("h"))
+    bit_sums = h.groupBy("doc").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(N_BITS)
+        ]
+    )
+    fingerprint = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << b) for b in range(N_BITS)),
+        start=F.lit(0),
+    )
+    return bit_sums.select("doc", fingerprint.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by banded simhash join (4 bytes; hamming<=3 ⇒ ≥1 equal byte)."""
+    sig = simhash(docs, id_col, text_col)
+    banded = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)).alias("byte")) for i in range(4)])
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "byte")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "byte")
+    return (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

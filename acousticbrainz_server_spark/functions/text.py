@@ -1,0 +1,121 @@
+"""Text-analysis kernels for the training-data pipeline (SURVEY.md scope +
+task brief): tokenization, quality scoring, language-ID heuristic, shingling
+and MinHash fingerprints.
+
+All kernels are native column expressions (regex/array functions compile to
+JVM codegen); the MinHash family uses md5-based hash functions so results are
+deterministic AND reproducible in the ANSI-SQL oracle (engine-native hash
+functions like xxhash64 differ between Spark and DuckDB, md5 does not).
+
+Scale notes: shingling explodes ~L rows per document — at 100 TB this is a
+flatMap (no shuffle) followed by a groupBy(doc_id) that shuffles the shingle
+stream once; MinHash signatures reduce that to n_hashes values per doc before
+any join.  The LSH band join (dedup/minhash.py) then buckets signatures so the
+candidate-pair join touches only colliding docs, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS: dict[str, str] = {
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "en": r"\b(the|and|of|is|to|in)\b",
+    "es": r"\b(el|los|las|y|es|que)\b",
+    "fr": r"\b(le|la|les|et|est|que)\b",
+}
+
+STOPWORD_PATTERN = r"\b(the|a|of|and|to|in|is)\b"
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (BPE-ish regex split)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column) -> Column:
+    return F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN))
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_PATTERN))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] doc-quality heuristic: length saturation + stopword
+    presence - punctuation noise.  Deterministic, mirrored in SQL by
+    ``sql_quality_score``."""
+    n_tok = token_count(text).cast("double")
+    stop_ratio = stopword_count(text).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    len_sat = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return len_sat * 0.5 + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3 + (1.0 - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+
+
+def sql_quality_score(text_expr: str) -> str:
+    t = text_expr
+    n_tok = f"CAST(len(regexp_split_to_array(trim({t}), '\\s+')) AS DOUBLE)"
+    stop = f"CAST(len(regexp_extract_all(lower({t}), '{STOPWORD_PATTERN}')) AS DOUBLE)"
+    punct = f"CAST(len(regexp_extract_all({t}, '{PUNCT_PATTERN}')) AS DOUBLE)"
+    stop_ratio = f"({stop} / greatest({n_tok}, 1.0))"
+    punct_ratio = f"({punct} / greatest(CAST(length({t}) AS DOUBLE), 1.0))"
+    len_sat = f"least({n_tok} / 100.0, 1.0)"
+    return f"({len_sat} * 0.5 + least({stop_ratio} * 5.0, 1.0) * 0.3 + (1.0 - least({punct_ratio} * 10.0, 1.0)) * 0.2)"
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {lang: F.regexp_count(low, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker-word hits; deterministic tie-break by the
+    fixed priority order de > en > es > fr (alphabetical); 'und' if no hits."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def sql_lang_id(text_expr: str) -> str:
+    low = f"lower({text_expr})"
+    cnt = {lang: f"len(regexp_extract_all({low}, '{pat}'))" for lang, pat in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(cnt.values()) + ")"
+    whens = " ".join(
+        f"WHEN {cnt[lang]} > 0 AND {cnt[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-character shingles of a document (array column)."""
+    return F.array_distinct(
+        F.expr(f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), i -> substring(text, i, {k}))")
+    )
+
+
+def word_bigrams(text: Column) -> Column:
+    """Distinct word-bigram shingles."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.zip_with(F.slice(toks, 1, F.size(toks) - 1), F.slice(toks, 2, F.size(toks) - 1), lambda a, b: F.concat_ws(" ", a, b))
+    )
+
+
+def minhash_signature_exprs(shingle_col: str, n_hashes: int = 4) -> list[Column]:
+    """MinHash signature: per hash-seed i, min over shingles of md5(i || s).
+    md5 hex strings compare lexicographically — a valid min-wise hash family
+    and byte-identical across engines."""
+    return [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col(shingle_col)))).alias(f"mh{i}") for i in range(n_hashes)
+    ]

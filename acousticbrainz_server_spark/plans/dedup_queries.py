@@ -1,0 +1,155 @@
+"""Deduplication queries (exact, n-gram Jaccard, MinHash/LSH, SimHash,
+embedding-cosine) over the ``documents`` / ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..dedup.exact import dedup_exact
+from ..dedup.minhash import minhash_neardup_pairs
+from ..dedup.ngram import ngram_jaccard_pairs
+from ..dedup.simhash import N_BITS, simhash
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..functions.vector import cosine
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------------------
+# E2/F1 — exact content dedup by sha256
+# --------------------------------------------------------------------------------------
+@query(
+    "content_hash_dedup",
+    family="E2,F1,A10",
+    doc="Exact dedup groups by sha256(content) — the reference's data_sha256 "
+    "UNIQUE ingest probe (db/data.py:250-257) as a hash groupBy.",
+    oracle="""
+        SELECT sha256(text) AS content_sha256,
+               min(doc_id) AS canonical_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)
+    """,
+)
+def content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id")
+
+
+# --------------------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact baseline for MinHash)
+# --------------------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_neardup",
+    family="DEDUP",
+    doc="Exact word-bigram Jaccard near-dup pairs (threshold 0.4) — the exact "
+    "baseline the MinHash/LSH path approximates.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        ),
+        big AS (
+          SELECT DISTINCT doc_id, toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS s
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM big GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM big a JOIN big b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, {sql_round_half_up('n_inter * 1.0 / (sa.n + sb.n - n_inter)', 4)} AS jaccard
+        FROM inter
+        JOIN sz sa ON inter.doc_a = sa.doc_id
+        JOIN sz sb ON inter.doc_b = sb.doc_id
+        WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.4
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.4)
+    return pairs.select("doc_a", "doc_b", round_half_up(F.col("jaccard"), 4).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------------------
+# SimHash fingerprint (md5-derived 32-bit; oracle generated programmatically)
+# --------------------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(N_BITS)
+    )
+    fingerprint = " + ".join(f"(CASE WHEN b{b} > 0 THEN 1 ELSE 0 END) * {1 << b}" for b in range(N_BITS))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents
+        ),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query(
+    "simhash_fingerprint",
+    family="DEDUP",
+    doc="32-bit SimHash per document from md5-derived token hashes "
+    "(engine-portable); near-dup = small Hamming distance.",
+    oracle=_simhash_oracle(),
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d).select(F.col("doc").alias("doc_id"), "simhash")
+
+
+# --------------------------------------------------------------------------------------
+# Embedding-cosine near-dup (brute force; LSH path exercised in tests)
+# --------------------------------------------------------------------------------------
+@query(
+    "embedding_neardup",
+    family="DEDUP,V5",
+    doc="Embedding near-dup sweep: all pairs with cosine >= 0.3 over the "
+    "vec_id<100 slice (rounded before thresholding for cross-engine parity).",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100)
+        SELECT id_a, id_b, cosine_sim FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {sql_round_half_up('list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))', 4)} AS cosine_sim
+          FROM v a, v b WHERE a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", round_half_up(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.3)
+    )
+
+
+# --------------------------------------------------------------------------------------
+# MinHash + LSH near-dup pipeline (non-SQL-expressible end-to-end → rows-only)
+# --------------------------------------------------------------------------------------
+@query(
+    "minhash_lsh_neardup",
+    family="DEDUP",
+    doc="Full MinHash(8)+LSH(4 bands) near-dup candidate pipeline with "
+    "signature-agreement estimate; deterministic (md5 family) but the banding "
+    "join is not reasonably SQL-expressible → rows-only check.",
+    oracle=None,
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(d, n_hashes=8, n_bands=4)
+    return pairs.filter(F.col("est_jaccard") >= 0.5).select(
+        "doc_a", "doc_b", round_half_up(F.col("est_jaccard"), 4).alias("est_jaccard")
+    )

@@ -1,0 +1,517 @@
+"""Registered relational queries (SURVEY.md §2 families S/P/J/A/W/O/E).
+
+Each query pairs an idiomatic-Spark DataFrame plan with an ANSI-SQL oracle for
+DuckDB.  The queries run on the driver's TPC-H-ish testdata but implement the
+REFERENCE's operator semantics — e.g. ``submission_offset`` assignment (W1) is
+expressed over ``events`` (user_id ~ gid, ts ~ submitted), the unprocessed
+anti-join (J4) over customer/orders, the jsonb_object_agg map-collect (A6) over
+events.  Reference citations are on each query.
+
+Float columns crossing the oracle boundary are rounded with the shared
+floor-based half-up formula (functions/scalar.py) so value hashes match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import format_duration, round_half_up, sql_format_duration, sql_round_half_up
+from ..operators.relational import (
+    anti_join_unprocessed,
+    assign_submission_offset,
+    cap_duplicate_submissions,
+    latest_per_group,
+    map_collect_json,
+    point_lookup,
+    topk_per_group,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+
+# --------------------------------------------------------------------------------------
+# Flagship: pricing-summary rollup (A-family aggregate core; the engine's TPC-H Q1).
+# --------------------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    family="A1,A2,O2",
+    doc="Grouped 8-aggregate rollup with filter pushdown (flagship).",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_round_half_up('sum(l_quantity)', 2)} AS sum_qty,
+               {sql_round_half_up('sum(l_extendedprice)', 2)} AS sum_base_price,
+               {sql_round_half_up('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+               {sql_round_half_up('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+               {sql_round_half_up('avg(l_quantity)', 6)} AS avg_qty,
+               {sql_round_half_up('avg(l_extendedprice)', 6)} AS avg_price,
+               {sql_round_half_up('avg(l_discount)', 6)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(charge), 2).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 6).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# A1/A2/A3 — counts (reference db/data.py:882-916, db/submission_stats.py:250-272)
+# --------------------------------------------------------------------------------------
+@query(
+    "count_global",
+    family="A1",
+    doc="COUNT(*) global — reference count_all_lowlevel (db/data.py:882-890).",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+)
+def count_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "count_per_key",
+    family="A2",
+    doc="Submissions-per-mbid analog: events per user (db/data.py:905-916).",
+    oracle="SELECT user_id, count(*) AS n_submissions FROM events GROUP BY user_id",
+)
+def count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_submissions"))
+
+
+@query(
+    "count_distinct_split",
+    family="A3",
+    doc="COUNT + COUNT(DISTINCT) split by category — submission stats "
+    "(db/submission_stats.py:250-272: lossless/lossy x total/unique).",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_total,
+               count(DISTINCT user_id) AS n_unique
+        FROM events GROUP BY event_type
+    """,
+)
+def count_distinct_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("user_id").alias("n_unique"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# S2/J6 — batch point lookup via broadcast join (db/data.py:460-477)
+# --------------------------------------------------------------------------------------
+_LOOKUP_KEYS = [(k, ln) for k in range(1, 40) for ln in (1, 2)]
+
+
+@query(
+    "point_lookup_batch",
+    family="S2,J6",
+    doc="Row-value IN point lookup as broadcast join — load_many_low_level "
+    "(db/data.py:460-477); key set ≤25x2 like the bulk API cap.",
+    oracle=(
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice "
+        "FROM lineitem l JOIN (VALUES "
+        + ", ".join(f"({k}, {ln})" for k, ln in _LOOKUP_KEYS)
+        + ") v(k, ln) ON l.l_orderkey = v.k AND l.l_linenumber = v.ln"
+    ),
+)
+def point_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = spark.createDataFrame(_LOOKUP_KEYS, "l_orderkey long, l_linenumber int")
+    return point_lookup(li, keys, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J2 — multiway join with broadcast dims (db/data.py:540-585, hl 3/4-way joins)
+# --------------------------------------------------------------------------------------
+@query(
+    "join_multiway_rollup",
+    family="J2,A2",
+    doc="3-way join with tiny broadcast dims + rollup — the highlevel "
+    "hl⋈meta⋈model join shape (db/data.py:569-585); nation/region broadcast "
+    "like the model/version dims.",
+    oracle=f"""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               count(*) AS n_orders,
+               {sql_round_half_up('sum(o.o_totalprice)', 2)} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_multiway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J3 — left outer join keeping unmatched (db/data.py:74-91)
+# --------------------------------------------------------------------------------------
+@query(
+    "left_join_keep_unmatched",
+    family="J3",
+    doc="highlevel LEFT JOIN highlevel_meta analog: customers with recent-order "
+    "counts, zero-kept (db/data.py:74-91).",
+    oracle="""
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_recent_orders
+        FROM customer c
+        LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+)
+def left_join_keep_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_recent_orders"))
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J4 — anti join: the incremental work-queue pattern (db/data.py:950-981)
+# --------------------------------------------------------------------------------------
+@query(
+    "anti_join_unprocessed",
+    family="J4",
+    doc="Unprocessed-work discovery: customers with no order in the window — "
+    "get_unprocessed_highlevel_documents (db/data.py:950-981) as left_anti.",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+    """,
+)
+def anti_join_unprocessed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2001-01-01")))
+    processed = o.select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join_unprocessed(c, processed, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------------------
+# J5 — semi join (IN subquery; db/dump.py:349-374)
+# --------------------------------------------------------------------------------------
+@query(
+    "semi_join_window",
+    family="J5,S9",
+    doc="id IN (SELECT id FROM … time-window) — incremental dump row selection "
+    "(db/dump.py:349-374) as left_semi.",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate > TIMESTAMP '2001-06-01' AND o_orderdate <= TIMESTAMP '2001-08-01'
+        )
+    """,
+)
+def semi_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") > F.to_timestamp(F.lit("2001-06-01")))
+        & (F.col("o_orderdate") <= F.to_timestamp(F.lit("2001-08-01")))
+    )
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J7/W2 — LATERAL top-1 per group (db/dataset.py:177-184)
+# --------------------------------------------------------------------------------------
+@query(
+    "latest_per_group",
+    family="J7,W2",
+    doc="LEFT JOIN LATERAL latest-job-per-dataset analog: latest order per "
+    "customer via window top-1 (db/dataset.py:177-184).",
+    oracle="""
+        SELECT c_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+        FROM (
+          SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+)
+def latest_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return latest_per_group(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"),
+        ["c_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_orderkey")],
+    ).select("c_custkey", F.col("o_orderkey").alias("latest_orderkey"), F.col("o_orderdate").alias("latest_orderdate"))
+
+
+# --------------------------------------------------------------------------------------
+# W1 — submission_offset assignment (db/data.py:273-288)
+# --------------------------------------------------------------------------------------
+@query(
+    "submission_offset",
+    family="W1,A4",
+    doc="Arrival-rank offset per key: the reference's MAX(submission_offset)+1 "
+    "per-insert loop (db/data.py:273-288) as ONE window pass.",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER)
+                 AS submission_offset
+        FROM events
+    """,
+)
+def submission_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return assign_submission_offset(ev, key="user_id", order_cols=("ts", "event_id")).select(
+        "event_id", "user_id", "submission_offset"
+    )
+
+
+# --------------------------------------------------------------------------------------
+# W4 — duplicate-submission cap (config MAX_NUMBER_DUPLICATE_SUBMISSIONS=10)
+# --------------------------------------------------------------------------------------
+@query(
+    "duplicate_cap",
+    family="W4",
+    doc="Keep ≤10 submissions per key (db/data.py:259-262; config.py.example:59).",
+    oracle="""
+        SELECT event_id, user_id, ts FROM (
+          SELECT event_id, user_id, ts,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 10
+    """,
+)
+def duplicate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return cap_duplicate_submissions(ev, key="user_id", order_cols=("ts", "event_id"), max_per_key=10).select(
+        "event_id", "user_id", "ts"
+    )
+
+
+# --------------------------------------------------------------------------------------
+# O1 — ORDER BY … LIMIT/OFFSET (db/submission_stats.py:58-66)
+# --------------------------------------------------------------------------------------
+@query(
+    "recent_topk_offset",
+    family="O1",
+    doc="Recent-submissions widget: ORDER BY id DESC LIMIT 5 OFFSET 10 "
+    "(db/submission_stats.py:58-66).",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5 OFFSET 10
+    """,
+)
+def recent_topk_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey")).offset(10).limit(5).select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# O4/W3 — top-k per group (neighbor ranking shape, similarity.py:38-67)
+# --------------------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    family="O4,W3",
+    doc="Top-3 per group with deterministic tie-break — the per-query neighbor "
+    "ranking shape (webserver/views/api/v1/similarity.py:38-67).",
+    oracle="""
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+          FROM events
+        ) WHERE rn <= 3
+    """,
+)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return topk_per_group(ev, ["event_type"], [F.desc("value"), F.asc("event_id")], k=3).select(
+        "event_type", "event_id", "value"
+    )
+
+
+# --------------------------------------------------------------------------------------
+# A8 — daily stats rollup, one pass + cumulative window (db/submission_stats.py:221-276)
+# --------------------------------------------------------------------------------------
+@query(
+    "daily_stats_rollup",
+    family="A8,A3,P9",
+    doc="Daily submission stats + running totals: replaces the reference's "
+    "per-day rescan loop (db/submission_stats.py:80-108, 221-276) with one "
+    "grouped pass + a cumulative window.",
+    oracle="""
+        SELECT day, n_submissions, n_unique_users,
+               sum(n_submissions) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_submissions
+        FROM (
+          SELECT CAST(ts AS DATE) AS day,
+                 count(*) AS n_submissions,
+                 count(DISTINCT user_id) AS n_unique_users
+          FROM events GROUP BY CAST(ts AS DATE)
+        )
+    """,
+)
+def daily_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_submissions"),
+        F.countDistinct("user_id").alias("n_unique_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.withColumn("cumulative_submissions", F.sum("n_submissions").over(w))
+
+
+# --------------------------------------------------------------------------------------
+# A6 — jsonb_object_agg map-collect (db/data.py:836-850)
+# --------------------------------------------------------------------------------------
+@query(
+    "map_collect_per_key",
+    family="A6,F14,F16",
+    doc="jsonb_object_agg: collapse model rows to a per-recording map "
+    "(db/data.py:836-850) — emitted as a key-sorted 'k:v' string for "
+    "cross-engine comparability.",
+    oracle="""
+        SELECT user_id,
+               string_agg(event_type || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY event_type) AS kv_json
+        FROM (
+          SELECT user_id, event_type, count(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        ) GROUP BY user_id
+    """,
+)
+def map_collect_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return map_collect_json(per_type, ["user_id"], "event_type", F.col("cnt"))
+
+
+# --------------------------------------------------------------------------------------
+# E1 — order-preserving dedup (utils/container_utils.py:1-3)
+# --------------------------------------------------------------------------------------
+@query(
+    "first_per_key_dedup",
+    family="E1,E2",
+    doc="Order-preserving dedup: first row per (user, type) by arrival — the "
+    "reference's order-preserving request-tuple dedup (utils/container_utils.py:1-3).",
+    oracle="""
+        SELECT user_id, event_type, min(event_id) AS first_event_id
+        FROM events GROUP BY user_id, event_type
+    """,
+)
+def first_per_key_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_event_id"))
+
+
+# --------------------------------------------------------------------------------------
+# E6 — seeded per-class normalization cut (dataset_eval/artistfilter.py:33-52)
+# --------------------------------------------------------------------------------------
+@query(
+    "class_normalization_cut",
+    family="E6",
+    doc="Cut each class to ≤50 members pseudo-randomly but deterministically "
+    "(order by md5 of the id — both engines agree), mirroring the 450-cut at "
+    "dataset_eval/artistfilter.py:33-52.",
+    oracle="""
+        SELECT label, vec_id FROM (
+          SELECT label, vec_id,
+                 row_number() OVER (PARTITION BY label ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM embeddings
+        ) WHERE rn <= 50
+    """,
+)
+def class_normalization_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_per_group(
+        emb.select("label", "vec_id"),
+        ["label"],
+        [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")],
+        k=50,
+    ).select("label", "vec_id")
+
+
+# --------------------------------------------------------------------------------------
+# E7 — greedy per-artist train/test split (dataset_eval/artistfilter.py:81-119)
+# --------------------------------------------------------------------------------------
+@query(
+    "train_test_split",
+    family="E7",
+    doc="Per-(class, artist) greedy split: first recording → train, rest → test "
+    "(dataset_eval/artistfilter.py:81-119); (event_type, user_id) stand in for "
+    "(class, artist); deterministic shuffle via md5.",
+    oracle="""
+        SELECT event_id, event_type, user_id,
+               CASE WHEN rn = 1 THEN 'train' ELSE 'test' END AS split
+        FROM (
+          SELECT event_id, event_type, user_id,
+                 row_number() OVER (PARTITION BY event_type, user_id
+                                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+          FROM events
+        )
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.md5(F.col("event_id").cast("string")), F.col("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.when(F.row_number().over(w) == 1, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# F4 — duration formatting (db/data.py:1008-1009)
+# --------------------------------------------------------------------------------------
+@query(
+    "format_track_length",
+    family="F4",
+    doc="Seconds → 'M:SS' display formatting (db/data.py:1008-1009).",
+    oracle=f"""
+        SELECT event_id, {sql_format_duration("value")} AS track_length
+        FROM events WHERE event_id < 500
+    """,
+)
+def format_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select("event_id", format_duration(F.col("value")).alias("track_length"))

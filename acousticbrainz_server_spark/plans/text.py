@@ -1,0 +1,103 @@
+"""Text-analysis queries over the ``documents`` table (training-data pipeline
+operators: token counting, quality scoring, language-ID, MinHash fingerprints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..functions.text import (
+    lang_id,
+    lang_scores,
+    minhash_signature_exprs,
+    punct_count,
+    quality_score,
+    sql_lang_id,
+    sql_quality_score,
+    stopword_count,
+    token_count,
+    char_shingles,
+)
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "token_stats",
+    family="TXT",
+    doc="Token counting + char stats per document (whitespace tokenizer).",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_computed
+        FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "text_quality",
+    family="TXT",
+    doc="Composite quality score: length saturation + stopword ratio - "
+    "punctuation noise, the usual pretraining-corpus quality gates.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is)\\b')) AS INTEGER) AS n_stopwords,
+               CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+               {sql_round_half_up(sql_quality_score('text'), 4)} AS quality
+        FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        stopword_count(F.col("text")).cast("int").alias("n_stopwords"),
+        punct_count(F.col("text")).cast("int").alias("n_punct"),
+        round_half_up(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@query(
+    "language_id",
+    family="TXT",
+    doc="Marker-word language-ID heuristic with deterministic argmax tie-break.",
+    oracle=f"""
+        SELECT doc_id, lang AS lang_declared, {sql_lang_id('text')} AS lang_pred
+        FROM documents
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.col("lang").alias("lang_declared"), lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "minhash_fingerprint",
+    family="TXT,DEDUP",
+    doc="4-hash MinHash signature over distinct 5-char shingles (md5 hash "
+    "family → engine-portable); the document fingerprint used by LSH dedup.",
+    oracle="""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+          FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 3, 2))) AS i FROM documents)
+        )
+        SELECT doc_id,
+               min(md5('0' || s)) AS mh0, min(md5('1' || s)) AS mh1,
+               min(md5('2' || s)) AS mh2, min(md5('3' || s)) AS mh3
+        FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(char_shingles(F.col("text"), 5)).alias("s"))
+    return sh.groupBy("doc_id").agg(*minhash_signature_exprs("s", 4))

@@ -1,0 +1,85 @@
+"""Behavioral tests for the dedup family: known duplicates must be found."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acousticbrainz_server_spark.dedup.exact import dedup_exact, drop_exact_duplicates
+from acousticbrainz_server_spark.dedup.minhash import lsh_candidate_pairs, minhash_neardup_pairs, minhash_signatures
+from acousticbrainz_server_spark.dedup.ngram import ngram_jaccard_pairs
+from acousticbrainz_server_spark.dedup.simhash import simhash, simhash_neardup_pairs
+from acousticbrainz_server_spark.dedup.embedding import brute_force_knn, embedding_neardup_pairs
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away home today"
+OTHER = "completely different words about spark query engines and distributed shuffles everywhere"
+
+
+def _docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    groups = {r["canonical_id"]: r["n_copies"] for r in dedup_exact(d, "text", "doc_id").collect()}
+    assert groups[1] == 2  # docs 1,2 identical
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(d, "text", "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_neardup(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7
+    assert (1, 4) not in pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(spark):
+    sigs = {r["doc"]: (r["mh0"], r["mh1"]) for r in minhash_signatures(_docs(spark), n_hashes=2).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_lsh_pipeline(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_neardup_pairs(_docs(spark), n_hashes=8, n_bands=4).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs or pairs[(1, 4)] < 0.5
+
+
+def test_lsh_bucket_cap(spark):
+    sigs = minhash_signatures(_docs(spark), n_hashes=8)
+    assert lsh_candidate_pairs(sigs, 8, 4, max_bucket_size=1).count() == 0
+
+
+def test_simhash(spark):
+    d = _docs(spark)
+    sh = {r["doc"]: r["simhash"] for r in simhash(d).collect()}
+    assert sh[1] == sh[2]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_neardup_pairs(d, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # near-dup within hamming 6
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+def test_embedding_neardup_and_knn(spark):
+    v = _vecs(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(v, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}
+    knn = brute_force_knn(v, v.filter(F.col("vec_id") == 1), k=2)
+    got = [(r["neighbor_id"], r["neighbor_rank"]) for r in knn.orderBy("neighbor_rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_embedding_lsh_buckets_agree_for_near_identical(spark):
+    v = _vecs(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(v, threshold=0.99, use_lsh=True, dim=3).collect()}
+    assert pairs == {(1, 2)}  # near-identical vectors share all hyperplane signs

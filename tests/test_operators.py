@@ -1,0 +1,73 @@
+"""Unit tests for the relational operator kernels on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acousticbrainz_server_spark.operators.relational import (
+    anti_join_unprocessed,
+    assign_submission_offset,
+    cap_duplicate_submissions,
+    latest_per_group,
+    map_collect_json,
+    point_lookup,
+    topk_per_group,
+)
+
+
+def _subs(spark):
+    # (id, gid, submitted) — two gids, interleaved arrival
+    rows = [
+        (1, "a", "2024-01-01"),
+        (2, "b", "2024-01-02"),
+        (3, "a", "2024-01-03"),
+        (4, "a", "2024-01-02"),
+        (5, "b", "2024-01-01"),
+    ]
+    return spark.createDataFrame(rows, "id long, gid string, submitted string")
+
+
+def test_assign_submission_offset(spark):
+    out = assign_submission_offset(_subs(spark), key="gid", order_cols=("submitted", "id"))
+    got = {r["id"]: r["submission_offset"] for r in out.collect()}
+    # gid a by submitted: id1(01)->0, id4(02)->1, id3(03)->2; gid b: id5->0, id2->1
+    assert got == {1: 0, 4: 1, 3: 2, 5: 0, 2: 1}
+
+
+def test_cap_duplicate_submissions(spark):
+    out = cap_duplicate_submissions(_subs(spark), key="gid", order_cols=("submitted", "id"), max_per_key=2)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [1, 2, 4, 5]  # id3 is gid a's 3rd submission
+
+
+def test_topk_and_latest(spark):
+    df = _subs(spark)
+    top = topk_per_group(df, ["gid"], [F.desc("submitted"), F.desc("id")], k=1)
+    got = {r["gid"]: r["id"] for r in top.collect()}
+    assert got == {"a": 3, "b": 2}
+    assert {r["id"] for r in latest_per_group(df, ["gid"], [F.asc("submitted"), F.asc("id")]).collect()} == {1, 5}
+
+
+def test_point_lookup_broadcast(spark):
+    df = _subs(spark)
+    keys = spark.createDataFrame([("a",), ("zzz",)], "gid string")
+    out = point_lookup(df, keys, ["gid"])
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+    # the key side must be broadcast (no shuffle of the big side)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_anti_join_unprocessed(spark):
+    source = _subs(spark)
+    processed = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = anti_join_unprocessed(source, processed, ["id"])
+    assert sorted(r["id"] for r in out.collect()) == [4, 5]
+
+
+def test_map_collect_json(spark):
+    df = spark.createDataFrame(
+        [("x", "m1", 1), ("x", "m2", 2), ("y", "m1", 3)], "gid string, model string, v int"
+    )
+    out = map_collect_json(df, ["gid"], "model", F.col("v"))
+    got = {r["gid"]: r["kv_json"] for r in out.collect()}
+    assert got == {"x": "m1:1,m2:2", "y": "m1:3"}
