@@ -24,7 +24,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; zero-norm input (the reference's zero-vector
+    failure rows, db/similarity.py:368-371) -> 0.0 rather than an ANSI
+    divide-by-zero error."""
+    den = norm(a) * norm(b)
+    return F.when(den != 0.0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def angular_distance(a: Column, b: Column) -> Column:
