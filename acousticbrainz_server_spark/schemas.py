@@ -149,6 +149,14 @@ HIGHLEVEL_MODEL = T.StructType(
     ]
 )
 
+HIGHLEVEL_META = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),  # = highlevel.id
+        T.StructField("data", LOWLEVEL_DOC["metadata"].dataType),
+        T.StructField("data_sha256", T.StringType()),
+    ]
+)
+
 DATASET = T.StructType(
     [
         T.StructField("id", T.StringType(), False),

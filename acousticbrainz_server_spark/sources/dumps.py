@@ -1,0 +1,153 @@
+"""Dump / export / import surface (SURVEY.md §2.1 S4-S9).
+
+Reference: db/dump.py — Postgres COPY to TSV inside tar.zst (S4/S5), one
+JSON file per submission sharded by mbid prefix (S6), CSV feature dumps (S7),
+import (S8), and time-windowed incremental dumps driven by a ``data_dump``
+bookkeeping table (S9).
+
+Spark-first: every dump is a partitioned columnar write —
+``maxRecordsPerFile`` replaces the reference's hand-rolled 500k-row file
+splitting (ROWS_PER_FILE, db/dump.py:36-38), ``partitionBy`` the mbid-prefix
+sharding (db/dump.py:585-696), and a plain filter the incremental WHERE
+(generate_where, db/dump.py:321-333).  Compression is zstd (the reference
+tunes zstd -10, db/dump.py:629-631).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROWS_PER_FILE = 500_000  # db/dump.py:36-38
+SAMPLE_DATASET_SIZE = 100_000  # db/dump.py:31
+
+# S7 CSV feature dump path sets (db/dump.py:180-201)
+FEATURE_DUMP_COLUMNS = {
+    "tonal": [
+        "data.tonal.key_key",
+        "data.tonal.key_scale",
+        "data.tonal.key_strength",
+        "data.tonal.chords_key",
+        "data.tonal.chords_scale",
+        "data.tonal.tuning_frequency",
+    ],
+    "lowlevel": [
+        "data.lowlevel.average_loudness",
+        "data.lowlevel.dynamic_complexity",
+    ],
+    "rhythm": [
+        "data.rhythm.bpm",
+        "data.rhythm.beats_count",
+        "data.rhythm.danceability",
+        "data.rhythm.onset_rate",
+    ],
+}
+
+
+def dump_table_tsv(df: DataFrame, out_dir: str, rows_per_file: int = ROWS_PER_FILE) -> None:
+    """S4/S5: TSV export, natively split at rows_per_file (COPY + _copy_tables,
+    db/dump.py:241-386).  Nested columns are JSON-encoded, like the JSONB
+    text COPY output."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            cols.append(F.to_json(F.col(f.name), {"ignoreNullFields": "false"}).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    (
+        df.select(*cols)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .option("maxRecordsPerFile", rows_per_file)
+        .csv(out_dir)
+    )
+
+
+def import_table_tsv(spark: SparkSession, in_dir: str, schema: T.StructType) -> DataFrame:
+    """S8: read a TSV dump back with an explicit schema; JSON-encoded nested
+    columns are parsed back to their typed form (schema-version checks are the
+    caller's concern, db/dump.py:449-497)."""
+    flat_fields = []
+    json_fields: list[T.StructField] = []
+    for f in schema.fields:
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            flat_fields.append(T.StructField(f.name, T.StringType()))
+            json_fields.append(f)
+        else:
+            flat_fields.append(f)
+    raw = spark.read.schema(T.StructType(flat_fields)).option("sep", "\t").option("header", "true").csv(in_dir)
+    for f in json_fields:
+        raw = raw.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
+    return raw.select(*[f.name for f in schema.fields])
+
+
+def dump_lowlevel_json(
+    lowlevel: DataFrame,
+    lowlevel_json: DataFrame,
+    out_dir: str,
+    sample_size: int | None = None,
+) -> None:
+    """S6: one JSON record per submission, sharded by the 2-char mbid prefix
+    (db/dump.py:585-696); ``sample_size`` reproduces the 100k sample dump
+    ordered by submitted (db/dump.py:31, 615-618)."""
+    joined = lowlevel.select("id", "gid", "submission_offset", "submitted").join(lowlevel_json, "id")
+    if sample_size is not None:
+        joined = joined.orderBy("submitted").limit(sample_size)
+    (
+        joined.withColumn("shard", F.substring("gid", 1, 2))
+        .select("shard", "gid", "submission_offset", "data")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .json(out_dir)
+    )
+
+
+def dump_features_csv(lowlevel: DataFrame, lowlevel_json: DataFrame, out_dir: str) -> None:
+    """S7: scalar feature projections to CSV, one directory per path set
+    (dump_lowlevel_features, db/dump.py:500-582)."""
+    joined = lowlevel.select("id", "gid", "submission_offset").join(lowlevel_json, "id")
+    for name, paths in FEATURE_DUMP_COLUMNS.items():
+        joined.select(
+            "gid", "submission_offset", *[F.col(p).alias(p.split(".", 1)[1].replace(".", "_")) for p in paths]
+        ).write.mode("overwrite").option("header", "true").csv(os.path.join(out_dir, name))
+
+
+# --- S9: incremental dump windows over a data_dump bookkeeping table -----------------
+DATA_DUMP_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("created", T.TimestampType(), False),
+        T.StructField("dump_type", T.StringType(), False),  # 'full' | 'partial'
+    ]
+)
+
+
+def incremental_window(data_dump: DataFrame, now: datetime) -> tuple[datetime | None, datetime]:
+    """(start, end]: start = the latest prior dump's created (None for the
+    first dump = everything), end = now (prepare_dump/generate_where,
+    db/dump.py:321-333, 871-897)."""
+    row = data_dump.agg(F.max("created").alias("m")).collect()[0]
+    return row["m"], now
+
+
+def filter_incremental(df: DataFrame, start: datetime | None, end: datetime, ts_col: str = "submitted") -> DataFrame:
+    """Time-window predicate ``start < ts <= end`` (db/dump.py:321-333)."""
+    cond = F.col(ts_col) <= F.lit(end)
+    if start is not None:
+        cond = cond & (F.col(ts_col) > F.lit(start))
+    return df.filter(cond)
+
+
+def record_dump(spark: SparkSession, data_dump: DataFrame, now: datetime, dump_type: str = "partial") -> DataFrame:
+    """Append the bookkeeping row (no Delta in this env — emulated with a
+    union; the cluster path is a Delta MERGE/append)."""
+    next_id = (data_dump.agg(F.coalesce(F.max("id"), F.lit(0)).alias("m")).collect()[0]["m"] or 0) + 1
+    new = spark.createDataFrame([{"id": next_id, "created": now, "dump_type": dump_type}], DATA_DUMP_SCHEMA)
+    return data_dump.unionByName(new)

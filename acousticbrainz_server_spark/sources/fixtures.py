@@ -153,13 +153,17 @@ def generate_fixture_tables(
     model_ids = {r["model"]: r["id"] for r in model_rows}
 
     # --- highlevel + highlevel_model --------------------------------------------------
-    hl_rows, hlm_rows = [], []
+    hl_rows, hlm_rows, hlmeta_rows = [], [], []
+    llj_by_id = {r["id"]: r for r in llj_rows}
     hlm_id = 0
     for r in ll_rows:
         if rng.random() < 0.85:  # 15% unprocessed -> anti-join work queue
             hl_rows.append(
                 {"id": r["id"], "mbid": r["gid"], "build_sha1": r["build_sha1"], "submitted": r["submitted"]}
             )
+            if rng.random() > 0.02:  # ~2% failed submissions: hl row without meta
+                meta = llj_by_id[r["id"]]["data"]["metadata"]
+                hlmeta_rows.append({"id": r["id"], "data": meta, "data_sha256": canonical_sha256(meta)})
             for m in model_rows:
                 if m["status"] != "show" or rng.random() < 0.05:  # 5% missing (id, model) pairs
                     continue
@@ -209,6 +213,7 @@ def generate_fixture_tables(
         "lowlevel_json": spark.createDataFrame(llj_rows, schemas.LOWLEVEL_JSON),
         "model": spark.createDataFrame(model_rows, schemas.MODEL),
         "highlevel": spark.createDataFrame(hl_rows, schemas.HIGHLEVEL),
+        "highlevel_meta": spark.createDataFrame(hlmeta_rows, schemas.HIGHLEVEL_META),
         "highlevel_model": spark.createDataFrame(hlm_rows, schemas.HIGHLEVEL_MODEL),
         "dataset": spark.createDataFrame(ds_rows, schemas.DATASET),
         "dataset_class": spark.createDataFrame(cls_rows, schemas.DATASET_CLASS),

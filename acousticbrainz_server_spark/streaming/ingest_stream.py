@@ -1,0 +1,87 @@
+"""Streaming ingest + streaming stats (SURVEY.md §2.11).
+
+The reference has no true stream processing — it polls every 30 s
+(hl_extractor/hl_calc.py:22, dataset_eval/evaluate.py:22) and discovers work
+with anti-joins/keyset cursors.  Structured Streaming with
+``trigger(availableNow=True)`` reproduces those semantics exactly (at-least-
+once micro-batches, resumable via checkpoint), and the 1-day stats rollup
+becomes a watermarked tumbling window.
+
+``submitted`` is ingest time (no late-data policy exists in the reference),
+so the watermark is a formality that bounds state — at 100 TB it is what lets
+the daily aggregation state be dropped instead of growing forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ingest import ingest_lowlevel_batch
+from ..schemas import LOWLEVEL_DOC
+
+RAW_SUBMISSION_SCHEMA = T.StructType(
+    [
+        T.StructField("gid", T.StringType()),
+        T.StructField("gid_type", T.StringType()),
+        T.StructField("submitted", T.TimestampType()),
+        T.StructField("data", LOWLEVEL_DOC),
+    ]
+)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_duplicate_submissions: int = 10,
+) -> StreamingQuery:
+    """File-source streaming ingest: each micro-batch runs the full batch
+    ingest pipeline (validate → dedup → offsets) against the CURRENT output
+    table state, then appends — the streaming form of the reference's
+    per-POST transaction, with cross-batch dedup/offset continuity provided
+    by the anti-join against what is already written."""
+    raw = spark.readStream.schema(RAW_SUBMISSION_SCHEMA).json(input_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            existing = batch_df.sparkSession.read.parquet(output_dir)
+            existing_ll = existing.select("gid", "submission_offset")
+            existing_sha = existing.select("data_sha256")
+        except Exception:
+            existing_ll = existing_sha = None
+        res = ingest_lowlevel_batch(
+            batch_df, existing_ll, existing_sha, max_duplicate_submissions=max_duplicate_submissions
+        )
+        res.accepted.write.mode("append").parquet(output_dir)
+
+    return (
+        raw.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_daily_counts(submissions: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """A8 as a streaming tumbling window: per-day submission counts split by
+    lossless, state bounded by the watermark."""
+    return (
+        submissions.withWatermark("submitted", watermark)
+        .groupBy(F.window("submitted", "1 day").alias("day_window"), "lossless")
+        .agg(F.count(F.lit(1)).alias("n_submissions"))
+        .select(
+            F.col("day_window.start").alias("day"),
+            "lossless",
+            "n_submissions",
+        )
+    )
+
+
+def streaming_dedup(submissions: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """E2 as streaming stateful dedup on the content hash
+    (dropDuplicates within the watermark horizon)."""
+    return submissions.withWatermark("submitted", watermark).dropDuplicates(["data_sha256"])

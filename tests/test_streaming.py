@@ -1,0 +1,116 @@
+"""Structured Streaming tests: availableNow ingest with cross-batch dedup +
+offset continuity, streaming daily counts, streaming dedup."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import random
+
+from pyspark.sql import functions as F
+
+from acousticbrainz_server_spark.sources.fixtures import _make_doc
+from acousticbrainz_server_spark.streaming.ingest_stream import (
+    RAW_SUBMISSION_SCHEMA,
+    stream_ingest,
+    streaming_daily_counts,
+    streaming_dedup,
+)
+
+
+def _write_raw_json(path: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"batch_{len(os.listdir(path))}.json")
+    with open(fname, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rows(n, seed, start_hour=0):
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        gid = f"aaaa{i % 3:04d}-0000-4000-8000-000000000000"
+        out.append(
+            {
+                "gid": gid,
+                "gid_type": "mbid",
+                "submitted": (datetime(2024, 1, 1) + timedelta(hours=start_hour + i)).isoformat(),
+                "data": _make_doc(rng, gid, "artist-z", False),
+            }
+        )
+    return out
+
+
+def test_stream_ingest_availablenow(spark, tmp_path):
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    rows = _rows(6, seed=1)
+    _write_raw_json(in_dir, rows)
+    q = stream_ingest(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    n1 = got.count()
+    assert n1 == 6
+    offs = {(r["gid"], r["submission_offset"]) for r in got.collect()}
+    assert len(offs) == 6  # unique (gid, offset)
+
+    # second micro-batch: re-submits the same rows (deduped) + new ones (offsets continue)
+    _write_raw_json(in_dir, rows + _rows(3, seed=2, start_hour=100))
+    q2 = stream_ingest(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.count() == 9  # 6 dups dropped, 3 new appended
+    per_gid = got2.groupBy("gid").agg(F.collect_list("submission_offset").alias("offs")).collect()
+    for r in per_gid:
+        assert sorted(r["offs"]) == list(range(len(r["offs"])))  # dense, continued
+
+
+def test_streaming_daily_counts_and_dedup(spark, tmp_path):
+    # memory-sink streaming over a file source
+    src = str(tmp_path / "subs")
+    rng = random.Random(9)
+    rows = []
+    for i in range(20):
+        gid = f"bbbb{i % 4:04d}-0000-4000-8000-000000000000"
+        doc = _make_doc(rng, gid, "a", i % 2 == 0)
+        rows.append(
+            {
+                "gid": gid,
+                "gid_type": "mbid",
+                "submitted": (datetime(2024, 3, 1) + timedelta(hours=6 * i)).isoformat(),
+                "data": doc,
+            }
+        )
+    # duplicate content rows (same doc)
+    rows.append(dict(rows[0]))
+    _write_raw_json(src, rows)
+
+    raw = spark.readStream.schema(RAW_SUBMISSION_SCHEMA).json(src)
+    counts = streaming_daily_counts(raw.withColumn("lossless", F.col("data.metadata.audio_properties.lossless")))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("daily_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM daily_counts").collect()
+    assert sum(r["n_submissions"] for r in got) == 21
+    assert len({r["day"] for r in got}) >= 5
+
+    deduped = streaming_dedup(
+        raw.withColumn("data_sha256", F.sha2(F.to_json("data"), 256)).select("submitted", "data_sha256")
+    )
+    q2 = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert n == 20  # the duplicated doc collapsed
