@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles, minhash_signature_exprs
+from ..functions.text import char_shingle_stream, minhash_signature_exprs
 
 
 def minhash_signatures(
@@ -28,7 +28,7 @@ def minhash_signatures(
     shingle_k: int = 5,
 ) -> DataFrame:
     """One row per doc: id + mh0..mh{n-1} md5-min signature columns."""
-    sh = docs.select(F.col(id_col).alias("doc"), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"))
+    sh = char_shingle_stream(docs, id_col, text_col, shingle_k)
     return sh.groupBy("doc").agg(*minhash_signature_exprs("s", n_hashes))
 
 
@@ -40,19 +40,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs sharing at least one LSH band."""
     rows_per_band = n_hashes // n_bands
-    bands = []
+    # one pass: band array -> explode (vs n_bands unioned scans of the
+    # signature relation)
+    band_structs = []
     for b in range(n_bands):
         cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            signatures.select(
-                F.col("doc"),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    banded = signatures.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("doc", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_hash").alias("band_hash"))
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("band_idx", "band_hash")
@@ -80,7 +78,9 @@ def minhash_neardup_pairs(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Near-dup candidates with their estimated (signature-agreement) Jaccard."""
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    # signatures feed candidate generation AND both verify sides — cache so
+    # the shingle explode+groupBy runs once, not three times
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k).cache()
     cand = lsh_candidate_pairs(sigs, n_hashes, n_bands)
     sa = sigs.select(F.col("doc").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)])
     sb = sigs.select(F.col("doc").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)])

@@ -28,7 +28,8 @@ def token_hash32(col: F.Column) -> F.Column:
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per doc: ``simhash`` 32-bit fingerprint (as long)."""
-    tok = docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    tok = docs.repartition(n_part).select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
     h = tok.select("doc", token_hash32(F.col("t")).alias("h"))
     bit_sums = h.groupBy("doc").agg(
         *[

@@ -104,6 +104,25 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def char_shingle_stream(docs, id_col: str, text_col: str, k: int = 5):
+    """(doc, s) shingle stream WITHOUT dedup — for min-aggregations (MinHash),
+    where duplicates don't change the result.  explode(sequence)+substring
+    stays in whole-stage codegen, unlike transform/array_distinct (interpreted
+    higher-order functions).
+
+    The source is repartitioned first: a compact parquet file arrives as ONE
+    input split, and the ~L-per-doc explode would otherwise run the whole
+    corpus on a single core (explode fan-out inherits the input partitioning).
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(n_part)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_t"),
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))).alias("_i"),
+    ).select("doc", F.expr(f"substring(_t, _i, {k})").alias("s"))
+
+
 def word_bigrams(text: Column) -> Column:
     """Distinct word-bigram shingles."""
     toks = tokens(text)
@@ -113,9 +132,26 @@ def word_bigrams(text: Column) -> Column:
 
 
 def minhash_signature_exprs(shingle_col: str, n_hashes: int = 4) -> list[Column]:
-    """MinHash signature: per hash-seed i, min over shingles of md5(i || s).
-    md5 hex strings compare lexicographically — a valid min-wise hash family
-    and byte-identical across engines."""
-    return [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col(shingle_col)))).alias(f"mh{i}") for i in range(n_hashes)
-    ]
+    """MinHash signature: one md5 per shingle per 4 hash functions — each
+    32-bit hash is an 8-hex-char slice of md5(seed || s), compared as a long.
+    A valid min-wise family (md5 slices are independent uniform bits),
+    engine-portable (DuckDB: min(CAST('0x'||substr(md5(...),off,8) AS
+    BIGINT))), and 4× cheaper than one digest per hash function.
+    """
+    out = []
+    for i in range(n_hashes):
+        seed, slot = divmod(i, 4)
+        digest = F.md5(F.col(shingle_col)) if seed == 0 else F.md5(F.concat(F.lit(str(seed)), F.col(shingle_col)))
+        h32 = F.conv(F.substring(digest, 1 + 8 * slot, 8), 16, 10).cast("long")
+        out.append(F.min(h32).alias(f"mh{i}"))
+    return out
+
+
+def sql_minhash_exprs(shingle_expr: str, n_hashes: int = 4) -> list[str]:
+    """DuckDB twins of minhash_signature_exprs (same slices, same order)."""
+    out = []
+    for i in range(n_hashes):
+        seed, slot = divmod(i, 4)
+        digest = f"md5({shingle_expr})" if seed == 0 else f"md5('{seed}' || {shingle_expr})"
+        out.append(f"min(CAST(('0x' || substr({digest}, {1 + 8 * slot}, 8)) AS BIGINT)) AS mh{i}")
+    return out

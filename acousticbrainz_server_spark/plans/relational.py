@@ -136,6 +136,10 @@ _LOOKUP_KEYS = [(k, ln) for k in range(1, 40) for ln in (1, 2)]
 )
 def point_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # derive a pushed-down IN filter on the leading key so the parquet scan
+    # prunes row groups BEFORE the broadcast probe (at scale: partition/file
+    # pruning; the join alone would scan everything)
+    li = li.filter(F.col("l_orderkey").isin(sorted({k for k, _ in _LOOKUP_KEYS})))
     keys = spark.createDataFrame(_LOOKUP_KEYS, "l_orderkey long, l_linenumber int")
     return point_lookup(li, keys, ["l_orderkey", "l_linenumber"]).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"

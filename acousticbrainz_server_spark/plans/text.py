@@ -78,26 +78,42 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.col("lang").alias("lang_declared"), lang_id(F.col("text")).alias("lang_pred"))
+    # two-phase: materialize marker counts as columns first so each regex is
+    # evaluated once per row, then the argmax CASE runs over plain ints
+    counts = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        *[cnt.alias(f"_c_{lang}") for lang, cnt in lang_scores(F.col("text")).items()],
+    )
+    best = F.greatest(*[F.col(f"_c_{lang}") for lang in lang_scores(F.col("text"))])
+    pred = F.lit("und")
+    from ..functions.text import LANG_MARKERS
 
+    for lang in reversed(list(LANG_MARKERS)):
+        c = F.col(f"_c_{lang}")
+        pred = F.when((c > 0) & (c == best), F.lit(lang)).otherwise(pred)
+    return counts.select("doc_id", "lang_declared", pred.alias("lang_pred"))
+
+
+from ..functions.text import sql_minhash_exprs  # noqa: E402
 
 @query(
     "minhash_fingerprint",
     family="TXT,DEDUP",
-    doc="4-hash MinHash signature over distinct 5-char shingles (md5 hash "
-    "family → engine-portable); the document fingerprint used by LSH dedup.",
-    oracle="""
+    doc="4-hash MinHash signature over distinct 5-char shingles (md5-slice "
+    "hash family → engine-portable); the document fingerprint used by LSH dedup.",
+    oracle=f"""
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
           FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 3, 2))) AS i FROM documents)
         )
-        SELECT doc_id,
-               min(md5('0' || s)) AS mh0, min(md5('1' || s)) AS mh1,
-               min(md5('2' || s)) AS mh2, min(md5('3' || s)) AS mh3
+        SELECT doc_id, {', '.join(sql_minhash_exprs('s', 4))}
         FROM sh GROUP BY doc_id
     """,
 )
 def minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import char_shingle_stream
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(char_shingles(F.col("text"), 5)).alias("s"))
-    return sh.groupBy("doc_id").agg(*minhash_signature_exprs("s", 4))
+    sh = char_shingle_stream(d, "doc_id", "text", 5)
+    return sh.groupBy(F.col("doc").alias("doc_id")).agg(*minhash_signature_exprs("s", 4))
