@@ -505,6 +505,114 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# A5 — resume cursor: coalesce(max(id), 0) (db/similarity.py:290-298)
+# --------------------------------------------------------------------------------------
+@query(
+    "resume_cursor",
+    family="A5",
+    doc="coalesce(max(id),0) resume cursor (db/similarity.py:290-298), over a "
+    "filtered window so the empty-input coalesce path is meaningful.",
+    oracle="""
+        SELECT coalesce(max(event_id), 0) AS max_processed_id,
+               coalesce(max(CASE WHEN event_type = 'no_such_type' THEN event_id END), 0) AS empty_cursor
+        FROM events WHERE ts < TIMESTAMP '2024-01-15'
+    """,
+)
+def resume_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < F.to_timestamp(F.lit("2024-01-15")))
+    return ev.agg(
+        F.coalesce(F.max("event_id"), F.lit(0)).alias("max_processed_id"),
+        F.coalesce(F.max(F.when(F.col("event_type") == "no_such_type", F.col("event_id"))), F.lit(0)).alias(
+            "empty_cursor"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# F5/F6 — epoch-ms timestamps + day ceiling (db/submission_stats.py:279-317)
+# --------------------------------------------------------------------------------------
+@query(
+    "timestamp_functions",
+    family="F5,F6",
+    doc="epoch-ms conversion (db/submission_stats.py:279-282) and next-day "
+    "ceiling (:308-317) per event.",
+    oracle="""
+        SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) * 1000 AS epoch_ms,
+               CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP) AS next_day
+        FROM events WHERE event_id < 2000
+    """,
+)
+def timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        (F.unix_timestamp("ts") * 1000).alias("epoch_ms"),
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# O6 — stats-history fetch: LIMIT then reverse (db/submission_stats.py:192-206)
+# --------------------------------------------------------------------------------------
+@query(
+    "history_limit_reverse",
+    family="O6,O3",
+    doc="Latest-N fetch then chronological re-sort "
+    "(db/submission_stats.py:192-206): the last 7 days of daily counts, "
+    "returned oldest-first.",
+    oracle="""
+        SELECT day, n FROM (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY CAST(ts AS DATE)
+          ORDER BY day DESC LIMIT 7
+        ) ORDER BY day ASC
+    """,
+)
+def history_limit_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    return daily.orderBy(F.desc("day")).limit(7).orderBy(F.asc("day"))
+
+
+# --------------------------------------------------------------------------------------
+# Composite: join + filtered agg + top-k (TPC-H Q3 shape; bench representativeness)
+# --------------------------------------------------------------------------------------
+@query(
+    "shipping_priority_topk",
+    family="J1,A2,O4",
+    doc="Filtered 3-way join + revenue agg + global top-k — the canonical "
+    "scan-join-agg-sort pipeline shape.",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_round_half_up('sum(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------------------
 # F4 — duration formatting (db/data.py:1008-1009)
 # --------------------------------------------------------------------------------------
 @query(

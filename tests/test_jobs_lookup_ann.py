@@ -1,0 +1,94 @@
+"""Tests: job queue state machine (M2), eval upsert (V7), order-preserving
+lookups (J8), LSH ANN index (V3) recall vs exact k-NN."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from acousticbrainz_server_spark.operators.jobs import (
+    JOB_EVENT_SCHEMA,
+    job_current_state,
+    next_pending_job,
+    transition,
+    upsert_eval_results,
+)
+from acousticbrainz_server_spark.operators.lookup import get_ids_by_mbids, get_mbids_by_ids
+from acousticbrainz_server_spark.sources.fixtures import generate_fixture_tables
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return generate_fixture_tables(spark, n_lowlevel=200, n_gids=100)
+
+
+def test_job_queue_state_machine(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {"job_id": "j1", "snapshot_id": "s1", "status": "pending", "ts": t0, "result": None},
+        {"job_id": "j2", "snapshot_id": "s2", "status": "pending", "ts": datetime(2024, 1, 2), "result": None},
+    ]
+    ev = spark.createDataFrame(rows, JOB_EVENT_SCHEMA)
+    # earliest-first pop
+    assert next_pending_job(ev).collect()[0]["job_id"] == "j1"
+    ev = transition(spark, ev, "j1", "running", datetime(2024, 1, 3))
+    assert next_pending_job(ev).collect()[0]["job_id"] == "j2"
+    ev = transition(spark, ev, "j1", "done", datetime(2024, 1, 4), result='{"accuracy": 0.9}')
+    state = {r["job_id"]: r["status"] for r in job_current_state(ev).collect()}
+    assert state == {"j1": "done", "j2": "pending"}
+
+
+def test_upsert_eval_results(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    out = {r["id"]: r["v"] for r in upsert_eval_results(existing, incoming, ["id"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_order_preserving_lookups(spark, tables):
+    ll = tables["lowlevel"]
+    sample = ll.limit(3).collect()
+    req = [(sample[0]["gid"].upper(), sample[0]["submission_offset"]), ("ffffffff-0000-4000-8000-000000000000", 0), (sample[1]["gid"], sample[1]["submission_offset"])]
+    out = get_ids_by_mbids(spark, ll, req).collect()
+    assert [r["request_index"] for r in out] == [0, 1, 2]
+    assert out[0]["id"] == sample[0]["id"]  # case-normalized hit
+    assert out[1]["id"] is None  # miss -> NULL
+    assert out[2]["id"] == sample[1]["id"]
+
+    back = get_mbids_by_ids(spark, ll, [sample[0]["id"], 999999]).collect()
+    assert back[0]["gid"] == sample[0]["gid"] and back[1]["gid"] is None
+
+
+def test_lsh_ann_recall(spark, tables):
+    from acousticbrainz_server_spark.similarity.ann import build_neighbor_table, fit_lsh_index, knn_lsh
+    from acousticbrainz_server_spark.similarity.knn import knn_by_metric
+    from acousticbrainz_server_spark.similarity.metrics import assemble_metric_input, compute_similarity_vectors
+    from acousticbrainz_server_spark.similarity.stats import compute_similarity_stats
+
+    stats = compute_similarity_stats(tables["lowlevel_json"])
+    mi = assemble_metric_input(tables["lowlevel_json"], tables["highlevel_model"], tables["model"])
+    sim = compute_similarity_vectors(mi, stats).cache()
+
+    vectors = sim.select("id", F.col("mfccs").alias("v"))
+    model, indexed = fit_lsh_index(vectors, bucket_length=1.0, num_hash_tables=10)
+    queries = vectors.limit(5)
+    approx = knn_lsh(model, indexed, queries, k=10)
+    exact = knn_by_metric(sim, queries.select("id"), "mfccs", k=10)
+
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # zero-vector rows are excluded from the index; measure recall on shared queries
+    shared_q = {q for q, _ in a} & {q for q, _ in e}
+    e_shared = {(q, n) for q, n in e if q in shared_q}
+    recall = len(a & e_shared) / max(len(e_shared), 1)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+    # S10: persisted neighbor table round-trips
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        nn = build_neighbor_table(sim, "bpm", k=3, out_path=d + "/nn")
+        back = spark.read.parquet(d + "/nn")
+        assert back.count() == nn.count() > 0

@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the optimizations the engine's scale story
+depends on must actually appear in the executed plans.
+
+- filter pushdown reaches the parquet scan (PushedFilters),
+- column pruning (ReadSchema carries only selected columns),
+- nested-schema pruning on the document table (only touched subfields read),
+- small dims / key sets join as broadcasts, not shuffles,
+- aggregations are partial (map-side combine) before the exchange.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+from acousticbrainz_server_spark.sources.fixtures import generate_fixture_tables
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    _load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["pricing_summary"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = QUERIES["count_per_key"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # only user_id should be read from the events scan
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "user_id" in read_schema and "props" not in read_schema and "value" not in read_schema
+
+
+def test_broadcast_joins_for_dims_and_keysets(spark):
+    for name in ("join_multiway_rollup", "point_lookup_batch", "knn_exact_topk"):
+        plan = _plan(QUERIES[name].spark_fn(spark, SF_SMOKE))
+        assert "Broadcast" in plan, f"{name} should broadcast its small side"
+    # the multiway rollup must NOT shuffle nation/region
+    plan = _plan(QUERIES["join_multiway_rollup"].spark_fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(QUERIES["count_distinct_split"].spark_fn(spark, SF_SMOKE))
+    # map-side partial_count before the exchange
+    assert "partial_count" in plan
+
+
+def test_nested_schema_pruning(spark):
+    tables = generate_fixture_tables(spark, n_lowlevel=50, n_gids=30)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        tables["lowlevel_json"].write.mode("overwrite").parquet(d + "/llj")
+        llj = spark.read.parquet(d + "/llj")
+        proj = llj.select("id", F.col("data.rhythm.bpm").alias("bpm"))
+        plan = _plan(proj)
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        # only rhythm.bpm must be read from the document struct
+        assert "bpm" in read_schema
+        assert "mfcc" not in read_schema and "tags" not in read_schema, read_schema
+
+
+def test_anti_join_strategy(spark):
+    plan = _plan(QUERIES["anti_join_unprocessed"].spark_fn(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+
+
+def test_window_group_limit_pushdown(spark):
+    # Spark 3.5+ pushes row_number()<=k limits before the full sort
+    plan = _plan(QUERIES["topk_per_group"].spark_fn(spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
