@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _local_frame(spark: SparkSession, data: dict) -> DataFrame:
+    """pandas-backed literal frame -> JVM LocalTableScan (no Python-RDD path)."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(data))
+
+
 def get_ids_by_mbids(
     spark: SparkSession,
     lowlevel: DataFrame,
@@ -25,14 +32,18 @@ def get_ids_by_mbids(
 ) -> DataFrame:
     """(request_index, gid, submission_offset, id|NULL) in request order;
     gids are lower-cased like the reference (db/data.py:853-879)."""
-    req = spark.createDataFrame(
-        [(i, g.lower(), o) for i, (g, o) in enumerate(mbid_offsets)],
-        "request_index int, gid string, submission_offset int",
+    req = _local_frame(
+        spark,
+        {
+            "request_index": list(range(len(mbid_offsets))),
+            "gid": [g.lower() for g, _ in mbid_offsets],
+            "submission_offset": [int(o) for _, o in mbid_offsets],
+        },
     )
     hit = lowlevel.join(F.broadcast(req), ["gid", "submission_offset"], "inner").select(
         "request_index", "id"
     )
-    return req.join(hit, "request_index", "left").orderBy("request_index").select(
+    return req.join(F.broadcast(hit), "request_index", "left").orderBy("request_index").select(
         "request_index", "gid", "submission_offset", "id"
     )
 
@@ -43,8 +54,8 @@ def get_mbids_by_ids(
     ids: Sequence[int],
 ) -> DataFrame:
     """(request_index, id, gid|NULL, submission_offset|NULL) in request order."""
-    req = spark.createDataFrame([(i, v) for i, v in enumerate(ids)], "request_index int, id long")
+    req = _local_frame(spark, {"request_index": list(range(len(ids))), "id": [int(v) for v in ids]})
     hit = lowlevel.join(F.broadcast(req), "id", "inner").select("request_index", "gid", "submission_offset")
-    return req.join(hit, "request_index", "left").orderBy("request_index").select(
+    return req.join(F.broadcast(hit), "request_index", "left").orderBy("request_index").select(
         "request_index", "id", "gid", "submission_offset"
     )

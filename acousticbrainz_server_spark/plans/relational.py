@@ -140,7 +140,14 @@ def point_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prunes row groups BEFORE the broadcast probe (at scale: partition/file
     # pruning; the join alone would scan everything)
     li = li.filter(F.col("l_orderkey").isin(sorted({k for k, _ in _LOOKUP_KEYS})))
-    keys = spark.createDataFrame(_LOOKUP_KEYS, "l_orderkey long, l_linenumber int")
+    import pandas as pd
+
+    # pandas-backed literal -> JVM LocalTableScan (no Python-RDD conversion)
+    keys = spark.createDataFrame(
+        pd.DataFrame(_LOOKUP_KEYS, columns=["l_orderkey", "l_linenumber"]).astype(
+            {"l_orderkey": "int64", "l_linenumber": "int32"}
+        )
+    )
     return point_lookup(li, keys, ["l_orderkey", "l_linenumber"]).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
@@ -609,6 +616,70 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# P1/P2 — JSON path projection with defaults (db/data.py:641-752)
+# --------------------------------------------------------------------------------------
+@query(
+    "json_path_projection",
+    family="P1,P2",
+    doc="Semi-structured path projection with per-feature defaults on missing "
+    "paths — the AVAILABLE_FEATURES machinery (db/data.py:641-752, "
+    "webserver/views/api/v1/core.py:28-48).  The engine's primary form is "
+    "typed nested structs (Parquet column pruning); this exercises the "
+    "JSON-string fallback path (get_json_object pushdown + coalesce default).",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+               coalesce(json_extract_string(props, '$.absent'), '{}') AS absent_with_default
+        FROM events WHERE event_id < 2500
+    """,
+)
+def json_path_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.coalesce(F.get_json_object("props", "$.absent"), F.lit("{}")).alias("absent_with_default"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J8/J6/E1 — order-preserving bulk point lookup with NULL for misses
+# --------------------------------------------------------------------------------------
+_LOOKUP_REQUEST = [(0, 5), (1, 99999999), (2, 1), (3, 3), (4, 5), (5, 77777777), (6, 2)]
+
+
+@query(
+    "ordered_lookup",
+    family="J8,J6,E1",
+    doc="Bulk key lookup preserving REQUEST order, NULL for misses — the bulk "
+    "API contract (db/data.py:755-773, :853-879).  The request is a literal "
+    "frame broadcast against the fact table; the big side never shuffles.",
+    oracle="""
+        WITH req(request_index, o_orderkey) AS (
+          VALUES (0, 5), (1, 99999999), (2, 1), (3, 3), (4, 5), (5, 77777777), (6, 2)
+        )
+        SELECT r.request_index, r.o_orderkey, o.o_custkey
+        FROM req r LEFT JOIN orders o ON o.o_orderkey = r.o_orderkey
+    """,
+)
+def ordered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    # pandas-backed literal -> JVM LocalTableScan (no Python-RDD conversion)
+    req = spark.createDataFrame(
+        pd.DataFrame(_LOOKUP_REQUEST, columns=["request_index", "o_orderkey"]).astype(
+            {"request_index": "int32", "o_orderkey": "int64"}
+        )
+    )
+    hit = orders.join(F.broadcast(req), "o_orderkey", "inner").select("request_index", "o_custkey")
+    return (
+        req.join(F.broadcast(hit), "request_index", "left")
+        .select("request_index", "o_orderkey", "o_custkey")
     )
 
 

@@ -157,3 +157,186 @@ def bpm_circle_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.cos(angle), 6).alias("bpm_cos"),
         round_half_up(F.sin(angle), 6).alias("bpm_sin"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# F8 — geometric decay weights 0.95**i (similarity/metrics.py:48-58)
+# --------------------------------------------------------------------------------------
+@query(
+    "decay_weighted_vector",
+    family="F8",
+    doc="Elementwise geometric decay weighting x[i] * 0.95**i — the weighted "
+    "MFCC/GFCC metric transform (similarity/metrics.py:48-58) as a native "
+    "posexplode + pow expression, no UDF.",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim_idx,
+               {sql_round_half_up('unnest(CAST(embedding AS DOUBLE[])) * 0.95 ** (generate_subscripts(embedding, 1) - 1)', 6)} AS wx
+        FROM embeddings WHERE vec_id < 25
+    """,
+)
+def decay_weighted_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).filter(F.col("vec_id") < 25)
+    e = v.select("vec_id", F.posexplode("v").alias("dim_idx", "x"))
+    return e.select(
+        "vec_id",
+        "dim_idx",
+        round_half_up(F.col("x") * F.pow(F.lit(0.95), F.col("dim_idx")), 6).alias("wx"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# F10/F9 — categorical key -> circle position -> [cos, sin] embedding
+# --------------------------------------------------------------------------------------
+_EVENT_CIRCLE_POSITIONS = {"click": 0, "error": 1, "purchase": 2, "signup": 3, "view": 4}
+
+
+@query(
+    "circle_of_fifths_embedding",
+    family="F10,F9",
+    doc="Categorical value -> circle position via a literal lookup map, then "
+    "[cos(2*pi*p/N), sin(2*pi*p/N)] — the key/scale circle-of-fifths embedding "
+    "(similarity/metrics.py:99-117) with event_type standing in for key_key.",
+    oracle=f"""
+        WITH m AS (
+          SELECT event_id,
+                 CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                      WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END AS pos
+          FROM events WHERE event_id < 1500
+        )
+        SELECT event_id, pos,
+               {sql_round_half_up('cos(2 * pi() * pos / 5.0)', 6)} AS circle_cos,
+               {sql_round_half_up('sin(2 * pi() * pos / 5.0)', 6)} AS circle_sin
+        FROM m
+    """,
+)
+def circle_of_fifths_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from itertools import chain
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1500)
+    pos_map = F.create_map(*[F.lit(x) for x in chain.from_iterable(_EVENT_CIRCLE_POSITIONS.items())])
+    pos = F.element_at(pos_map, F.col("event_type"))
+    angle = F.lit(2.0 * math.pi) * pos / F.lit(5.0)
+    return ev.select(
+        "event_id",
+        pos.alias("pos"),
+        round_half_up(F.cos(angle), 6).alias("circle_cos"),
+        round_half_up(F.sin(angle), 6).alias("circle_sin"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# F12 — classifier-probabilities -> ordered fixed-dim vector (zeros for missing)
+# --------------------------------------------------------------------------------------
+_CLASS_ORDER = ["click", "error", "purchase", "signup", "view"]  # sorted class names
+
+
+@query(
+    "probability_vector",
+    family="F12,A6",
+    doc="Per-entity {class -> probability} map flattened to a fixed-dim vector "
+    "ordered by sorted class name, zeros for missing classes — the "
+    "BinaryCollectiveMetric/SingleClassifierMetric transform "
+    "(similarity/metrics.py:151-237) as conditional aggregates.",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(sql_round_half_up(f"coalesce(avg(CASE WHEN event_type = '{c}' THEN value END), 0.0)", 4) + f" AS p_{c}" for c in _CLASS_ORDER)}
+        FROM events WHERE user_id < 150
+        GROUP BY user_id
+    """,
+)
+def probability_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    aggs = [
+        round_half_up(
+            F.coalesce(F.avg(F.when(F.col("event_type") == c, F.col("value"))), F.lit(0.0)), 4
+        ).alias(f"p_{c}")
+        for c in _CLASS_ORDER
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------------------
+# V3/V4 scale path — IVF (inverted-file) approximate k-NN, deterministic + oracle-checked
+# --------------------------------------------------------------------------------------
+@query(
+    "ann_ivf_topk",
+    family="V3,V4,O4",
+    doc="IVF approximate k-NN: partition the corpus into coarse cells (label as "
+    "the cell assignment), compute per-cell centroids, route each query to its "
+    "nprobe=2 nearest centroids by cosine, and search only those cells — the "
+    "deterministic inverted-file analogue of the reference's Annoy index "
+    "(similarity/index_model.py:13-92).  At 100 TB the cell column prunes the "
+    "scan (partition pruning on `label`); centroids are a broadcast dimension.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT vec_id, label, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM v),
+        cd AS (SELECT label, d, avg(x) AS m FROM e GROUP BY label, d),
+        cent AS (SELECT label, list(m ORDER BY d) AS c FROM cd GROUP BY label),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        qc AS (
+          SELECT query_id,
+                 cent.label,
+                 {sql_round_half_up('list_dot_product(q.qv, cent.c) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c)))', 4)} AS cell_cos
+          FROM q, cent
+        ),
+        probe AS (
+          SELECT query_id, label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_cos DESC, label) AS rn FROM qc
+          ) WHERE rn <= 2
+        ),
+        cand AS (
+          SELECT p.query_id, v.vec_id AS neighbor_id,
+                 {sql_round_half_up('list_dot_product(q.qv, v.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v)))', 4)} AS cosine_sim
+          FROM probe p
+          JOIN v ON v.label = p.label
+          JOIN q ON q.query_id = p.query_id
+          WHERE v.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS neighbor_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM cand
+        ) WHERE rn <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.ann import ivf_topk
+
+    v = _vectors(spark, sf_dir)
+    return ivf_topk(
+        v,
+        v.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+        id_col="vec_id",
+        vec_col="v",
+        cell_col="label",
+    )
+
+
+# --------------------------------------------------------------------------------------
+# V3 — LSH approximate k-NN (rows-only: bucket assignment is seed/engine-specific)
+# --------------------------------------------------------------------------------------
+@query(
+    "ann_lsh_topk",
+    family="V3,V4",
+    oracle=None,  # LSH bucketing has no SQL equivalent; recall vs exact k-NN is pytest-asserted
+    doc="BucketedRandomProjectionLSH k-NN over unit-normalized vectors "
+    "(euclidean==angular on the unit sphere) — the Annoy-index scale path "
+    "(similarity/index_model.py:13-92).  Deterministic for a fixed seed; "
+    "recall against knn_exact_topk is asserted in tests/test_jobs_lookup_ann.py.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.ann import fit_lsh_index, knn_lsh
+
+    emb = _vectors(spark, sf_dir).select("vec_id", "v")
+    model, indexed = fit_lsh_index(emb, id_col="vec_id", vec_col="v")
+    queries = emb.filter(F.col("vec_id") < 10)
+    nn = knn_lsh(model, indexed, queries, k=5, id_col="vec_id", vec_col="v")
+    return nn.select(
+        F.col("query_id"),
+        F.col("neighbor_id"),
+        round_half_up(F.col("distance"), 4).alias("angular_dist"),
+        F.col("neighbor_rank").cast("int").alias("neighbor_rank"),
+    )

@@ -97,6 +97,64 @@ def knn_lsh(
     return pairs.withColumn("neighbor_rank", F.row_number().over(w)).filter(F.col("neighbor_rank") <= k)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate k-NN: per-cell centroids route each
+    query to its ``nprobe`` nearest cells; only those cells are searched.
+
+    The deterministic inverted-file analogue of the reference's Annoy index
+    (similarity/index_model.py:13-92).  Recall tracks how geometrically
+    coherent the cell assignment is — with k-means-quality cells this is the
+    classic IVF-Flat structure; at 100 TB the cell column is the partition
+    key, so probing prunes the scan to nprobe/ncells of the corpus, and the
+    centroid table is a broadcast dimension.
+
+    Cosines are rounded half-up BEFORE ranking (cross-engine rank parity).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.scalar import round_half_up
+    from ..functions.vector import cosine
+
+    v = vectors.select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell"), F.col(vec_col).alias("v"))
+    e = v.select("cell", F.posexplode("v").alias("d", "x"))
+    cd = e.groupBy("cell", "d").agg(F.avg("x").alias("m"))
+    cent = cd.groupBy("cell").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m).alias("c")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "cell", "qv", round_half_up(cosine(F.col("qv"), F.col("c")), round_digits).alias("cell_cos")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= nprobe).select("query_id", "cell", "qv")
+    )
+    cand = (
+        v.join(F.broadcast(probe), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            round_half_up(cosine(F.col("qv"), F.col("v")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("neighbor_rank", F.row_number().over(w))
+        .filter(F.col("neighbor_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("neighbor_rank").cast("int").alias("neighbor_rank"))
+    )
+
+
 def build_neighbor_table(
     similarity: DataFrame,
     metric: str,

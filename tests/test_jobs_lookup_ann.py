@@ -92,3 +92,44 @@ def test_lsh_ann_recall(spark, tables):
         nn = build_neighbor_table(sim, "bpm", k=3, out_path=d + "/nn")
         back = spark.read.parquet(d + "/nn")
         assert back.count() == nn.count() > 0
+
+
+def test_ivf_ann_recall_clustered(spark):
+    """On geometrically coherent cells IVF recall is ~1.0 at nprobe=2 — the
+    IVF-Flat contract.  (The driver's embeddings table has RANDOM labels, so
+    the registered ann_ivf_topk query is verified for determinism by the
+    DuckDB oracle instead; recall there is bounded by the data, not the op.)"""
+    import random
+
+    from acousticbrainz_server_spark.similarity.ann import ivf_topk
+
+    rng = random.Random(42)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, i % 8, [x + rng.gauss(0, 0.05) for x in c]))
+    v = spark.createDataFrame(rows, "id long, cell int, v array<double>")
+    queries = v.filter(F.col("id") < 10)
+
+    ivf = ivf_topk(v, queries, k=5, nprobe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+
+    # exact top-5 by cosine, same rounding/tiebreak
+    from acousticbrainz_server_spark.functions.scalar import round_half_up
+    from acousticbrainz_server_spark.functions.vector import cosine
+    from pyspark.sql import Window
+
+    q = queries.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), round_half_up(cosine("qv", "v"), 4).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall on clustered data {recall}"
