@@ -85,3 +85,59 @@ def streaming_dedup(submissions: DataFrame, watermark: str = "1 day") -> DataFra
     """E2 as streaming stateful dedup on the content hash
     (dropDuplicates within the watermark horizon)."""
     return submissions.withWatermark("submitted", watermark).dropDuplicates(["data_sha256"])
+
+
+# --------------------------------------------------------------------------------------
+# W1 as a CUSTOM STATEFUL operator: per-gid offset counter across micro-batches
+# --------------------------------------------------------------------------------------
+def assign_offsets_stateful(submissions: DataFrame, key_col: str = "gid", order_col: str = "submitted") -> DataFrame:
+    """Streaming ``submission_offset`` assignment (db/data.py:273-288) as an
+    ``applyInPandasWithState`` operator: keyed state = the count of offsets
+    already handed out for the gid, carried across micro-batches via the
+    checkpoint — no re-read of the output table per batch (contrast
+    ``stream_ingest``'s anti-join form; this is the low-latency path).
+
+    State is one int per gid; at 100 TB of history the state store holds one
+    row per DISTINCT recording, and the per-batch shuffle is only on the
+    incoming micro-batch (grouped by gid), never the accumulated table.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        submissions.schema.fields + [T.StructField("submission_offset", T.IntegerType())]
+    )
+    state_schema = T.StructType([T.StructField("n_assigned", T.IntegerType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def assign(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        batch = batch.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        batch["submission_offset"] = range(n, n + len(batch))
+        state.update((n + len(batch),))
+        yield batch[cols]
+
+    return submissions.groupBy(key_col).applyInPandasWithState(
+        assign, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_ingest_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+) -> StreamingQuery:
+    """File-source ingest with the stateful offset operator in the streaming
+    plan (state restored from the checkpoint on every restart)."""
+    raw = spark.readStream.schema(schema or RAW_SUBMISSION_SCHEMA).json(input_dir)
+    assigned = assign_offsets_stateful(raw)
+    return (
+        assigned.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

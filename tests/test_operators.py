@@ -71,3 +71,23 @@ def test_map_collect_json(spark):
     out = map_collect_json(df, ["gid"], "model", F.col("v"))
     got = {r["gid"]: r["kv_json"] for r in out.collect()}
     assert got == {"x": "m1:1,m2:2", "y": "m1:3"}
+
+
+def test_salted_join_and_count(spark):
+    """Skew-salted join/count match their unsalted equivalents exactly."""
+    from acousticbrainz_server_spark.functions.skew import salted_count, salted_join
+
+    # one pathological hot key (90% of rows) + a tail
+    big = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1800, F.lit(7)).otherwise(F.col("id") % 50).cast("long").alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(50)], "k long, name string")
+
+    plain = big.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(big, small, "k").select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    counts = {r["k"]: r["n"] for r in salted_count(big, "k").collect()}
+    expected = {r["k"]: r["count"] for r in big.groupBy("k").count().collect()}
+    assert counts == expected

@@ -114,3 +114,38 @@ def test_streaming_daily_counts_and_dedup(spark, tmp_path):
     q2.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
     assert n == 20  # the duplicated doc collapsed
+
+
+def test_stateful_offset_assignment(spark, tmp_path):
+    """applyInPandasWithState per-gid counter: offsets continue across a query
+    RESTART purely from checkpointed state (no output-table re-read)."""
+    from pyspark.sql import types as T
+
+    from acousticbrainz_server_spark.streaming.ingest_stream import stream_ingest_stateful
+
+    schema = T.StructType(
+        [T.StructField("gid", T.StringType()), T.StructField("submitted", T.TimestampType())]
+    )
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def mk(gid, hour):
+        return {"gid": gid, "submitted": (datetime(2024, 5, 1) + timedelta(hours=hour)).isoformat()}
+
+    _write_raw_json(in_dir, [mk("g1", 2), mk("g1", 1), mk("g2", 0)])
+    q = stream_ingest_stateful(spark, in_dir, out_dir, ckpt, schema=schema)
+    q.awaitTermination(120)
+
+    # restart with new data for g1: state (n_assigned=2) restored from checkpoint
+    _write_raw_json(in_dir, [mk("g1", 50), mk("g3", 0)])
+    q2 = stream_ingest_stateful(spark, in_dir, out_dir, ckpt, schema=schema)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).collect()
+    offs = {}
+    for r in got:
+        offs.setdefault(r["gid"], []).append((r["submitted"], r["submission_offset"]))
+    assert sorted(o for _, o in offs["g1"]) == [0, 1, 2]
+    # within the first batch, offsets follow submitted order (hour1 -> 0, hour2 -> 1)
+    first_batch = {s.hour: o for s, o in offs["g1"] if o < 2}
+    assert first_batch == {1: 0, 2: 1}
+    assert [o for _, o in offs["g2"]] == [0] and [o for _, o in offs["g3"]] == [0]
