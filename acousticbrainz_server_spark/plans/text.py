@@ -117,3 +117,59 @@ def minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = char_shingle_stream(d, "doc_id", "text", 5)
     return sh.groupBy(F.col("doc").alias("doc_id")).agg(*minhash_signature_exprs("s", 4))
+
+
+# --------------------------------------------------------------------------------------
+# TXT — document fingerprinting: rolling-hash k-grams + winnowing (Schleimer et al. 2003)
+# --------------------------------------------------------------------------------------
+_FP_K = 7  # k-gram width (chars)
+_FP_W = 4  # winnowing window (k-grams)
+_FP_M = 1_000_000_007
+_FP_B = 31
+
+
+@query(
+    "winnow_fingerprint",
+    family="TXT,DEDUP",
+    doc="Winnowing document fingerprints: Rabin-Karp rolling hash over "
+    "7-char k-grams, minimum hash per 4-gram window, distinct minima = the "
+    "fingerprint set (the MOSS algorithm).  Entirely native array "
+    "expressions — transform/aggregate/slice — no UDF; guarantees at least "
+    "one shared fingerprint for any match longer than w+k-1 chars.",
+    oracle=f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - {_FP_K} + 2), i ->
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(0, {_FP_K}), j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+                     (acc, x) -> (acc * {_FP_B} + x) % {_FP_M})) AS hs
+          FROM documents WHERE doc_id < 300 AND length(text) >= {_FP_K + _FP_W - 1}
+        )
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(hs) - {_FP_W} + 2), p -> list_min(hs[CAST(p AS INTEGER):CAST(p + {_FP_W} - 1 AS INTEGER)]))
+               )) AS fingerprint
+        FROM h
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (F.length("text") >= _FP_K + _FP_W - 1))
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - _FP_K + 1),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_FP_K - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * _FP_B + F.ascii(F.col("text").substr(i + j, F.lit(1)))) % _FP_M,
+        ),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("hs")) - _FP_W + 1),
+        lambda p: F.array_min(F.slice(F.col("hs"), p, _FP_W)),
+    )
+    return (
+        d.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
+    )
