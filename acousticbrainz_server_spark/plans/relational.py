@@ -620,6 +620,49 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# Composite: join against a per-group aggregate (TPC-H Q17 shape)
+# --------------------------------------------------------------------------------------
+@query(
+    "small_quantity_revenue",
+    family="J1,A4,A2",
+    doc="Join a fact table against its own per-group aggregate (correlated "
+    "scalar subquery decorrelated to a grouped join — TPC-H Q17 shape): "
+    "lineitems below 20% of their part's average quantity.  The aggregate "
+    "side shares the scan + shuffle key with the probe side; the threshold "
+    "is rounded before comparison for cross-engine determinism.",
+    oracle=f"""
+        WITH t AS (
+          SELECT l_partkey, {sql_round_half_up('0.2 * avg(l_quantity)', 4)} AS qty_thresh
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {sql_round_half_up('sum(l.l_extendedprice) / 7.0', 2)} AS avg_yearly,
+               count(*) AS n_small
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN t ON t.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4' AND l.l_quantity < t.qty_thresh
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    # l_partkey determines the brand, so pushing the brand filter below the
+    # per-part average (broadcast semi-join) shrinks BOTH the aggregate and
+    # probe sides ~20x without changing the per-part avg — the decorrelation
+    # plus filter-pushdown a Q17 plan lives or dies on at scale
+    li_b = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"), "left_semi")
+    thresh = li_b.groupBy("l_partkey").agg(round_half_up(F.lit(0.2) * F.avg("l_quantity"), 4).alias("qty_thresh"))
+    return (
+        li_b.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
 # P1/P2 — JSON path projection with defaults (db/data.py:641-752)
 # --------------------------------------------------------------------------------------
 @query(

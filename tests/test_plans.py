@@ -85,3 +85,25 @@ def test_window_group_limit_pushdown(spark):
     # Spark 3.5+ pushes row_number()<=k limits before the full sort
     plan = _plan(QUERIES["topk_per_group"].spark_fn(spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    # orderBy().limit() must compile to TakeOrderedAndProject, not a full sort
+    plan = _plan(QUERIES["shipping_priority_topk"].spark_fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q17_brand_filter_pushed_below_aggregate(spark):
+    # the brand restriction must reach both lineitem branches as a broadcast
+    # semi-join BEFORE the per-part average, and no shuffle of the part dim
+    plan = _plan(QUERIES["small_quantity_revenue"].spark_fn(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_ordered_lookup_never_shuffles_big_side(spark):
+    # the request is a LocalTableScan; all joins are broadcast — a shuffle of
+    # the fact table for a 7-key lookup would be catastrophic at scale
+    plan = _plan(QUERIES["ordered_lookup"].spark_fn(spark, SF_SMOKE))
+    assert "LocalTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
