@@ -11,6 +11,19 @@ shingles (document frequency cap) before the join — they only ever connect
 non-near-dup pairs; (b) or switch to the MinHash/LSH path (dedup/minhash.py)
 whose banding bounds candidate pairs.  Here we keep exact semantics (it is the
 oracle) and expose ``max_doc_freq`` for the cap.
+
+Dense-vocabulary fast path: when the distinct-shingle vocabulary is small
+(boilerplate-heavy corpora — exactly the regime where the shingle self-join
+degenerates, because every shingle has huge document frequency), ALL pairwise
+intersection counts are one block matrix multiply of the doc×shingle
+indicator matrix with its transpose.  That runs as an Arrow-batched
+``mapInPandas`` over row blocks of the A side with the B side broadcast —
+each block is a BLAS sgemm, ~100× the throughput of a per-pair popcount or
+join loop.  (An earlier bitmask+popcount nested-loop variant measured 52 s of
+executor CPU on the bench corpus; the sgemm kernel does the same pairs in
+well under a second.)  At 100 TB this is classic block-matrix tiling: A
+streams in row blocks, B tiles must fit executor memory — beyond that, fall
+back to the shingle join / MinHash paths.
 """
 
 from __future__ import annotations
@@ -21,7 +34,10 @@ from pyspark.sql import functions as F
 from ..functions.text import word_bigrams
 
 
-MAX_BITMASK_VOCAB = 16_384
+MAX_DENSE_VOCAB = 16_384
+# B-side indicator matrix budget (floats) for the broadcast sgemm path:
+# n_docs * vocab must fit comfortably in executor memory (256 MB at float32).
+MAX_DENSE_CELLS = 64_000_000
 
 
 def ngram_jaccard_pairs(
@@ -34,63 +50,104 @@ def ngram_jaccard_pairs(
     """All (a < b) doc pairs with word-bigram Jaccard >= threshold.
 
     Strategy choice: when the distinct-shingle vocabulary is small enough
-    (<= MAX_BITMASK_VOCAB — dense corpora like boilerplate-heavy web text),
-    sets are packed into fixed-width bitmasks and pairs are evaluated with
-    AND+popcount in a broadcast nested-loop — no shuffle of the quadratic
-    pair stream at all.  Otherwise the general shingle self-join runs (its
-    cost is Σ df(s)², bounded by ``max_doc_freq`` at scale).
+    (<= MAX_DENSE_VOCAB and the indicator matrix fits the broadcast budget —
+    dense corpora like boilerplate-heavy web text), all intersection counts
+    come from a blocked indicator-matrix sgemm (`_jaccard_dense_matmul`).
+    Otherwise the general shingle self-join runs (its cost is Σ df(s)²,
+    bounded by ``max_doc_freq`` at scale).
     """
     sh = docs.select(F.col(id_col).alias("doc"), F.explode(word_bigrams(F.col(text_col))).alias("s")).cache()
-    vocab_size = sh.select("s").distinct().count()
-    if vocab_size <= MAX_BITMASK_VOCAB:
-        return _jaccard_bitmask(sh, vocab_size, threshold)
+    dims = sh.agg(
+        F.countDistinct("s").alias("vocab"), F.countDistinct("doc").alias("n_docs")
+    ).first()
+    if dims["vocab"] <= MAX_DENSE_VOCAB and dims["vocab"] * dims["n_docs"] <= MAX_DENSE_CELLS:
+        return _jaccard_dense_matmul(sh, threshold)
     return _jaccard_shingle_join(sh, threshold, max_doc_freq)
 
 
-def _jaccard_bitmask(sh: DataFrame, vocab_size: int, threshold: float) -> DataFrame:
-    """Exact Jaccard via bitmask intersection (dense-vocabulary fast path)."""
-    n_words = (vocab_size + 63) // 64
+def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard via blocked indicator-matrix multiply (dense-vocab path).
+
+    sid assignment and the doc→sid-list aggregation stay in Spark; the B-side
+    (sid lists for ALL docs) is collected once and closed over — the same
+    data movement a broadcast join performs — then each Arrow batch of A-side
+    docs computes a (block × n_docs) intersection-count matrix with one
+    float32 sgemm and emits only the (a < b, jaccard ≥ t) survivors.
+    Intersection counts ≤ vocab ≤ 16384 are exactly representable in float32,
+    and the jaccard division is float64 in both engines, so results are
+    bit-identical to the join path.
+    """
+    import pandas as pd
+
+    spark = sh.sparkSession
     vocab = sh.select("s").distinct().select(
         "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
     )
-    masks = (
-        sh.join(F.broadcast(vocab), "s")
-        .groupBy("doc")
-        .agg(F.collect_list("sid").alias("sids"), F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "mask",
-            F.expr(
-                f"aggregate(sids, array_repeat(0L, {n_words}), "
-                "(acc, x) -> transform(acc, (v, i) -> "
-                "CASE WHEN i = CAST(x / 64 AS INT) THEN v | shiftleft(1L, CAST(x % 64 AS INT)) ELSE v END))"
-            ),
-        )
-        # flatten the mask into scalar long columns: higher-order functions
-        # (zip_with/aggregate) are interpreted, not codegen'd — per-pair array
-        # allocation would dominate the quadratic loop.  Flat bit_count(&)
-        # chains stay inside whole-stage codegen.
-        .select("doc", "n", *[F.col("mask")[i].alias(f"m{i}") for i in range(n_words)])
+    doc_sids = (
+        sh.join(F.broadcast(vocab), "s").groupBy("doc").agg(F.collect_list("sid").alias("sids"))
     )
-    # AQE coalesces the small mask relation to 1 partition; the quadratic
-    # nested-loop probe must stay spread across cores
-    n_part = sh.sparkSession.sparkContext.defaultParallelism
-    a = masks.repartition(n_part).select(
-        F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(n_words)]
+    b_rows = doc_sids.collect()
+    import numpy as np
+
+    n_docs = len(b_rows)
+    vocab_size = int(max((max(r["sids"]) for r in b_rows if r["sids"]), default=-1)) + 1
+    b_ids = np.array([r["doc"] for r in b_rows], dtype=np.int64)
+    b_mat = np.zeros((n_docs, vocab_size), dtype=np.float32)
+    for i, r in enumerate(b_rows):
+        b_mat[i, r["sids"]] = 1.0
+    b_sizes = b_mat.sum(axis=1)
+    # torrent-broadcast the B side once per executor (inlining it in the task
+    # closure would re-pickle ~vocab*n_docs floats into EVERY task)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
+
+    def block_pairs(batches):
+        bb_ids, bb_mat, bb_sizes = bc.value
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0:
+                continue
+            a_mat = np.zeros((k, bb_mat.shape[1]), dtype=np.float32)
+            for i, sids in enumerate(pdf["sids"]):
+                a_mat[i, np.asarray(sids, dtype=np.int64)] = 1.0
+            a_ids = pdf["doc"].to_numpy(dtype=np.int64)
+            a_sizes = a_mat.sum(axis=1)
+            # all-float32 arithmetic: set sizes ≤ vocab ≤ 16384 are exact in
+            # float32, and int64-ing the (k × n_docs) matrices would triple
+            # the memory traffic of the hot loop
+            inter = a_mat @ bb_mat.T  # (k, n_docs) sgemm
+            union = a_sizes[:, None] + bb_sizes[None, :] - inter
+            # threshold in float64 — the exact jaccard the SQL engines compute
+            jac = inter.astype(np.float64) / np.maximum(union, 1.0)
+            keep = (jac >= threshold) & (a_ids[:, None] < bb_ids[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai],
+                    "doc_b": bb_ids[bi],
+                    "n_inter": inter[ai, bi].astype(np.int64),
+                    "n_a": a_sizes[ai].astype(np.int64),
+                    "n_b": bb_sizes[bi].astype(np.int64),
+                    "jaccard": jac[ai, bi],
+                }
+            )
+
+    # ~512-row A blocks: enough tasks to spread the sgemm, few enough that
+    # per-task Python-worker + broadcast-fetch overhead stays negligible.
+    # The A side is rebuilt from the already-collected rows AS A PANDAS FRAME
+    # (Arrow-path createDataFrame — a plain python list would take the
+    # pickled-RDD path, which spawns a Python worker per partition just to
+    # deserialize rows; measured ~10s of the query's wall on its own).
+    # Re-deriving A from the shingle lineage would also re-run the
+    # explode+join+agg.  (At 100 TB the B side is tiled rather than fully
+    # collected and A streams from the cluster; this is the B-fits case.)
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
+    a_pdf = pd.DataFrame(
+        {"doc": [int(r["doc"]) for r in b_rows], "sids": [list(r["sids"]) for r in b_rows]}
     )
-    b = masks.select(
-        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(n_words)]
-    )
-    inter = sum(
-        (F.bit_count(F.col(f"a{i}").bitwiseAND(F.col(f"b{i}"))) for i in range(1, n_words)),
-        start=F.bit_count(F.col("a0").bitwiseAND(F.col("b0"))),
-    )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("n_inter", inter)
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    a_side = spark.createDataFrame(a_pdf, "doc LONG, sids ARRAY<INT>")
+    return a_side.repartition(n_part).mapInPandas(
+        block_pairs,
+        "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE",
     )
 
 

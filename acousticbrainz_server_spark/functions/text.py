@@ -131,20 +131,29 @@ def word_bigrams(text: Column) -> Column:
     )
 
 
-def minhash_signature_exprs(shingle_col: str, n_hashes: int = 4) -> list[Column]:
-    """MinHash signature: one md5 per shingle per 4 hash functions — each
-    32-bit hash is an 8-hex-char slice of md5(seed || s), compared as a long.
+def minhash_signature_aggs(shingle_col: str, n_hashes: int = 4) -> list[Column]:
+    """MinHash min-aggregates over HEX SLICES: one md5 per shingle per 4 hash
+    functions — each 32-bit hash is an 8-hex-char slice of md5(seed || s).
     A valid min-wise family (md5 slices are independent uniform bits),
     engine-portable (DuckDB: min(CAST('0x'||substr(md5(...),off,8) AS
     BIGINT))), and 4× cheaper than one digest per hash function.
+
+    The min runs on the hex STRING — fixed-width lowercase hex compares
+    lexicographically in numeric order, so min(hex) == hex(min).  Converting
+    to a long per shingle would run `conv` rows_x_hashes times; converting
+    after the min (``minhash_signature_longs``) runs it groups_x_hashes times.
     """
     out = []
     for i in range(n_hashes):
         seed, slot = divmod(i, 4)
         digest = F.md5(F.col(shingle_col)) if seed == 0 else F.md5(F.concat(F.lit(str(seed)), F.col(shingle_col)))
-        h32 = F.conv(F.substring(digest, 1 + 8 * slot, 8), 16, 10).cast("long")
-        out.append(F.min(h32).alias(f"mh{i}"))
+        out.append(F.min(F.substring(digest, 1 + 8 * slot, 8)).alias(f"_hx{i}"))
     return out
+
+
+def minhash_signature_longs(n_hashes: int = 4) -> list[Column]:
+    """Post-aggregation projection of the hex mins to long mh0..mh{n-1}."""
+    return [F.conv(F.col(f"_hx{i}"), 16, 10).cast("long").alias(f"mh{i}") for i in range(n_hashes)]
 
 
 def sql_minhash_exprs(shingle_expr: str, n_hashes: int = 4) -> list[str]:

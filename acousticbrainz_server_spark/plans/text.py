@@ -11,7 +11,8 @@ from ..functions.scalar import round_half_up, sql_round_half_up
 from ..functions.text import (
     lang_id,
     lang_scores,
-    minhash_signature_exprs,
+    minhash_signature_aggs,
+    minhash_signature_longs,
     punct_count,
     quality_score,
     sql_lang_id,
@@ -116,7 +117,11 @@ def minhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     sh = char_shingle_stream(d, "doc_id", "text", 5)
-    return sh.groupBy(F.col("doc").alias("doc_id")).agg(*minhash_signature_exprs("s", 4))
+    return (
+        sh.groupBy(F.col("doc").alias("doc_id"))
+        .agg(*minhash_signature_aggs("s", 4))
+        .select("doc_id", *minhash_signature_longs(4))
+    )
 
 
 # --------------------------------------------------------------------------------------

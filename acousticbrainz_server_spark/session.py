@@ -32,6 +32,12 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the SparkSession with engine defaults."""
+    # Parallelism belongs to Spark, not to BLAS: numpy kernels inside Pandas
+    # UDFs already run in one Python worker per core — letting OpenBLAS spawn
+    # its own thread pool per worker oversubscribes cores ~32x (measured 6x
+    # wall-clock swings on the sgemm dedup kernel).  Workers inherit this env.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
     builder = (

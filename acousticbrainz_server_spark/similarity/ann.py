@@ -174,6 +174,7 @@ def ivf_topk(
     vec_col: str = "v",
     cell_col: str = "cell",
     round_digits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN: per-cell centroids route each
     query to its ``nprobe`` nearest cells; only those cells are searched.
@@ -185,6 +186,10 @@ def ivf_topk(
     key, so probing prunes the scan to nprobe/ncells of the corpus, and the
     centroid table is a broadcast dimension.
 
+    Centroids are ONE grouped aggregation of dim avg() expressions (all
+    codegen'd, partial-aggregated map-side) — vs posexplode + per-(cell,dim)
+    agg + re-collect, which inflates the shuffle dim-fold and adds two stages.
+
     Cosines are rounded half-up BEFORE ranking (cross-engine rank parity).
     """
     from pyspark.sql import Window
@@ -193,11 +198,9 @@ def ivf_topk(
     from ..functions.vector import cosine
 
     v = vectors.select(F.col(id_col).alias("id"), F.col(cell_col).alias("cell"), F.col(vec_col).alias("v"))
-    e = v.select("cell", F.posexplode("v").alias("d", "x"))
-    cd = e.groupBy("cell", "d").agg(F.avg("x").alias("m"))
-    cent = cd.groupBy("cell").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m).alias("c")
-    )
+    if dim is None:
+        dim = v.select(F.size("v").alias("d")).first()["d"]
+    cent = v.groupBy("cell").agg(F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("c"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qc = q.crossJoin(F.broadcast(cent)).select(
         "query_id", "cell", "qv", round_half_up(cosine(F.col("qv"), F.col("c")), round_digits).alias("cell_cos")

@@ -28,8 +28,12 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     _load_all()
     spark = get_spark("bench")
-    # warm-up: touch the biggest table so FS cache + codegen are primed
+    # warm-up: touch the biggest table so FS cache + codegen are primed, and
+    # spin up the Python worker pool so Pandas-UDF queries aren't billed the
+    # one-time daemon fork + numpy/pandas import (~2s)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers).repartition(n_workers).mapInPandas(lambda it: it, "id LONG").count()
 
     times: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
