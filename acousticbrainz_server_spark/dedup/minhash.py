@@ -96,7 +96,10 @@ def lsh_candidate_pairs(
     max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs sharing at least one LSH band."""
-    banded = _banded_signatures(signatures, n_hashes, n_bands)
+    # banded is scanned 3x (bucket-size cap, join side a, join side b) —
+    # cache it so the shingle->signature pipeline runs once.  It is
+    # n_bands rows x ~100 bytes per doc: ~0.1% of corpus size at any scale.
+    banded = _banded_signatures(signatures, n_hashes, n_bands).cache()
     return _bucket_pairs(banded, max_bucket_size).select("doc_a", "doc_b")
 
 
@@ -117,7 +120,8 @@ def minhash_neardup_pairs(
     only runs on the (small) candidate-pair stream, never on the corpus.
     """
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
-    banded = _banded_signatures(sigs, n_hashes, n_bands)
+    # cache: banded feeds the bucket-size cap and both self-join sides
+    banded = _banded_signatures(sigs, n_hashes, n_bands).cache()
     pairs = _bucket_pairs(banded, max_bucket_size)
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),
