@@ -28,8 +28,13 @@ def token_hash32(col: F.Column) -> F.Column:
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per doc: ``simhash`` 32-bit fingerprint (as long)."""
+    # parallelize the token explode when the source arrives under-partitioned
+    # (single-file parquet at bench scale); at real scale the scan already has
+    # enough splits and the repartition shuffle of full text is skipped
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    tok = docs.repartition(n_part).select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
+    if docs.rdd.getNumPartitions() < n_part // 2:
+        docs = docs.repartition(n_part)
+    tok = docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
     h = tok.select("doc", token_hash32(F.col("t")).alias("h"))
     bit_sums = h.groupBy("doc").agg(
         *[
@@ -49,7 +54,15 @@ def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
 
 
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by banded simhash join (4 bytes; hamming<=3 ⇒ ≥1 equal byte)."""
+    """Near-dup pairs by banded simhash join (4 bytes; hamming<=3 ⇒ ≥1 equal byte).
+
+    The byte-band pigeonhole is LOSSLESS for max_hamming <= 3: 4 bands can
+    absorb at most 3 flipped bits in 3 distinct bytes, so every
+    hamming<=3 pair shares at least one untouched byte and lands in a common
+    bucket — the result is exactly "all pairs with hamming <= 3", verified
+    against a bandless all-pairs SQL oracle.  One fingerprint shuffle + one
+    band-bucket join; no cross product at any scale.
+    """
     sig = simhash(docs, id_col, text_col)
     banded = sig.select(
         "doc",
@@ -58,6 +71,9 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "
             F.array(*[F.struct(F.lit(i).alias("band"), F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)).alias("byte")) for i in range(4)])
         ).alias("bb"),
     ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
+    # banded feeds both self-join sides — cache so the token->fingerprint
+    # pipeline runs once (4 rows x ~30 bytes per doc)
+    banded = banded.cache()
     a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "byte")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "byte")
     return (

@@ -104,6 +104,32 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# SimHash near-dup pairs: banded byte join, lossless for hamming<=3 (pigeonhole),
+# so the oracle is the bandless all-pairs sweep — proving the banding exact.
+# --------------------------------------------------------------------------------------
+@query(
+    "simhash_neardup",
+    family="DEDUP",
+    doc="All document pairs within Hamming distance 3 of each other's 32-bit "
+    "SimHash, found via the 4-byte band-bucket join (pigeonhole: hamming<=3 "
+    "implies >=1 equal byte, so banding loses nothing). The oracle computes "
+    "the same set with a bandless all-pairs scan.",
+    oracle=f"""
+        WITH f AS ({_simhash_oracle()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM f a JOIN f b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.simhash import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, max_hamming=3)
+
+
+# --------------------------------------------------------------------------------------
 # Embedding-cosine near-dup (brute force; LSH path exercised in tests)
 # --------------------------------------------------------------------------------------
 @query(

@@ -18,3 +18,8 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("tests", cpus=4, shuffle_partitions=4)
     yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE

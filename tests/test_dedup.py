@@ -61,6 +61,31 @@ def test_simhash(spark):
     assert (1, 3) in pairs  # near-dup within hamming 6
 
 
+def test_simhash_band_join_is_lossless_for_hamming3(spark, sf_dir):
+    """The 4-byte pigeonhole banding must return EXACTLY the hamming<=3 pairs
+    a bandless all-pairs sweep finds (on real corpus data, not toys)."""
+    from acousticbrainz_server_spark.dedup.simhash import hamming_distance
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(d, max_hamming=3).collect()
+    }
+    sig = simhash(d)
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming_distance(F.col("sa"), F.col("sb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
 def _vecs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
