@@ -316,6 +316,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# V3/V4 — IVF with a TRAINED coarse quantizer (distributed Lloyd's k-means)
+# --------------------------------------------------------------------------------------
+@query(
+    "ann_ivf_kmeans_topk",
+    family="V3,V4",
+    oracle=None,  # iterative (5 Lloyd's rounds) — not reasonably SQL-expressible;
+    # recall vs knn_exact_topk is pytest-asserted (tests/test_jobs_lookup_ann.py)
+    doc="IVF k-NN over k-means-trained cells: deterministic farthest-point "
+    "seeding + 3 Lloyd's iterations (assign = one sgemm per Arrow batch via "
+    "mapInPandas, update = grouped avg per dimension) train an 8-cell coarse "
+    "quantizer, then each query probes its nprobe=2 nearest cells — the "
+    "trained-quantizer form of the reference's Annoy index "
+    "(similarity/index_model.py:13-92).",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.ann import ivf_topk
+    from ..similarity.kmeans import kmeans_assign, kmeans_fit
+
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids = kmeans_fit(v, k=8, max_iter=3, id_col="vec_id", vec_col="v", dim=64)
+    cells = kmeans_assign(v, centroids, id_col="vec_id", vec_col="v")
+    return ivf_topk(
+        cells,
+        v.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+        id_col="vec_id",
+        vec_col="v",
+        cell_col="cell",
+        dim=64,
+    )
+
+
+# --------------------------------------------------------------------------------------
 # V3 — LSH approximate k-NN (rows-only: bucket assignment is seed/engine-specific)
 # --------------------------------------------------------------------------------------
 @query(

@@ -24,7 +24,7 @@ def test_queries_and_oracles_align():
     assert set(os_) <= set(qs)
     # rows-only queries are the explicit exceptions
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"minhash_lsh_neardup", "ann_lsh_topk"}
+    assert rows_only == {"minhash_lsh_neardup", "ann_lsh_topk", "ann_ivf_kmeans_topk"}
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "knn_exact_topk", "submission_offset"])

@@ -133,3 +133,69 @@ def test_ivf_ann_recall_clustered(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"IVF recall on clustered data {recall}"
+
+
+def test_kmeans_recovers_clusters_and_is_deterministic(spark):
+    """Lloyd's k-means must (a) recover geometrically coherent cells without
+    seeing the true labels, (b) produce bit-identical centroids across runs
+    (md5-based init, fixed iterations), (c) feed IVF to >=0.9 recall."""
+    import random
+
+    from acousticbrainz_server_spark.similarity.ann import ivf_topk
+    from acousticbrainz_server_spark.similarity.kmeans import kmeans_assign, kmeans_fit
+
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, i % 8, [x + rng.gauss(0, 0.05) for x in c]))
+    v = spark.createDataFrame(rows, "id long, true_cell int, v array<double>")
+
+    cents1 = kmeans_fit(v, k=8, max_iter=5, id_col="id", vec_col="v", dim=16)
+    cents2 = kmeans_fit(v, k=8, max_iter=5, id_col="id", vec_col="v", dim=16)
+    assert cents1 == cents2  # determinism, bit-for-bit
+
+    # fully distributed Lloyd's reaches the same cluster structure
+    cents_dist = kmeans_fit(v, k=8, max_iter=5, id_col="id", vec_col="v", dim=16, sample_n=None)
+    assigned_dist = kmeans_assign(v, cents_dist, id_col="id", vec_col="v")
+    from collections import Counter as _C, defaultdict as _dd
+
+    bc = _dd(_C)
+    for r in assigned_dist.join(v.select("id", "true_cell"), "id").collect():
+        bc[r["cell"]][r["true_cell"]] += 1
+    purity_dist = sum(c.most_common(1)[0][1] for c in bc.values()) / 400
+    assert purity_dist >= 0.9, f"distributed kmeans purity {purity_dist}"
+
+    assigned = kmeans_assign(v, cents1, id_col="id", vec_col="v")
+    # purity: each learned cell should be dominated by one true cluster
+    rows_a = assigned.join(v.select("id", "true_cell"), "id").collect()
+    from collections import Counter, defaultdict
+
+    by_cell = defaultdict(Counter)
+    for r in rows_a:
+        by_cell[r["cell"]][r["true_cell"]] += 1
+    purity = sum(c.most_common(1)[0][1] for c in by_cell.values()) / len(rows_a)
+    assert purity >= 0.9, f"kmeans purity {purity}"
+
+    queries = v.filter(F.col("id") < 10).select("id", "v")
+    ivf = ivf_topk(assigned, queries, k=5, nprobe=2, id_col="id", vec_col="v", cell_col="cell", dim=16)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+
+    from acousticbrainz_server_spark.functions.scalar import round_half_up
+    from acousticbrainz_server_spark.functions.vector import cosine
+    from pyspark.sql import Window
+
+    q = queries.select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), round_half_up(cosine("qv", "v"), 4).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"IVF-kmeans recall {recall}"
