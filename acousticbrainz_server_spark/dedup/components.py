@@ -1,0 +1,126 @@
+"""Connected components over a near-duplicate pair graph → dedup clusters.
+
+Pairwise near-dup detection (MinHash/SimHash/n-gram paths in this package)
+yields edges; deduplication needs GROUPS — every document labelled with its
+cluster (the minimum doc id reachable through near-dup edges), so a pipeline
+can keep one canonical doc per cluster.  The reference dedups exact content
+only (db/data.py:250-262); transitive near-dup clustering is the
+training-data-pipeline extension of that.
+
+Algorithm: iterative min-label propagation.  Start label(v) = v; each round
+every vertex takes the min of its own label and its neighbours' labels; stop
+when a round changes nothing.  Rounds = O(component diameter) — near-dup
+components are small and dense (they exist because their members are copies
+of each other), so this converges in a handful of rounds; the driver checks
+an exact changed-count per round (one action) and stops early.  For
+adversarially long path-shaped graphs at 100 TB, swap the body for the
+large-star/small-star alternation (Kiveris et al., "Connected Components in
+MapReduce and Beyond"), which contracts paths in O(log²) rounds — the
+driver-loop skeleton stays identical.
+
+Each round is one shuffle: edges ⋈ labels (on src) → groupBy dst min.  Edge
+relation is symmetrized once up front; labels carry (vertex, label) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable via edges.
+
+    ``nodes``: one row per vertex.  ``edges``: undirected pairs (either
+    orientation).  Isolated vertices keep their own id as component.
+    """
+    # no distinct(): duplicate edges are harmless under the min-aggregate
+    # (and the near-dup pair sources already dedup), so skip that shuffle
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .cache()
+    )
+    # only vertices that HAVE edges iterate; isolated vertices (the vast
+    # majority of any near-dup graph) are singleton components by definition
+    # and rejoin at the end — the fixpoint loop runs on the edge-touched
+    # subgraph only.
+    #
+    # localCheckpoint each round: an iteration references `labels` twice,
+    # so without lineage truncation the logical plan doubles per round —
+    # O(2^iters) analysis blow-up.  The checkpoint materializes one
+    # (vertex, label) pair per edge-touched node and makes every round's
+    # plan constant-size.  (Cluster deployments would use a reliable
+    # checkpoint dir to also survive executor loss.)
+    labels = (
+        sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v").cast("long"))
+    ).localCheckpoint(eager=True)
+    def _hook_and_jump(lab):
+        # hook: take the min label over the neighbourhood
+        nbr_min = (
+            sym.join(lab, sym["a"] == lab["v"])
+            .groupBy(F.col("b").alias("v2"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        hooked = lab.join(nbr_min, lab["v"] == nbr_min["v2"], "left").select(
+            "v", F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl")
+        )
+        # pointer jump: v -> lbl(lbl(v)).  Every label is itself a vertex of
+        # the subgraph (it is the min id seen so far), so the self-join
+        # shortcuts label chains — path-shaped components converge in
+        # O(log diameter) materialized rounds instead of O(diameter).
+        return hooked.join(
+            hooked.select(F.col("v").alias("lbl"), F.col("lbl").alias("lbl2")),
+            "lbl",
+            "left",
+        ).select("v", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
+
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        new_labels = _hook_and_jump(labels).localCheckpoint(eager=True)
+        # labels only ever decrease (least of own + neighbour min), so the
+        # fixpoint test is "sum unchanged" — one scan of the checkpointed
+        # relation, no self-join
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    components = labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
+    singletons = nodes.select(F.col(id_col)).join(
+        components.select(id_col), id_col, "left_anti"
+    ).select(F.col(id_col), F.col(id_col).cast("long").alias("component"))
+    return components.union(singletons)
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) from near-dup candidate pairs.
+
+    ``cluster_id`` = min doc_id in the connected component; singletons get
+    their own id with size 1.  Downstream dedup keeps ``doc_id ==
+    cluster_id`` rows as canonicals.
+    """
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, src_col="doc_a", dst_col="doc_b"
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col(id_col),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+        )
+    )

@@ -163,6 +163,49 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the hamming<=3 simhash graph.
+# Iterative min-label propagation on Spark; transitive-closure recursive CTE in
+# DuckDB — the hash match proves the distributed fixpoint exact.
+# --------------------------------------------------------------------------------------
+@query(
+    "neardup_cluster_assign",
+    family="DEDUP",
+    doc="Every document labelled with its near-dup cluster: connected "
+    "components (iterative min-label propagation, driver-checked fixpoint) "
+    "over the SimHash hamming<=3 pair graph, plus cluster size. Keeping "
+    "doc_id == cluster_id rows is the canonical-per-cluster dedup policy — "
+    "the transitive extension of the reference's exact content dedup "
+    "(db/data.py:250-262).",
+    oracle=f"""
+        WITH RECURSIVE
+        f AS ({_simhash_oracle()}),
+        p AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM f a JOIN f b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        r AS (
+          SELECT doc_id AS v, doc_id AS lbl FROM documents
+          UNION
+          SELECT e.b AS v, r.lbl FROM r JOIN e ON e.a = r.v WHERE r.lbl < e.b
+        ),
+        comp AS (SELECT v AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY v),
+        sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size
+        FROM comp JOIN sizes USING (cluster_id)
+    """,
+)
+def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.components import neardup_clusters
+    from ..dedup.simhash import simhash_neardup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(d, max_hamming=3)
+    return neardup_clusters(d, pairs, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------------------
 # MinHash + LSH near-dup pipeline (non-SQL-expressible end-to-end → rows-only)
 # --------------------------------------------------------------------------------------
 @query(

@@ -86,6 +86,24 @@ def test_simhash_band_join_is_lossless_for_hamming3(spark, sf_dir):
     assert banded == brute
 
 
+def test_connected_components_shapes(spark):
+    """Path, triangle, and isolated vertices all label to the component min."""
+    from acousticbrainz_server_spark.dedup.components import connected_components, neardup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+    # path 1-2-3-4-5 (diameter forces multiple rounds), triangle 6-7-8; 9,10 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (8, 6)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 6, 9: 9, 10: 10}
+
+    docs = nodes.select(F.col("id").alias("doc_id"))
+    pairs = edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b"))
+    cl = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in neardup_clusters(docs, pairs).collect()}
+    assert cl[3] == (1, 5) and cl[8] == (6, 3) and cl[9] == (9, 1)
+
+
 def _vecs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
