@@ -178,3 +178,98 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", hs.alias("hs"))
         .select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# TXT — sliding-window document chunking (training-example windowing)
+# --------------------------------------------------------------------------------------
+_CHUNK_W = 32  # window (tokens)
+_CHUNK_S = 24  # stride (tokens) -> overlap = 8
+
+
+@query(
+    "document_chunks",
+    family="TXT",
+    doc=f"Sliding-window chunking for training-example construction: windows "
+    f"of {_CHUNK_W} whitespace tokens at stride {_CHUNK_S} (overlap "
+    f"{_CHUNK_W - _CHUNK_S}).  A tail window that adds no tokens beyond the "
+    f"previous window's coverage is dropped.  Pure array expressions "
+    f"(split → sequence of starts → slice per start) — the explode happens "
+    f"AFTER the per-doc window-start computation, so the shuffle-free scan "
+    f"emits only (doc, chunk) rows.",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        s AS (SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_S})) AS st FROM t)
+        SELECT doc_id,
+               CAST(st // {_CHUNK_S} AS INTEGER) AS chunk_idx,
+               CAST(least({_CHUNK_W}, len(toks) - st) AS INTEGER) AS n_chunk_tokens,
+               array_to_string(toks[CAST(st + 1 AS INTEGER):CAST(st + {_CHUNK_W} AS INTEGER)], ' ') AS chunk_text
+        FROM s WHERE st = 0 OR len(toks) - st > {_CHUNK_W - _CHUNK_S}
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(_CHUNK_S)),
+        lambda s: (s == 0) | ((F.size(F.col("toks")) - s) > (_CHUNK_W - _CHUNK_S)),
+    )
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts).alias("st"))
+        .select(
+            "doc_id",
+            (F.col("st") / _CHUNK_S).cast("int").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK_W), F.size("toks") - F.col("st")).cast("int").alias("n_chunk_tokens"),
+            F.array_join(F.slice(F.col("toks"), F.col("st") + 1, _CHUNK_W), " ").alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# TXT — PII redaction (email / IPv4 / phone) as a native regexp_replace chain
+# --------------------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+@query(
+    "pii_redact",
+    family="TXT",
+    doc="PII scrubbing for training corpora: emails, IPv4 addresses, and "
+    "phone-shaped digit runs replaced with typed placeholders via a chained "
+    "native regexp_replace (no UDF, stays in whole-stage codegen); match "
+    "counts per category ride along for corpus audit.  Same RE2-compatible "
+    "patterns run in both engines.",
+    oracle=f"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INTEGER) AS n_ips
+        FROM documents
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_IP)).cast("int").alias("n_ips"),
+    )

@@ -107,3 +107,45 @@ def test_ordered_lookup_never_shuffles_big_side(spark):
     assert "LocalTableScan" in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_document_chunks_window_semantics(spark):
+    # 50 tokens, W=32/S=24: chunk 0 covers 1..32, chunk 1 covers 25..50
+    # (26 tokens, adds 18 new); a start at 48 would add only 2 <= overlap
+    # tokens and must be dropped
+    text = " ".join(f"t{i}" for i in range(1, 51))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, text, "en", "s", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(d + "/documents.parquet")
+        out = QUERIES["document_chunks"].spark_fn(spark, d).collect()
+    by_idx = {r["chunk_idx"]: r for r in out}
+    assert set(by_idx) == {0, 1}
+    assert by_idx[0]["n_chunk_tokens"] == 32
+    assert by_idx[0]["chunk_text"].startswith("t1 ") and by_idx[0]["chunk_text"].endswith(" t32")
+    assert by_idx[1]["n_chunk_tokens"] == 26
+    assert by_idx[1]["chunk_text"].startswith("t25 ") and by_idx[1]["chunk_text"].endswith(" t50")
+
+
+def test_pii_redact_behavior(spark):
+    # the synthetic corpus has no PII, so prove behavior on crafted rows
+    import tempfile
+
+    rows = [
+        (1, "mail bob@example.com and carol@sub.test.org now", "en", "s", 1),
+        (2, "server at 10.0.255.3 responded", "en", "s", 1),
+        (3, "call +1 415 555 0100 today", "en", "s", 1),
+        (4, "nothing sensitive here", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(d + "/documents.parquet")
+        out = {r["doc_id"]: r for r in QUERIES["pii_redact"].spark_fn(spark, d).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now" and out[1]["n_emails"] == 2
+    assert out[2]["clean_text"] == "server at <IP> responded" and out[2]["n_ips"] == 1
+    assert out[3]["clean_text"] == "call <PHONE> today"
+    assert out[4]["clean_text"] == "nothing sensitive here"
