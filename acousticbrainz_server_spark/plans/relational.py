@@ -741,3 +741,52 @@ def ordered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def format_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     return ev.select("event_id", format_duration(F.col("value")).alias("track_length"))
+
+
+# --------------------------------------------------------------------------------------
+# As-of join — most recent right row at-or-before each left row (operators/asof.py).
+# The union-and-carry encoding: one shuffle, no range-join pair blow-up.
+# --------------------------------------------------------------------------------------
+@query(
+    "asof_latest_purchase",
+    family="J1,W2",
+    doc="As-of join: every click event paired with the same user's most "
+    "recent purchase at-or-before it (NULL when none yet).  Spark has no "
+    "ASOF physical operator; operators/asof.py encodes it as union + keyed "
+    "running-window carry — one shuffle of |L|+|R| rows, vs the O(|L|x|R|) "
+    "per-key pair stream a range-join encoding pays.  Timestamps compare as "
+    "integer microseconds in both engines (the parquet column is "
+    "TIMESTAMP(NANOS); both sides truncate identically).  DuckDB's native "
+    "ASOF LEFT JOIN is the oracle.",
+    oracle="""
+        WITH l AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+          FROM events WHERE event_type = 'click'
+        ),
+        r AS (
+          SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id, l.user_id, l.ts_us,
+               r.event_id AS purchase_event_id, r.value AS purchase_value
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts_us", right_cols=["event_id", "value"], prefix="purchase_")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("purchase_event_id"),
+        F.col("purchase_value").alias("purchase_value"),
+    )

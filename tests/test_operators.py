@@ -91,3 +91,25 @@ def test_salted_join_and_count(spark):
     counts = {r["k"]: r["n"] for r in salted_count(big, "k").collect()}
     expected = {r["k"]: r["count"] for r in big.groupBy("k").count().collect()}
     assert counts == expected
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at-or-before matching, NULL before first right row, and
+    per-key isolation."""
+    from acousticbrainz_server_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d")],
+        "k long, t long, tag string",
+    ).withColumnRenamed("k", "key")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 200.0), (2, 99, 300.0)], "key long, t long, val double"
+    )
+    out = {
+        r["tag"]: (r["r_t"], r["r_val"])
+        for r in asof_join(left, right, on="key", ts_col="t", right_cols=["t", "val"]).collect()
+    }
+    assert out["a"] == (10, 100.0)  # equal ts matches (inclusive)
+    assert out["b"] == (18, 200.0)  # latest of the two priors
+    assert out["c"] == (None, None)  # before any right row
+    assert out["d"] == (None, None)  # key 2's right row is in the future
