@@ -790,3 +790,63 @@ def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_event_id"),
         F.col("purchase_value").alias("purchase_value"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Sessionization — gap-based session assignment over the event stream
+# --------------------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    family="W1,A8",
+    doc="Gap-based sessionization of the event stream: a new session starts "
+    "when a user is idle > 30 minutes; emits one row per session with start/"
+    "end (integer microseconds), event count, and total value.  Two stacked "
+    "window functions (lag-gap flag, running sum as session ordinal) + one "
+    "grouped aggregation — all on a single shuffle by user, since every "
+    "window and the final groupBy share the user_id partitioning.  The "
+    "streaming twin is F.session_window in streaming/ingest_stream.py.",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value,
+                 CASE WHEN epoch_ns(ts) // 1000
+                           - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000)
+                           > 1800000000 OR
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts_us, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM o
+        )
+        SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+               min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+               count(*) AS n_events, {total_value} AS total_value
+        FROM s GROUP BY user_id, session_idx
+    """.format(total_value=sql_round_half_up("sum(value)", 4)),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull() | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(F.sum("value"), 4).alias("total_value"),
+    )

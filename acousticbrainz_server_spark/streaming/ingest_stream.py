@@ -87,6 +87,39 @@ def streaming_dedup(submissions: DataFrame, watermark: str = "1 day") -> DataFra
     return submissions.withWatermark("submitted", watermark).dropDuplicates(["data_sha256"])
 
 
+def streaming_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization as a streaming session window — the streaming
+    twin of the batch ``sessionize_events`` query (plans/relational.py).
+
+    ``F.session_window`` keeps one open window per key in the state store,
+    merging events that arrive within ``gap`` of the window and emitting the
+    session when the watermark passes its close.  State is O(open sessions),
+    bounded by the watermark horizon — never O(history).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------------------
 # W1 as a CUSTOM STATEFUL operator: per-gid offset counter across micro-batches
 # --------------------------------------------------------------------------------------

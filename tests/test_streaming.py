@@ -149,3 +149,44 @@ def test_stateful_offset_assignment(spark, tmp_path):
     first_batch = {s.hour: o for s, o in offs["g1"] if o < 2}
     assert first_batch == {1: 0, 2: 1}
     assert [o for _, o in offs["g2"]] == [0] and [o for _, o in offs["g3"]] == [0]
+
+
+def test_streaming_sessions(spark, tmp_path):
+    """session_window groups events separated by <=30min gaps; a >30min gap
+    opens a new session; complete mode emits both."""
+    import json as _json
+    from acousticbrainz_server_spark.streaming.ingest_stream import streaming_sessions
+
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    evs = [
+        # session 1: three events 10 min apart
+        (1, base, 1.0),
+        (1, base + timedelta(minutes=10), 2.0),
+        (1, base + timedelta(minutes=20), 3.0),
+        # session 2: 40-min gap -> new session
+        (1, base + timedelta(minutes=60), 5.0),
+        # other user: one session
+        (2, base, 7.0),
+    ]
+    with open(src + "/part.json", "w") as f:
+        for uid, ts, val in evs:
+            f.write(_json.dumps({"user_id": uid, "ts": ts.isoformat(), "value": val}) + "\n")
+
+    raw = spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE").json(src)
+    q = (
+        streaming_sessions(raw)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions_out").collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append((r["n_events"], r["total_value"]))
+    assert sorted(by_user[1]) == [(1, 5.0), (3, 6.0)]
+    assert by_user[2] == [(1, 7.0)]
