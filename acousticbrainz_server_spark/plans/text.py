@@ -273,3 +273,53 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PII_IP)).cast("int").alias("n_ips"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# TXT — TF-IDF top terms per document
+# --------------------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    family="TXT",
+    doc="Top-3 TF-IDF terms per document: term frequency from the token "
+    "explode, document frequency from one distinct-aggregation, idf = "
+    "ln(N/df), ranked per doc by rounded score with term tiebreak.  The df "
+    "relation is vocabulary-sized and broadcast; the only corpus-sized "
+    "shuffle is the (doc, term) frequency aggregation.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 {sql_round_half_up('tf.tf * ln(n.n_docs * 1.0 / df.df)', 6)} AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS term_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored
+        ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        round_half_up(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("term_rank").cast("int"))
+    )
