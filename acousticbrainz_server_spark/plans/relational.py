@@ -850,3 +850,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         round_half_up(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Exact percentiles per group (stats over the event stream)
+# --------------------------------------------------------------------------------------
+@query(
+    "value_percentiles",
+    family="A8,V2",
+    doc="Exact p50/p90/p99 of event value per event_type — Spark's exact "
+    "percentile aggregate (sort-based within group) against DuckDB's "
+    "quantile_cont; both use linear interpolation, results rounded for "
+    "float parity.  At 100 TB swap in approx_percentile (t-digest sketch, "
+    "mergeable map-side) — exact is the oracle form.",
+    oracle=f"""
+        SELECT event_type,
+               {sql_round_half_up('quantile_cont(value, 0.5)', 4)} AS p50,
+               {sql_round_half_up('quantile_cont(value, 0.9)', 4)} AS p90,
+               {sql_round_half_up('quantile_cont(value, 0.99)', 4)} AS p99
+        FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        round_half_up(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        round_half_up(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        round_half_up(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
