@@ -149,3 +149,36 @@ def test_pii_redact_behavior(spark):
     assert out[2]["clean_text"] == "server at <IP> responded" and out[2]["n_ips"] == 1
     assert out[3]["clean_text"] == "call <PHONE> today"
     assert out[4]["clean_text"] == "nothing sensitive here"
+
+
+def test_tfidf_broadcasts_df_relation_and_group_limits(spark):
+    # the vocabulary-sized df relation must broadcast (no sort-merge of the
+    # corpus-sized tf stream against it) and the top-3 ranking must push a
+    # WindowGroupLimit below the full sort
+    plan = _plan(QUERIES["tfidf_top_terms"].spark_fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_document_chunks_prunes_scan(spark):
+    # chunking reads exactly (doc_id, text) — not lang/source/n_chars
+    plan = _plan(QUERIES["document_chunks"].spark_fn(spark, SF_SMOKE))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_asof_join_single_shuffle(spark):
+    # the union-and-carry as-of join must contain exactly ONE exchange over
+    # the unioned stream (the window's key partitioning) — a range-join or
+    # per-row lateral encoding would show joins/extra exchanges
+    plan = _plan(QUERIES["asof_latest_purchase"].spark_fn(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag-flag window, running-sum window, and the final groupBy all share
+    # the user_id partitioning: one exchange total
+    plan = _plan(QUERIES["sessionize_events"].spark_fn(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
