@@ -878,3 +878,36 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
         round_half_up(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Bucketed range join — bounded-Δt event pairs without the cross product
+# --------------------------------------------------------------------------------------
+@query(
+    "events_within_window",
+    family="J1,W2",
+    doc="All ordered same-user event pairs within 30 minutes of each other "
+    "(operators/rangejoin.py).  The naive range join nested-loops each "
+    "user's history; bucketing time at the window width and equi-joining on "
+    "(user, {bucket, bucket+1}) finds every pair exactly once with one "
+    "shuffle, candidate fan-in bounded by bucket population.  The oracle is "
+    "the naive inequality join.",
+    oracle="""
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events)
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               b.ts_us - a.ts_us AS delta
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND b.ts_us - a.ts_us <= 1800000000
+         AND (b.ts_us > a.ts_us OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
+    """,
+)
+def events_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_self_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return interval_self_join(
+        ev, key_col="user_id", ts_col="ts_us", window=1_800_000_000, id_col="event_id"
+    )

@@ -113,3 +113,31 @@ def test_asof_join_semantics(spark):
     assert out["b"] == (18, 200.0)  # latest of the two priors
     assert out["c"] == (None, None)  # before any right row
     assert out["d"] == (None, None)  # key 2's right row is in the future
+
+
+def test_interval_self_join_boundaries(spark):
+    """Δt == window included, Δt just over excluded, pairs spanning a bucket
+    boundary found, equal-ts ties ordered by id, keys isolated."""
+    from acousticbrainz_server_spark.operators.rangejoin import interval_self_join
+
+    W = 100
+    rows = [
+        (1, 10, 95),   # near end of bucket 0
+        (1, 11, 105),  # bucket 1, delta 10 (cross-bucket pair)
+        (1, 12, 195),  # delta from 95 = 100 == W (included); from 105 = 90
+        (1, 13, 296),  # delta from 195 = 101 > W (excluded)
+        (1, 14, 296),  # equal ts as 13 -> tie pair ordered by id
+        (2, 20, 100),  # other key
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = {
+        (r["a_id"], r["b_id"]): r["delta"]
+        for r in interval_self_join(ev, "user_id", "ts", W, "event_id").collect()
+    }
+    assert out[(10, 11)] == 10
+    assert out[(10, 12)] == 100  # inclusive at exactly W
+    assert out[(11, 12)] == 90
+    assert (12, 13) not in out and (12, 14) not in out  # 101 > W
+    assert out[(13, 14)] == 0  # tie ordered by id
+    assert all(a != 20 and b != 20 for a, b in out)  # key isolation
+    assert len(out) == 4
