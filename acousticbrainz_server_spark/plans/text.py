@@ -323,3 +323,77 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term_rank") <= 3)
         .select("doc_id", "term", "tfidf", F.col("term_rank").cast("int"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# TXT — the composed corpus gate: dedup canonical + quality + language agreement
+# --------------------------------------------------------------------------------------
+_GATE_MIN_QUALITY = 0.45
+
+
+@query(
+    "corpus_filter",
+    family="TXT,DEDUP,E2",
+    doc="The end-to-end pretraining-corpus gate, composed from this "
+    "package's operators: a document survives iff it is the exact-dedup "
+    "canonical (min doc_id per sha256), its quality score clears the "
+    "threshold, and the language-ID prediction agrees with the declared "
+    "language.  Emits keep + the FIRST failing gate as drop_reason "
+    "(duplicate -> low_quality -> lang_mismatch), the audit-friendly shape. "
+    "One shuffle (the sha window); quality and lang-ID are scan-side "
+    "expressions.",
+    oracle=f"""
+        WITH c AS (
+          SELECT doc_id, text, lang,
+                 min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, canonical,
+                 {sql_round_half_up(sql_quality_score('text'), 4)} AS quality,
+                 {sql_lang_id('text')} AS lang_pred, lang
+          FROM c
+        )
+        SELECT doc_id,
+               (doc_id = canonical AND quality >= {_GATE_MIN_QUALITY} AND lang_pred = lang) AS keep,
+               CASE WHEN doc_id <> canonical THEN 'duplicate'
+                    WHEN quality < {_GATE_MIN_QUALITY} THEN 'low_quality'
+                    WHEN lang_pred <> lang THEN 'lang_mismatch'
+               END AS drop_reason
+        FROM g
+    """,
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256)))
+    )
+    counts = c.select(
+        "doc_id",
+        "canonical",
+        F.col("lang"),
+        round_half_up(quality_score(F.col("text")), 4).alias("quality"),
+        *[cnt.alias(f"_c_{lang}") for lang, cnt in lang_scores(F.col("text")).items()],
+    )
+    best = F.greatest(*[F.col(f"_c_{lang}") for lang in lang_scores(F.col("text"))])
+    from ..functions.text import LANG_MARKERS
+
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        cc = F.col(f"_c_{lang}")
+        pred = F.when((cc > 0) & (cc == best), F.lit(lang)).otherwise(pred)
+    g = counts.withColumn("lang_pred", pred)
+    return g.select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("canonical"))
+            & (F.col("quality") >= _GATE_MIN_QUALITY)
+            & (F.col("lang_pred") == F.col("lang"))
+        ).alias("keep"),
+        F.when(F.col("doc_id") != F.col("canonical"), "duplicate")
+        .when(F.col("quality") < _GATE_MIN_QUALITY, "low_quality")
+        .when(F.col("lang_pred") != F.col("lang"), "lang_mismatch")
+        .alias("drop_reason"),
+    )

@@ -182,3 +182,23 @@ def test_sessionize_single_shuffle(spark):
     # the user_id partitioning: one exchange total
     plan = _plan(QUERIES["sessionize_events"].spark_fn(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_corpus_filter_duplicate_gate(spark):
+    # the synthetic corpus has no exact dups, so prove the duplicate gate
+    # (and reason precedence: duplicate wins over quality/lang) on crafted rows
+    import tempfile
+
+    rows = [
+        (1, "the of and to in is the of and to", "en", "s", 1),  # canonical, likely keep
+        (2, "the of and to in is the of and to", "en", "s", 1),  # exact dup of 1
+        (3, "zz", "en", "s", 1),  # too short -> low quality
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(d + "/documents.parquet")
+        out = {r["doc_id"]: r for r in QUERIES["corpus_filter"].spark_fn(spark, d).collect()}
+    assert out[2]["keep"] is False and out[2]["drop_reason"] == "duplicate"
+    assert out[3]["keep"] is False and out[3]["drop_reason"] == "low_quality"
+    assert out[1]["drop_reason"] in (None, "lang_mismatch")  # never 'duplicate'
