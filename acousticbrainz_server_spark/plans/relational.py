@@ -911,3 +911,70 @@ def events_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_self_join(
         ev, key_col="user_id", ts_col="ts_us", window=1_800_000_000, id_col="event_id"
     )
+
+
+# --------------------------------------------------------------------------------------
+# Rolling window — 7-day moving average over the daily rollup
+# --------------------------------------------------------------------------------------
+@query(
+    "daily_moving_average",
+    family="A8,W3",
+    doc="7-day trailing moving average of daily event counts: the daily "
+    "rollup (one shuffle) feeds a RANGE-framed window over the day ordinal, "
+    "so gaps in the calendar shrink the frame (true trailing-7-days, not "
+    "trailing-7-rows).  Global window over days: day cardinality is "
+    "O(corpus age), so a single partition is fine at any corpus scale.",
+    oracle=f"""
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY CAST(ts AS DATE)
+        )
+        SELECT day, n,
+               {sql_round_half_up("avg(n) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)", 4)} AS ma7
+        FROM d
+    """,
+)
+def daily_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    # RANGE frame over the epoch-day ordinal == calendar-aware trailing window
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return d.select(
+        "day", "n", round_half_up(F.avg("n").over(w), 4).alias("ma7")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Pivot — event-type counts as a wide per-user table
+# --------------------------------------------------------------------------------------
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "event_type_pivot",
+    family="A9,F14",
+    doc="Per-user event-type histogram pivoted to a wide table — the A9 "
+    "class-histogram shape as df.pivot with an explicit category list "
+    "(never the two-pass category-discovery form at scale).  One shuffle; "
+    "the pivot aggregate is map-side partial like any count.",
+    oracle="""
+        SELECT user_id,
+               {cols}
+        FROM events GROUP BY user_id
+    """.format(
+        cols=", ".join(
+            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _PIVOT_TYPES
+        )
+    ),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot null-fills absent categories as NULL; the histogram wants 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES]
+    )
