@@ -397,3 +397,33 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("lang_pred") != F.col("lang"), "lang_mismatch")
         .alias("drop_reason"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# TXT/E5 — deterministic hash-based stratified sampling
+# --------------------------------------------------------------------------------------
+@query(
+    "stratified_sample",
+    family="E5,TXT",
+    doc="Reproducible stratified downsampling: a document is kept iff the "
+    "first md5 byte of its id clears the per-stratum rate (even-numbered "
+    "sources keep ~75%, odd ~25%).  Hash-based sampling is THE scale "
+    "pattern — no RNG state, membership is a pure function of the row, so "
+    "re-runs, retries, and incremental batches agree; the reference's "
+    "sized-random-sample (E5, db/dump.py:31) needs a seeded shuffle "
+    "instead.  Pure scan-side filter: no shuffle at all.",
+    oracle="""
+        SELECT doc_id, source
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER)
+              < CASE WHEN CAST(replace(source, 'src', '') AS INTEGER) % 2 = 0
+                     THEN 192 ELSE 64 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    rate = F.when(
+        F.regexp_replace("source", "src", "").cast("int") % 2 == 0, F.lit(192)
+    ).otherwise(F.lit(64))
+    return d.filter(h < rate).select("doc_id", "source")
