@@ -365,7 +365,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import fit_lsh_index, knn_lsh
 
     emb = _vectors(spark, sf_dir).select("vec_id", "v")
-    model, indexed = fit_lsh_index(emb, id_col="vec_id", vec_col="v")
+    model, indexed = fit_lsh_index(emb, id_col="vec_id", vec_col="v", dim=64)
     queries = emb.filter(F.col("vec_id") < 10)
     nn = knn_lsh(model, indexed, queries, k=5, id_col="vec_id", vec_col="v")
     return nn.select(

@@ -108,15 +108,18 @@ def fit_lsh_index(
     bucket_length: float = 0.5,
     num_hash_tables: int = 10,
     seed: int = 42,
+    dim: int | None = None,
 ):
     """Fit the LSH 'index' (num_hash_tables ~ Annoy's n_trees=10).
 
     Returns (model, indexed_df) where indexed_df carries a ``buckets``
     array<long> (one bucket per hash table) next to the raw vector.
+    Pass ``dim`` when known to skip the probe job that reads it.
     """
     import numpy as np
 
-    dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim is None:
+        dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_hash_tables, dim)).tolist()
     model = RPLSHIndex(planes=planes, bucket_length=bucket_length, seed=seed)
