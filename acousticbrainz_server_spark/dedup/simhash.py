@@ -53,7 +53,13 @@ def hamming_distance(a: F.Column, b: F.Column) -> F.Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedupe: bool = True,
+) -> DataFrame:
     """Near-dup pairs by banded simhash join (4 bytes; hamming<=3 ⇒ ≥1 equal byte).
 
     The byte-band pigeonhole is LOSSLESS for max_hamming <= 3: 4 bands can
@@ -62,6 +68,13 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "
     bucket — the result is exactly "all pairs with hamming <= 3", verified
     against a bandless all-pairs SQL oracle.  One fingerprint shuffle + one
     band-bucket join; no cross product at any scale.
+
+    The hamming filter runs BEFORE the pair dedup, so the dedup shuffle
+    carries only surviving near-dup pairs (~0.1% of candidates), not the
+    full candidate stream.  ``dedupe=False`` skips that shuffle entirely for
+    consumers that tolerate multiplicity (a hamming<=3 pair in k shared
+    bytes appears k times) — e.g. connected-components clustering, whose
+    min-aggregate is idempotent.
     """
     sig = simhash(docs, id_col, text_col)
     banded = sig.select(
@@ -76,10 +89,10 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "
     banded = banded.cache()
     a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "byte")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "byte")
-    return (
+    pairs = (
         a.join(b, ["band", "byte"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming_distance(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    return pairs.dropDuplicates(["doc_a", "doc_b"]) if dedupe else pairs

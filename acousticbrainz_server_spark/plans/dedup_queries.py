@@ -201,7 +201,9 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.simhash import simhash_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = simhash_neardup_pairs(d, max_hamming=3)
+    # dedupe=False: the component min-aggregate is idempotent under edge
+    # multiplicity, so the pair-dedup shuffle is pure waste here
+    pairs = simhash_neardup_pairs(d, max_hamming=3, dedupe=False)
     return neardup_clusters(d, pairs, id_col="doc_id")
 
 
