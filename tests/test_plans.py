@@ -202,3 +202,35 @@ def test_corpus_filter_duplicate_gate(spark):
     assert out[2]["keep"] is False and out[2]["drop_reason"] == "duplicate"
     assert out[3]["keep"] is False and out[3]["drop_reason"] == "low_quality"
     assert out[1]["drop_reason"] in (None, "lang_mismatch")  # never 'duplicate'
+
+
+def test_time_partitioned_layout_prunes(spark, tmp_path):
+    """The month-partitioned layout must (a) round-trip, (b) show partition
+    pruning in the scan (PartitionFilters on p_month, not a row filter), and
+    (c) read strictly fewer files for a narrow window."""
+    from acousticbrainz_server_spark.sources.layout import (
+        read_time_range,
+        write_time_partitioned,
+    )
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    # spread the single-month testdata over three months so pruning is
+    # observable (shift by user_id % 3 months)
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "ts", F.expr("timestampadd(MONTH, CAST(user_id % 3 AS INT), ts)")
+    )
+    out = str(tmp_path / "events_part")
+    write_time_partitioned(ev, out, ts_col="ts", sort_col="user_id")
+
+    full = spark.read.parquet(out)
+    assert full.count() == ev.count()
+
+    jan = read_time_range(spark, out, "2024-01", "2024-01")
+    plan = _plan(jan)
+    assert "PartitionFilters" in plan and "p_month" in plan
+    assert jan.count() == ev.filter(F.date_format("ts", "yyyy-MM") == "2024-01").count() > 0
+
+    # pruning is physical: the narrow scan reads strictly fewer files
+    n_files_full = full.select(F.input_file_name()).distinct().count()
+    n_files_jan = jan.select(F.input_file_name()).distinct().count()
+    assert 0 < n_files_jan < n_files_full
