@@ -87,6 +87,20 @@ def streaming_dedup(submissions: DataFrame, watermark: str = "1 day") -> DataFra
     return submissions.withWatermark("submitted", watermark).dropDuplicates(["data_sha256"])
 
 
+def streaming_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a broadcast
+    dimension.  The static side is planned as a broadcast per micro-batch —
+    no stream-side shuffle, no state store (contrast stream-stream joins,
+    which buffer both sides in state).  The dimension is re-resolved per
+    batch, so slowly-changing dims pick up updates between batches."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def streaming_sessions(
     events: DataFrame,
     key_col: str = "user_id",

@@ -190,3 +190,30 @@ def test_streaming_sessions(spark, tmp_path):
         by_user.setdefault(r["user_id"], []).append((r["n_events"], r["total_value"]))
     assert sorted(by_user[1]) == [(1, 5.0), (3, 6.0)]
     assert by_user[2] == [(1, 7.0)]
+
+
+def test_streaming_enrich_broadcast(spark, tmp_path):
+    """Stream-static join enriches micro-batches from a broadcast dim with
+    no state store; unmatched stream rows survive a left join."""
+    import json as _json
+    from acousticbrainz_server_spark.streaming.ingest_stream import streaming_enrich
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    with open(src + "/part.json", "w") as f:
+        for uid, val in [(1, 10.0), (2, 20.0), (3, 30.0)]:
+            f.write(_json.dumps({"user_id": uid, "value": val}) + "\n")
+
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "user_id long, tier string")
+    raw = spark.readStream.schema("user_id LONG, value DOUBLE").json(src)
+    q = (
+        streaming_enrich(raw, dim, on="user_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched_out").collect()}
+    assert got == {1: "gold", 2: "basic", 3: None}
