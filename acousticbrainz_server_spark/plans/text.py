@@ -427,3 +427,46 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("source", "src", "").cast("int") % 2 == 0, F.lit(192)
     ).otherwise(F.lit(64))
     return d.filter(h < rate).select("doc_id", "source")
+
+
+# --------------------------------------------------------------------------------------
+# TXT — sequential pack assignment (training-batch packing by token budget)
+# --------------------------------------------------------------------------------------
+_PACK_BUDGET = 1024  # tokens per pack
+
+
+@query(
+    "pack_training_batches",
+    family="TXT",
+    doc="Sequence packing for training batches: within each source shard, "
+    "documents fill packs of ~1024 tokens in doc_id order — pack_id = "
+    "floor(exclusive-prefix-sum(n_tokens) / budget), the deterministic "
+    "sequential-fill policy.  One window per source partition (shards pack "
+    "independently and in parallel; no global coordination), which is how "
+    "packing actually runs over a sharded 100 TB corpus.",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / {_PACK_BUDGET}) AS INTEGER) AS pack_id
+        FROM t
+    """,
+)
+def pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prefix_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prefix_excl / _PACK_BUDGET).cast("int").alias("pack_id"),
+    )
