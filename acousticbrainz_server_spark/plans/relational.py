@@ -978,3 +978,66 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES]
     )
+
+
+# --------------------------------------------------------------------------------------
+# Inter-event gaps — lag deltas + per-user median gap
+# --------------------------------------------------------------------------------------
+@query(
+    "user_event_gaps",
+    family="W1,A8",
+    doc="Per-user inter-event time statistics: lag() deltas over the user "
+    "timeline, then median/max gap per user — the cadence profile behind "
+    "session-gap threshold selection.  Single shuffle on user_id shared by "
+    "the window and the aggregation.",
+    oracle=f"""
+        WITH g AS (
+          SELECT user_id,
+                 epoch_ns(ts) // 1000
+                   - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) AS gap_us
+          FROM events
+        )
+        SELECT user_id,
+               count(gap_us) AS n_gaps,
+               {sql_round_half_up('quantile_cont(gap_us, 0.5)', 1)} AS median_gap_us,
+               max(gap_us) AS max_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.unix_micros("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    g = ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        round_half_up(F.percentile("gap_us", F.lit(0.5)), 1).alias("median_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Value histogram — fixed-width buckets (width_bucket in both engines)
+# --------------------------------------------------------------------------------------
+@query(
+    "value_histogram",
+    family="A9",
+    doc="Fixed-width histogram of event values (20 buckets over [0, 100)) — "
+    "width_bucket in both engines; one partial-aggregated shuffle of 22 "
+    "bucket counters regardless of corpus size.",
+    oracle="""
+        SELECT CAST(CASE WHEN value < 0 THEN 0
+                         WHEN value >= 100 THEN 21
+                         ELSE floor(value / 5) + 1 END AS INTEGER) AS bucket,
+               count(*) AS n
+        FROM events GROUP BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20)).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
