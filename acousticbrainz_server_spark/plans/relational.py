@@ -1041,3 +1041,41 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# Cohort retention — users by first-seen week, share still active N weeks later
+# --------------------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    family="A8,W2",
+    doc="Weekly cohort retention: cohort = each user's first active week; "
+    "for every (cohort, weeks-since) pair, how many of the cohort's users "
+    "were active.  min-over-window for the cohort (one user_id shuffle), "
+    "then a distinct-(user, week) aggregation keyed by (cohort, offset) — "
+    "cardinality O(users x active-weeks), the standard retention-matrix "
+    "shape.",
+    oracle="""
+        WITH w AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('week', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS week
+          FROM events
+        ),
+        c AS (SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week FROM w)
+        SELECT cohort_week, week - cohort_week AS weeks_since, count(*) AS n_active
+        FROM c GROUP BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    c = w.withColumn("cohort_week", F.min("week").over(Window.partitionBy("user_id")))
+    return c.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
+    ).agg(F.count(F.lit(1)).alias("n_active"))
