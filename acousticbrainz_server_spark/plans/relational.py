@@ -1079,3 +1079,43 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy(
         "cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since")
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+# --------------------------------------------------------------------------------------
+# ROLLUP — region/nation revenue with subtotals and grand total in one pass
+# --------------------------------------------------------------------------------------
+@query(
+    "rollup_revenue",
+    family="A2,A8",
+    doc="Hierarchical subtotals via ROLLUP(region, nation): per-nation rows, "
+    "per-region subtotals, and the grand total from ONE aggregation pass "
+    "(Spark expands grouping sets map-side; no self-union of re-aggregations). "
+    "Dims broadcast as in join_multiway_rollup.",
+    oracle=f"""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               count(*) AS n_orders,
+               {sql_round_half_up('sum(o.o_totalprice)', 2)} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
