@@ -201,9 +201,10 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.simhash import simhash_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # dedupe=False: the component min-aggregate is idempotent under edge
-    # multiplicity, so the pair-dedup shuffle is pure waste here
-    pairs = simhash_neardup_pairs(d, max_hamming=3, dedupe=False)
+    # deduped pairs: the component loop joins the edge relation EVERY round,
+    # so paying one dedup shuffle of the (tiny) surviving-pair stream beats
+    # carrying ~1.8x edge multiplicity through every iteration
+    pairs = simhash_neardup_pairs(d, max_hamming=3)
     return neardup_clusters(d, pairs, id_col="doc_id")
 
 
