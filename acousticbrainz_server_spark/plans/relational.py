@@ -955,8 +955,10 @@ _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
     family="A9,F14",
     doc="Per-user event-type histogram pivoted to a wide table — the A9 "
     "class-histogram shape as df.pivot with an explicit category list "
-    "(never the two-pass category-discovery form at scale).  One shuffle; "
-    "the pivot aggregate is map-side partial like any count.",
+    "(skipping pivot's category-discovery scan).  Two-phase plan: "
+    "pre-aggregate (user, type) counts, then pivot-aggregate per user — "
+    "both map-side partial, the second shuffle carries one row per "
+    "(user, type).",
     oracle="""
         SELECT user_id,
                {cols}

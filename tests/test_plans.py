@@ -234,3 +234,19 @@ def test_time_partitioned_layout_prunes(spark, tmp_path):
     n_files_full = full.select(F.input_file_name()).distinct().count()
     n_files_jan = jan.select(F.input_file_name()).distinct().count()
     assert 0 < n_files_jan < n_files_full
+
+
+def test_rollup_expands_one_pass(spark):
+    # ROLLUP must compile to an Expand over ONE aggregation pass, not a
+    # union of per-level re-aggregations
+    plan = _plan(QUERIES["rollup_revenue"].spark_fn(spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert "Union" not in plan
+
+
+def test_pivot_two_phase_no_union(spark):
+    # Spark pivots as pre-aggregate (user, type) then pivot-aggregate (user):
+    # exactly two exchanges, never a per-category union of scans
+    plan = _plan(QUERIES["event_type_pivot"].spark_fn(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Union" not in plan
