@@ -391,8 +391,8 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped pass + a cumulative window.",
     oracle="""
         SELECT day, n_submissions, n_unique_users,
-               sum(n_submissions) OVER (ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_submissions
+               CAST(sum(n_submissions) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_submissions
         FROM (
           SELECT CAST(ts AS DATE) AS day,
                  count(*) AS n_submissions,
@@ -408,7 +408,7 @@ def daily_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_unique_users"),
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return daily.withColumn("cumulative_submissions", F.sum("n_submissions").over(w))
+    return daily.withColumn("cumulative_submissions", F.sum("n_submissions").over(w).cast("long"))
 
 
 # --------------------------------------------------------------------------------------
@@ -965,7 +965,8 @@ _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
         FROM events GROUP BY user_id
     """.format(
         cols=", ".join(
-            f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _PIVOT_TYPES
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+            for t in _PIVOT_TYPES
         )
     ),
 )
@@ -978,7 +979,8 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pivot null-fills absent categories as NULL; the histogram wants 0
     return out.select(
-        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES]
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in _PIVOT_TYPES],
     )
 
 
