@@ -284,8 +284,9 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Top-3 TF-IDF terms per document: term frequency from the token "
     "explode, document frequency from one distinct-aggregation, idf = "
     "ln(N/df), ranked per doc by rounded score with term tiebreak.  The df "
-    "relation is vocabulary-sized and broadcast; the only corpus-sized "
-    "shuffle is the (doc, term) frequency aggregation.",
+    "relation is vocabulary-sized (unbounded at web scale) so the tf-df "
+    "join shuffles on term and AQE picks the physical strategy; N folds in "
+    "as a one-row aggregate cross-join, not a separate driver action.",
     oracle=f"""
         WITH tok AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents
@@ -311,11 +312,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df, "term").crossJoin(n).select(
         "doc_id",
         "term",
-        round_half_up(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        round_half_up(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
