@@ -209,15 +209,56 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
-# MinHash + LSH near-dup pipeline (non-SQL-expressible end-to-end → rows-only)
+# MinHash + LSH near-dup pipeline — fully oracle-gated: the md5 hash family is
+# engine-portable, and the band-bucket join is plain SQL (4 band selects +
+# self-join), so DuckDB reproduces the ENTIRE pipeline including the bucket cap.
 # --------------------------------------------------------------------------------------
+def _minhash_lsh_oracle(n_hashes: int = 8, n_bands: int = 4, max_bucket: int = 1000) -> str:
+    from ..functions.text import sql_minhash_exprs
+
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        bands.append(f"SELECT doc, {b} AS band_idx, md5({cols}) AS band_hash FROM sig")
+    agree = " + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n_hashes))
+    return f"""
+        WITH sh AS (
+          SELECT doc_id AS doc, substr(text, CAST(i AS INTEGER), 5) AS s
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+                FROM documents)
+        ),
+        sig AS (SELECT doc, {", ".join(sql_minhash_exprs("s", n_hashes))} FROM sh GROUP BY doc),
+        banded AS ({" UNION ALL ".join(bands)}),
+        ok AS (SELECT band_idx, band_hash FROM banded GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
+        bb AS (SELECT banded.* FROM banded JOIN ok USING (band_idx, band_hash)),
+        cand AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bb a JOIN bb b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b, ({agree}) / {float(n_hashes)} AS ej
+          FROM cand c
+          JOIN sig sa ON sa.doc = c.doc_a
+          JOIN sig sb ON sb.doc = c.doc_b
+        )
+        SELECT doc_a, doc_b, {sql_round_half_up("ej", 4)} AS est_jaccard
+        FROM est WHERE ej >= 0.5
+    """
+
+
 @query(
     "minhash_lsh_neardup",
     family="DEDUP",
     doc="Full MinHash(8)+LSH(4 bands) near-dup candidate pipeline with "
-    "signature-agreement estimate; deterministic (md5 family) but the banding "
-    "join is not reasonably SQL-expressible → rows-only check.",
-    oracle=None,
+    "signature-agreement estimate and bucket-size cap.  The md5 hash family "
+    "is engine-portable, so the DuckDB oracle reproduces the whole pipeline — "
+    "shingles, signatures, banding join, cap, estimate — exactly.",
+    oracle=_minhash_lsh_oracle(),
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
