@@ -145,6 +145,94 @@ def test_extractor_stage(spark, tables):
     )
 
 
+_STUB_EXTRACTOR = '''
+import json
+import sys
+
+args = sys.argv[1:]
+assert args[-1] == "PROFILE", "trailing profile arg must pass through"
+pairs = args[:-1]
+for i in range(0, len(pairs), 2):
+    in_path, out_path = pairs[i], pairs[i + 1]
+    with open(in_path) as fp:
+        doc = json.load(fp)
+    if doc.get("skip"):
+        continue  # no output file -> empty result for this doc
+    bpm = doc["rhythm"]["bpm"]
+    p = round((bpm % 10.0) / 20.0 + 0.5, 6)
+    out = {
+        "highlevel": {
+            "mood_happy": {
+                "all": {"happy": p, "not_happy": round(1.0 - p, 6)},
+                "value": "happy",
+                "probability": p,
+            },
+            "danceability": {
+                "all": {"danceable": 0.25, "not_danceable": 0.75},
+                "value": "not_danceable",
+                "probability": 0.75,
+            },
+        }
+    }
+    with open(out_path, "w") as fp:
+        json.dump(out, fp)
+'''
+
+
+def test_subprocess_extractor_spark_roundtrip(spark, tables, tmp_path):
+    """The REAL subprocess kernel (temp files -> exec -> parse,
+    hl_calc.py:50-129) end-to-end through mapInPandas, with a stand-in
+    script in place of the Essentia binary."""
+    import sys as _sys
+
+    from acousticbrainz_server_spark.operators.extractor import subprocess_extractor
+
+    script = tmp_path / "stub_extractor.py"
+    script.write_text(_STUB_EXTRACTOR)
+    ex = subprocess_extractor([_sys.executable, str(script)], trailing_args=("PROFILE",))
+
+    new_docs = tables["lowlevel_json"].limit(45)  # 45 docs -> 3 subprocess calls at 20/call
+    rows = extract_highlevel(new_docs, extractor=ex).collect()
+    n = new_docs.count()
+    assert len(rows) == n * 2  # two models per doc
+    assert {r["model"] for r in rows} == {"mood_happy", "danceability"}
+
+    # value parity with the stub's formula for one doc
+    src = {r["id"]: r["data"]["rhythm"]["bpm"] for r in new_docs.collect()}
+    for r in rows:
+        if r["model"] == "mood_happy":
+            expect = round((src[r["id"]] % 10.0) / 20.0 + 0.5, 6)
+            assert abs(r["all_probs"]["happy"] - expect) < 1e-9
+            assert r["probability"] == pytest.approx(expect)
+
+
+def test_subprocess_extractor_kernel_edges(tmp_path):
+    import sys as _sys
+
+    from acousticbrainz_server_spark.operators.extractor import (
+        MAX_ITEMS_PER_PROCESS,
+        subprocess_extractor,
+    )
+
+    script = tmp_path / "stub_extractor.py"
+    script.write_text(_STUB_EXTRACTOR)
+    ex = subprocess_extractor([_sys.executable, str(script)], trailing_args=("PROFILE",))
+
+    # a doc whose output file the binary never writes -> empty result, no crash
+    docs = [
+        {"id": 1, "doc_json": '{"skip": true}'},
+        {"id": 2, "doc_json": '{"rhythm": {"bpm": 123.0}}'},
+    ]
+    rows = ex(docs)
+    assert {r["id"] for r in rows} == {2}
+    assert len(rows) == 2
+
+    with pytest.raises(ValueError):
+        ex([])
+    with pytest.raises(ValueError):
+        ex([{"id": i, "doc_json": "{}"} for i in range(MAX_ITEMS_PER_PROCESS + 1)])
+
+
 # --------------------------------------------------------------------------------------
 def test_dump_roundtrip_tsv(spark, tables, tmp_path):
     out = str(tmp_path / "ll_tsv")
