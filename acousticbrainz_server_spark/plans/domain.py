@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import slugify
+from ..functions.scalar import slugify, slugify_nfkd
 from ..sources.tables import load_table
 from .registry import query
 
@@ -26,6 +26,26 @@ from .registry import query
 def slugify_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_custkey", slugify(F.col("c_name")).alias("slug"))
+
+
+@query(
+    "slugify_names_nfkd",
+    family="F3",
+    doc="Full-fidelity slugify (NFKD → ascii-ignore, db/dataset.py:14-21) via "
+    "an Arrow-batched Pandas UDF — identical to the native path on the "
+    "latin-1 range (which covers the TPC names here); golden-tested on "
+    "non-latin input in tests/test_scalar_functions.py.",
+    oracle="""
+        SELECT c_custkey,
+               regexp_replace(
+                 trim(regexp_replace(lower(c_name), '[^a-z0-9_ -]', '', 'g')),
+                 '[- ]+', '-', 'g') AS slug
+        FROM customer
+    """,
+)
+def slugify_names_nfkd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", slugify_nfkd(F.col("c_name")).alias("slug"))
 
 
 @query(

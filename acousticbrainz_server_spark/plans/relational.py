@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalar import format_duration, round_half_up, sql_format_duration, sql_round_half_up
+from ..functions.scalar import (
+    format_duration,
+    format_length_long,
+    round_half_up,
+    sql_format_duration,
+    sql_format_length_long,
+    sql_round_half_up,
+)
 from ..operators.relational import (
     anti_join_unprocessed,
     assign_submission_offset,
@@ -732,7 +739,8 @@ def ordered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "format_track_length",
     family="F4",
-    doc="Seconds → 'M:SS' display formatting (db/data.py:1008-1009).",
+    doc="Seconds → 'MM:SS' strftime-style formatting (db/data.py:1008-1009: "
+    "minutes zero-padded within the hour, >=1 h wraps like %M:%S does).",
     oracle=f"""
         SELECT event_id, {sql_format_duration("value")} AS track_length
         FROM events WHERE event_id < 500
@@ -741,6 +749,24 @@ def ordered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def format_track_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     return ev.select("event_id", format_duration(F.col("value")).alias("track_length"))
+
+
+@query(
+    "format_track_length_full",
+    family="F4",
+    doc="Seconds → the reference's display format with the hours branch "
+    "(webserver/views/data.py:149-161): 'H:MM:SS' when >=1 h, 'M:SS' when "
+    ">=1 min, else '00:SS'.  The synthetic durations (event_id*17 % 7500) "
+    "cross both the 60 s and 3600 s boundaries.",
+    oracle=f"""
+        SELECT event_id, {sql_format_length_long("(event_id * 17) % 7500")} AS track_length
+        FROM events WHERE event_id < 1000
+    """,
+)
+def format_track_length_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    secs = (F.col("event_id") * 17) % 7500
+    return ev.select("event_id", format_length_long(secs).alias("track_length"))
 
 
 # --------------------------------------------------------------------------------------
