@@ -83,6 +83,7 @@ def connected_components(
         ).select("v", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
 
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged = False
     for _ in range(max_iter):
         new_labels = _hook_and_jump(labels).localCheckpoint(eager=True)
         # labels only ever decrease (least of own + neighbour min), so the
@@ -91,9 +92,19 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     sym.unpersist()
+    if not converged:
+        # partially-converged labels are WRONG labels — never return them
+        # silently (a diameter > max_iter graph needs large-star/small-star
+        # or a bigger budget)
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within max_iter={max_iter} "
+            f"rounds (label sum still changing: {prev_sum}); raise max_iter or switch "
+            "to the large-star/small-star variant for long-diameter graphs"
+        )
     components = labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
     singletons = nodes.select(F.col(id_col)).join(
         components.select(id_col), id_col, "left_anti"

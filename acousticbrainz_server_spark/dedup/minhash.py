@@ -97,9 +97,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs sharing at least one LSH band."""
     # banded is scanned 3x (bucket-size cap, join side a, join side b) —
-    # cache it so the shingle->signature pipeline runs once.  It is
+    # materialize it so the shingle->signature pipeline runs once.  It is
     # n_bands rows x ~100 bytes per doc: ~0.1% of corpus size at any scale.
-    banded = _banded_signatures(signatures, n_hashes, n_bands).cache()
+    # localCheckpoint, not cache(): blocks auto-release via ContextCleaner
+    # when the result is dropped, where CacheManager entries live forever.
+    banded = _banded_signatures(signatures, n_hashes, n_bands).localCheckpoint(eager=True)
     return _bucket_pairs(banded, max_bucket_size).select("doc_a", "doc_b")
 
 
@@ -120,8 +122,9 @@ def minhash_neardup_pairs(
     only runs on the (small) candidate-pair stream, never on the corpus.
     """
     sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
-    # cache: banded feeds the bucket-size cap and both self-join sides
-    banded = _banded_signatures(sigs, n_hashes, n_bands).cache()
+    # banded feeds the bucket-size cap and both self-join sides; see
+    # lsh_candidate_pairs for the localCheckpoint-over-cache rationale
+    banded = _banded_signatures(sigs, n_hashes, n_bands).localCheckpoint(eager=True)
     pairs = _bucket_pairs(banded, max_bucket_size)
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda a, b: F.when(a == b, 1).otherwise(0)),

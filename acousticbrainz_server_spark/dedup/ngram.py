@@ -38,6 +38,13 @@ MAX_DENSE_VOCAB = 16_384
 # B-side indicator matrix budget (floats) for the broadcast sgemm path:
 # n_docs * vocab must fit comfortably in executor memory (256 MB at float32).
 MAX_DENSE_CELLS = 64_000_000
+# Shingle document-frequency cap for the exact join path: a shingle in >1000
+# docs contributes >=10^6 join pairs on its own while connecting no pair that
+# could clear a 0.4 Jaccard on its rarity-driven intersection — boilerplate
+# shingles are noise for near-dup detection.  This default guards the join
+# whenever the dense gate rejects; pass max_doc_freq=None for the uncapped
+# exact sweep (the oracle baseline).
+DEFAULT_MAX_DOC_FREQ = 1000
 
 
 def ngram_jaccard_pairs(
@@ -45,7 +52,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.4,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """All (a < b) doc pairs with word-bigram Jaccard >= threshold.
 
@@ -53,15 +60,21 @@ def ngram_jaccard_pairs(
     (<= MAX_DENSE_VOCAB and the indicator matrix fits the broadcast budget —
     dense corpora like boilerplate-heavy web text), all intersection counts
     come from a blocked indicator-matrix sgemm (`_jaccard_dense_matmul`).
-    Otherwise the general shingle self-join runs (its cost is Σ df(s)²,
-    bounded by ``max_doc_freq`` at scale).
+    Otherwise the general shingle self-join runs, its Σ df(s)² cost bounded
+    by ``max_doc_freq`` (default ``DEFAULT_MAX_DOC_FREQ``; None = uncapped).
     """
-    sh = docs.select(F.col(id_col).alias("doc"), F.explode(word_bigrams(F.col(text_col))).alias("s")).cache()
+    sh = docs.select(
+        F.col(id_col).alias("doc"), F.explode(word_bigrams(F.col(text_col))).alias("s")
+    ).persist()
     dims = sh.agg(
         F.countDistinct("s").alias("vocab"), F.countDistinct("doc").alias("n_docs")
     ).first()
     if dims["vocab"] <= MAX_DENSE_VOCAB and dims["vocab"] * dims["n_docs"] <= MAX_DENSE_CELLS:
-        return _jaccard_dense_matmul(sh, threshold)
+        return _jaccard_dense_matmul(sh, threshold)  # unpersists sh itself
+    # join path: recompute the shingle explode per scan instead of caching a
+    # corpus-sized stream — at 100 TB the explode is a cheap scan-side
+    # flatMap, while persisting it would pin ~L rows/doc in executor storage
+    sh.unpersist(blocking=False)
     return _jaccard_shingle_join(sh, threshold, max_doc_freq)
 
 
@@ -69,14 +82,17 @@ def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
     """Exact Jaccard via blocked indicator-matrix multiply (dense-vocab path).
 
     sid assignment and the doc→sid-list aggregation stay in Spark; the B-side
-    (sid lists for ALL docs) is collected once and closed over — the same
-    data movement a broadcast join performs — then each Arrow batch of A-side
+    (sid lists for ALL docs) comes to the driver once via Arrow (``toPandas``
+    — numpy int arrays, not Python Row/int objects whose overhead near the
+    cell budget would be multi-GB) and is closed over — the same data
+    movement a broadcast join performs — then each Arrow batch of A-side
     docs computes a (block × n_docs) intersection-count matrix with one
     float32 sgemm and emits only the (a < b, jaccard ≥ t) survivors.
     Intersection counts ≤ vocab ≤ 16384 are exactly representable in float32,
     and the jaccard division is float64 in both engines, so results are
     bit-identical to the join path.
     """
+    import numpy as np
     import pandas as pd
 
     spark = sh.sparkSession
@@ -86,15 +102,18 @@ def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
     doc_sids = (
         sh.join(F.broadcast(vocab), "s").groupBy("doc").agg(F.collect_list("sid").alias("sids"))
     )
-    b_rows = doc_sids.collect()
-    import numpy as np
+    b_pdf = doc_sids.toPandas()
+    # every action on sh is done (dims + the toPandas above) — release the
+    # shingle cache before building the returned (pdf-sourced) plan
+    sh.unpersist(blocking=False)
 
-    n_docs = len(b_rows)
-    vocab_size = int(max((max(r["sids"]) for r in b_rows if r["sids"]), default=-1)) + 1
-    b_ids = np.array([r["doc"] for r in b_rows], dtype=np.int64)
+    n_docs = len(b_pdf)
+    sid_arrays = [np.asarray(s, dtype=np.int64) for s in b_pdf["sids"]]
+    vocab_size = int(max((a.max() for a in sid_arrays if a.size), default=-1)) + 1
+    b_ids = b_pdf["doc"].to_numpy(dtype=np.int64)
     b_mat = np.zeros((n_docs, vocab_size), dtype=np.float32)
-    for i, r in enumerate(b_rows):
-        b_mat[i, r["sids"]] = 1.0
+    for i, sids in enumerate(sid_arrays):
+        b_mat[i, sids] = 1.0
     b_sizes = b_mat.sum(axis=1)
     # torrent-broadcast the B side once per executor (inlining it in the task
     # closure would re-pickle ~vocab*n_docs floats into EVERY task)
@@ -141,9 +160,7 @@ def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
     # explode+join+agg.  (At 100 TB the B side is tiled rather than fully
     # collected and A streams from the cluster; this is the B-fits case.)
     n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
-    a_pdf = pd.DataFrame(
-        {"doc": [int(r["doc"]) for r in b_rows], "sids": [list(r["sids"]) for r in b_rows]}
-    )
+    a_pdf = pd.DataFrame({"doc": b_ids, "sids": sid_arrays})
     a_side = spark.createDataFrame(a_pdf, "doc LONG, sids ARRAY<INT>")
     return a_side.repartition(n_part).mapInPandas(
         block_pairs,

@@ -54,7 +54,9 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             except Exception as e:
                 print(f"bench error {name}: {e}", file=sys.stderr)
-                best = -1.0
+                # keep a successful earlier run's timing; -1.0 only if NO run succeeded
+                if best is None:
+                    best = -1.0
                 break
             spark.catalog.clearCache()
         times[name] = round(best, 3)

@@ -126,3 +126,35 @@ def test_embedding_lsh_buckets_agree_for_near_identical(spark):
     v = _vecs(spark)
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(v, threshold=0.99, use_lsh=True, dim=3).collect()}
     assert pairs == {(1, 2)}  # near-identical vectors share all hyperplane signs
+
+
+def test_shingle_join_doc_freq_cap(spark):
+    """The df cap must drop ONLY boilerplate shingles: near-dup pairs at
+    threshold 0.4 are identical with and without the cap when the capped
+    shingles are cross-group boilerplate."""
+    from acousticbrainz_server_spark.dedup.ngram import _jaccard_shingle_join
+    from acousticbrainz_server_spark.functions.text import word_bigrams
+
+    boiler = "all rights reserved by the site owner"
+    rows = []
+    for g in range(3):
+        base = f"group {g} unique content words alpha{g} beta{g} gamma{g} delta{g} epsilon{g} zeta{g}"
+        rows.append((2 * g + 1, base + " " + boiler))
+        rows.append((2 * g + 2, base + " extra " + boiler))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select(F.col("doc_id").alias("doc"), F.explode(word_bigrams(F.col("text"))).alias("s"))
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in _jaccard_shingle_join(sh, 0.4, max_doc_freq=5).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in _jaccard_shingle_join(sh, 0.4, max_doc_freq=None).collect()}
+    assert capped == uncapped == {(1, 2), (3, 4), (5, 6)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from acousticbrainz_server_spark.dedup.components import connected_components
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # path graph 1-2-...-8; max_iter=1 cannot converge
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, edges, max_iter=1)
