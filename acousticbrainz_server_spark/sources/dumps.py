@@ -93,17 +93,19 @@ def dump_lowlevel_json(
     out_dir: str,
     sample_size: int | None = None,
 ) -> None:
-    """S6: one JSON record per submission, sharded by the 2-char mbid prefix
-    (db/dump.py:585-696); ``sample_size`` reproduces the 100k sample dump
+    """S6: one JSON record per submission, sharded into two directory levels
+    ``mbid[0:2]/mbid[2:3]`` exactly like the reference's dump layout
+    (db/dump.py:604-607); ``sample_size`` reproduces the 100k sample dump
     ordered by submitted (db/dump.py:31, 615-618)."""
     joined = lowlevel.select("id", "gid", "submission_offset", "submitted").join(lowlevel_json, "id")
     if sample_size is not None:
         joined = joined.orderBy("submitted").limit(sample_size)
     (
         joined.withColumn("shard", F.substring("gid", 1, 2))
-        .select("shard", "gid", "submission_offset", "data")
+        .withColumn("shard2", F.substring("gid", 3, 1))
+        .select("shard", "shard2", "gid", "submission_offset", "data")
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy("shard", "shard2")
         .option("compression", "gzip")
         .json(out_dir)
     )

@@ -253,9 +253,22 @@ def test_dump_json_sharded(spark, tables, tmp_path):
     back = spark.read.json(out)
     assert back.count() == tables["lowlevel"].count()
     import glob
+    import os as _os
 
-    shards = glob.glob(out + "/shard=*")
-    assert len(shards) > 10  # 2-hex-char sharding
+    # two-level mbid[0:2]/mbid[2:3] layout (reference db/dump.py:604-607)
+    level1 = glob.glob(out + "/shard=*")
+    assert len(level1) > 10  # 2-hex-char first level
+    level2 = glob.glob(out + "/shard=*/shard2=*")
+    assert len(level2) >= len(level1)
+    for d in level2:
+        parts = d.split(_os.sep)
+        s1, s2 = parts[-2].split("=")[1], parts[-1].split("=")[1]
+        assert len(s1) == 2 and len(s2) == 1
+    # every record's gid starts with its directory shards
+    one = level2[0]
+    s1, s2 = one.split(_os.sep)[-2].split("=")[1], one.split(_os.sep)[-1].split("=")[1]
+    for r in spark.read.json(one).select("gid").collect():
+        assert r["gid"].startswith(s1 + s2)
 
 
 def test_dump_features_csv_and_incremental(spark, tables, tmp_path):
