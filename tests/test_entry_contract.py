@@ -22,9 +22,10 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 30
     # every oracle key must have a query
     assert set(os_) <= set(qs)
-    # rows-only queries are the explicit exceptions
+    # rows-only queries are the explicit exceptions (seed/engine-specific
+    # bucketing or iterative fitting — recall pytest-asserted instead)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"minhash_lsh_neardup", "ann_lsh_topk", "ann_ivf_kmeans_topk"}
+    assert rows_only == {"ann_lsh_topk", "ann_ivf_kmeans_topk"}
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "knn_exact_topk", "submission_offset"])
