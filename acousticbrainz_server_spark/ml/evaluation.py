@@ -100,33 +100,50 @@ def normalise_classes(labeled: DataFrame, cut_to: int = NORMALIZE_CUT, seed: int
     )
 
 
-def train_eval_svm(
-    features: DataFrame,
-    label_col: str = "class_name",
+def rff_transform(
+    df: DataFrame,
     features_col: str = "features",
-    reg_grid: tuple[float, ...] = (0.01, 0.1, 1.0),
-    n_folds: int = 3,
+    out_col: str | None = None,
+    gamma: float = 0.1,
+    n_components: int = 64,
     seed: int = 42,
-):
-    """M5: OneVsRest(LinearSVC) grid-search with cross-validation.
+    dim: int | None = None,
+) -> DataFrame:
+    """Random Fourier Features approximation of the RBF kernel (Rahimi &
+    Recht, "Random Features for Large-Scale Kernel Machines", NIPS 2007):
+    z(x) = sqrt(2/D) cos(Wx + b) with W ~ N(0, 2*gamma), b ~ U[0, 2*pi], so
+    E[z(x)·z(y)] = exp(-gamma*||x-y||^2) — a linear model over z approximates
+    Gaia's RBF SVM (dataset_eval/gaia_wrapper.py) without a kernel matrix.
 
-    ``features``: rows of (label_col: string, features_col: array<double>).
-    Returns (model, metrics dict with accuracy + confusion matrix rows).
-    The 9×8×5 Gaia grid (db/dataset_eval.py:42-45) collapses to a regParam
-    grid — LinearSVC has no RBF gamma; parity target is the evaluation
-    HARNESS (grid, CV, confusion matrix), not Gaia's kernel internals.
+    W/b are seeded on the driver and closed over (D*dim doubles); the
+    projection is one Arrow-batched numpy matmul per batch — scan-side, no
+    shuffle, scale-indifferent.
     """
+    import numpy as np
+    import pandas  # noqa: F401
+
+    from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        dim = len(df.select(features_col).first()[0])
+    rng = np.random.RandomState(seed)
+    W = rng.normal(0.0, np.sqrt(2.0 * gamma), size=(n_components, dim))
+    b = rng.uniform(0.0, 2.0 * np.pi, size=n_components)
+    scale = float(np.sqrt(2.0 / n_components))
+
+    def _rff(s: "pandas.Series") -> "pandas.Series":
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        Z = scale * np.cos(X @ W.T + b)
+        return pandas.Series(list(Z))
+
+    _rff.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return df.withColumn(out_col or features_col, pandas_udf(_rff, "array<double>")(F.col(features_col)))
+
+
+def _fit_linear_cv(df, reg_grid, n_folds, seed):
     from pyspark.ml.classification import LinearSVC, OneVsRest
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
-    from pyspark.ml.feature import StringIndexer
-    from pyspark.ml.functions import array_to_vector
     from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
-
-    df = features.select(
-        F.col(label_col), array_to_vector(F.col(features_col)).alias("_vec")
-    )
-    indexer = StringIndexer(inputCol=label_col, outputCol="_label", stringOrderType="alphabetAsc").fit(df)
-    df = indexer.transform(df)
 
     svc = LinearSVC(featuresCol="_vec", labelCol="_label", maxIter=20)
     ovr = OneVsRest(classifier=svc, featuresCol="_vec", labelCol="_label")
@@ -136,18 +153,69 @@ def train_eval_svm(
         estimator=ovr, estimatorParamMaps=grid, evaluator=evaluator, numFolds=n_folds, seed=seed
     )
     model = cv.fit(df)
+    return model, evaluator, max(model.avgMetrics)
+
+
+def train_eval_svm(
+    features: DataFrame,
+    label_col: str = "class_name",
+    features_col: str = "features",
+    reg_grid: tuple[float, ...] = (0.01, 0.1, 1.0),
+    n_folds: int = 3,
+    seed: int = 42,
+    kernel: str = "linear",
+    gamma_grid: tuple[float, ...] = (0.01, 0.1, 1.0),
+    n_components: int = 64,
+):
+    """M5: SVM grid-search with cross-validation, mirroring Gaia's evaluation
+    harness (dataset_eval/gaia_wrapper.py:23-96; grids db/dataset_eval.py:42-45).
+
+    ``features``: rows of (label_col: string, features_col: array<double>).
+    Returns (model, metrics dict with accuracy + confusion matrix rows).
+
+    kernel="linear": OneVsRest(LinearSVC) over the C (regParam) grid.
+    kernel="rbf": Gaia's C×gamma grid — each gamma fits a seeded Random
+    Fourier Features map (``rff_transform``) and the C grid cross-validates
+    on top, like the reference's outer preprocessing loop; the best
+    (gamma, C) cell by CV accuracy wins.  metrics carries the chosen gamma.
+    """
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator  # noqa: F401
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.functions import array_to_vector
+
+    indexer = StringIndexer(
+        inputCol=label_col, outputCol="_label", stringOrderType="alphabetAsc"
+    ).fit(features.select(label_col))
+    labels = indexer.labels
+
+    def prepare(src: DataFrame) -> DataFrame:
+        df = src.select(F.col(label_col), array_to_vector(F.col(features_col)).alias("_vec"))
+        return indexer.transform(df)
+
+    if kernel == "rbf":
+        best = None
+        for gamma in gamma_grid:
+            mapped = rff_transform(
+                features, features_col, gamma=gamma, n_components=n_components, seed=seed
+            )
+            df = prepare(mapped)
+            model, evaluator, cv_acc = _fit_linear_cv(df, reg_grid, n_folds, seed)
+            if best is None or cv_acc > best[3]:
+                best = (model, evaluator, df, cv_acc, gamma)
+        model, evaluator, df, cv_acc, best_gamma = best
+        extra = {"kernel": "rbf", "gamma": best_gamma, "cv_accuracy": cv_acc}
+    else:
+        df = prepare(features)
+        model, evaluator, cv_acc = _fit_linear_cv(df, reg_grid, n_folds, seed)
+        extra = {"kernel": "linear", "cv_accuracy": cv_acc}
+
     pred = model.transform(df)
     accuracy = evaluator.evaluate(pred)
-    labels = indexer.labels
-    confusion = (
-        pred.groupBy("_label", "prediction")
-        .count()
-        .collect()
-    )
+    confusion = pred.groupBy("_label", "prediction").count().collect()
     matrix = {}
     for r in confusion:
         matrix[(labels[int(r["_label"])], labels[int(r["prediction"])])] = r["count"]
-    return model, {"accuracy": accuracy, "confusion": matrix, "labels": labels}
+    return model, {"accuracy": accuracy, "confusion": matrix, "labels": labels, **extra}
 
 
 def snapshot_dataset(

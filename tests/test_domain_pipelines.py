@@ -344,6 +344,45 @@ def test_svm_train_eval(spark):
     assert sum(metrics["confusion"].values()) == 120
 
 
+def test_svm_rbf_beats_linear_on_rings(spark):
+    """Gaia RBF-grid analogue: the seeded Random-Fourier-Features map must
+    make concentric rings (linearly inseparable) separable."""
+    import math
+    import random
+
+    from acousticbrainz_server_spark.ml.evaluation import rff_transform
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(240):
+        inner = i % 2 == 0
+        r = rng.gauss(0.5 if inner else 2.0, 0.12)
+        theta = rng.uniform(0.0, 2.0 * math.pi)
+        rows.append(
+            {"class_name": "in" if inner else "out", "features": [r * math.cos(theta), r * math.sin(theta)]}
+        )
+    df = spark.createDataFrame(rows, "class_name string, features array<double>")
+
+    _, lin = train_eval_svm(df, reg_grid=(0.1,), n_folds=2)
+    _, rbf = train_eval_svm(
+        df, reg_grid=(0.1,), n_folds=2, kernel="rbf", gamma_grid=(0.5, 2.0), n_components=64
+    )
+    assert lin["accuracy"] < 0.75  # rings are not linearly separable
+    assert rbf["accuracy"] > 0.9
+    assert rbf["kernel"] == "rbf" and rbf["gamma"] in (0.5, 2.0)
+
+    # the RFF map itself approximates the RBF kernel: z(x)·z(y) ≈ exp(-g|x-y|^2)
+    import numpy as np
+
+    mapped = rff_transform(df.limit(40), "features", out_col="z", gamma=1.0, n_components=512)
+    got = mapped.select("features", "z").collect()
+    X = np.array([r["features"] for r in got])
+    Z = np.array([r["z"] for r in got])
+    approx = Z @ Z.T
+    exact = np.exp(-1.0 * ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    assert float(np.abs(approx - exact).mean()) < 0.08
+
+
 def test_snapshot(spark, tables):
     snap = snapshot_dataset(tables["dataset"], tables["dataset_class"], tables["dataset_class_member"])
     rows = snap.collect()
