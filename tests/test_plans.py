@@ -151,12 +151,16 @@ def test_pii_redact_behavior(spark):
     assert out[4]["clean_text"] == "nothing sensitive here"
 
 
-def test_tfidf_broadcasts_df_relation_and_group_limits(spark):
-    # the vocabulary-sized df relation must broadcast (no sort-merge of the
-    # corpus-sized tf stream against it) and the top-3 ranking must push a
+def test_tfidf_no_forced_broadcast_and_group_limits(spark):
+    # the document-frequency relation is vocabulary-sized (unbounded at web
+    # scale) so the tf-df join must NOT carry a broadcast hint — AQE picks the
+    # strategy at runtime; N must fold in as a plan-side aggregate (no
+    # separate driver count job); the top-3 ranking must push a
     # WindowGroupLimit below the full sort
-    plan = _plan(QUERIES["tfidf_top_terms"].spark_fn(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan
+    df = QUERIES["tfidf_top_terms"].spark_fn(spark, SF_SMOKE)
+    optimized = _optimized(df)
+    assert "broadcast" not in optimized.lower()  # no ResolvedHint/JoinHint
+    plan = _plan(df)
     assert "WindowGroupLimit" in plan
 
 
