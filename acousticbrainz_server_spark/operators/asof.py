@@ -15,9 +15,11 @@ Cost: a single hash shuffle of |L| + |R| narrow rows and one sort — exactly
 what any windowed aggregation pays; no intermediate pair stream at any
 scale.  Right rows sort BEFORE left rows at equal ts (side 0 < 1), giving
 inclusive at-or-before semantics, matching DuckDB's ``ASOF JOIN`` (the
-oracle for the registered query).  Ties inside the right side must be
-resolved by the caller (dedupe to one row per (key, ts)) — same contract as
-DuckDB/kdb asof.
+oracle for the registered query).  Ties inside the right side (two right
+rows sharing (key, ts)) are resolved by ``tie_break``: the window orders by
+it ascending so the HIGHEST tie-break value is carried — a free, in-window
+dedup that costs no extra shuffle; without it the caller must dedupe to one
+row per (key, ts), the DuckDB/kdb contract.
 
 At 100 TB: the shuffle key is the join key — skew mitigations are the same
 as any keyed window (salt by time-bucket: run the carry per (key, day) with
@@ -37,26 +39,42 @@ def asof_join(
     ts_col: str,
     right_cols: list[str],
     prefix: str = "r_",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the latest right row with
     right.ts <= left.ts on the same key (NULLs when no such row).
 
     ``right_cols``: right payload columns to carry (prefixed in the output).
+    ``tie_break``: optional right column resolving (key, ts) ties — the row
+    with the HIGHEST value wins (in-window; no extra shuffle).
     """
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("_rp")
     null_payload = F.lit(None).cast(
         "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
     ).alias("_rp")
 
+    tb_cols = []
+    if tie_break is not None:
+        tb_type = right.schema[tie_break].dataType.simpleString()
+        tb_cols = [("_tb", lambda side: F.col(tie_break) if side == 0 else F.lit(None).cast(tb_type))]
+
     l_side = left.select(
-        F.col(on), F.col(ts_col), F.lit(1).alias("_side"), F.struct("*").alias("_lrow"), null_payload
+        F.col(on), F.col(ts_col), F.lit(1).alias("_side"), F.struct("*").alias("_lrow"), null_payload,
+        *[f(1).alias(n) for n, f in tb_cols],
     )
     r_side = right.select(
-        F.col(on), F.col(ts_col), F.lit(0).alias("_side"), F.lit(None).cast(l_side.schema["_lrow"].dataType).alias("_lrow"), payload
+        F.col(on), F.col(ts_col), F.lit(0).alias("_side"), F.lit(None).cast(l_side.schema["_lrow"].dataType).alias("_lrow"), payload,
+        *[f(0).alias(n) for n, f in tb_cols],
     )
+    order = [F.col(ts_col).asc(), F.col("_side").asc()]
+    if tie_break is not None:
+        # right rows (side 0) at equal ts order by tie_break asc -> the max
+        # tie-break row is LAST and wins the carry; left-side nulls sort
+        # first within side 1, irrelevant to the carry
+        order.append(F.col("_tb").asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

@@ -782,11 +782,11 @@ def format_track_length_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running-window carry — one shuffle of |L|+|R| rows, vs the O(|L|x|R|) "
     "per-key pair stream a range-join encoding pays.  Timestamps compare as "
     "integer microseconds in both engines (the parquet column is "
-    "TIMESTAMP(NANOS); both sides truncate identically).  Purchases are "
-    "deduped to one row per (user_id, ts_us) — max event_id wins — before "
-    "the join, enforcing asof_join's one-right-row-per-(key, ts) contract "
-    "(ties are otherwise engine-arbitrary).  DuckDB's native ASOF LEFT JOIN "
-    "is the oracle.",
+    "TIMESTAMP(NANOS); both sides truncate identically).  Purchase ties on "
+    "(user_id, ts_us) resolve IN the carry window — tie_break=event_id, max "
+    "wins, zero extra shuffle — where the oracle dedupes with max_by before "
+    "its ASOF (ties are otherwise engine-arbitrary).  DuckDB's native ASOF "
+    "LEFT JOIN is the oracle.",
     oracle="""
         WITH l AS (
           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
@@ -811,16 +811,18 @@ def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
     )
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
-        .groupBy("user_id", "ts_us")
-        .agg(
-            F.max_by("event_id", "event_id").alias("event_id"),
-            F.max_by("value", "event_id").alias("value"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts_us", right_cols=["event_id", "value"], prefix="purchase_")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        ts_col="ts_us",
+        right_cols=["event_id", "value"],
+        prefix="purchase_",
+        tie_break="event_id",
+    )
     return joined.select(
         "event_id",
         "user_id",

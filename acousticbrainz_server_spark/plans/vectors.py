@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import round_half_up, sql_round_half_up
 from ..functions.vector import angular_distance, cosine
 from ..sources.tables import load_table
+from .metric_queries import AB_FIXTURE_DIR
 from .registry import query
 
 _COS = "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -255,6 +256,70 @@ def probability_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _CLASS_ORDER
     ]
     return ev.groupBy("user_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------------------
+# V6/P7 — neighbor post-processing: threshold + dedup mode + deterministic sort
+# --------------------------------------------------------------------------------------
+@query(
+    "knn_postprocess",
+    family="V6,P7,W3,O5",
+    doc="The similarity API's neighbor post-processing "
+    "(webserver/views/api/v1/similarity.py:16-67): distance threshold "
+    "(clamped to [0,1]), remove_dups='all' (keep the closest submission per "
+    "recording), deterministic (distance, mbid, offset) ordering — over the "
+    "bpm circle metric of the AB fixture documents (unit vectors, so "
+    "angular distances span [0,2] and the threshold does real work); id "
+    "maps to (recording_mbid=id//3, offset=id%3) so recordings have "
+    "multiple submissions and the dedup window prunes.",
+    oracle=f"""
+        WITH v AS (
+          SELECT id,
+                 [cos(2 * pi() * log2(data['rhythm']['bpm'])),
+                  sin(2 * pi() * log2(data['rhythm']['bpm']))] AS v
+          FROM read_parquet('{AB_FIXTURE_DIR}/lowlevel_json.parquet')
+          WHERE data['rhythm']['bpm'] IS NOT NULL AND data['rhythm']['bpm'] <> 0
+        ),
+        q AS (SELECT id AS query_id, v AS qv FROM v WHERE id < 8),
+        pairs AS (
+          SELECT q.query_id,
+                 v.id // 3 AS recording_mbid,
+                 CAST(v.id % 3 AS INTEGER) AS "offset",
+                 {sql_round_half_up(f'sqrt(greatest(0.0, 2.0 - 2.0 * ({_COS.replace("a.v", "qv").replace("b.v", "v.v")})))', 4)} AS distance
+          FROM v JOIN q ON v.id <> q.query_id
+        ),
+        thr AS (SELECT * FROM pairs WHERE distance <= 0.5),
+        dd AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id, recording_mbid ORDER BY distance, "offset") AS rn
+          FROM thr
+        )
+        SELECT query_id, recording_mbid, "offset", distance FROM dd WHERE rn = 1
+    """,
+)
+def knn_postprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..similarity.knn import postprocess_neighbors
+
+    llj = spark.read.parquet(f"{AB_FIXTURE_DIR}/lowlevel_json.parquet")
+    bpm = F.col("data.rhythm.bpm")
+    angle = F.lit(2.0 * math.pi) * F.log2(bpm)
+    v = llj.filter(bpm.isNotNull() & (bpm != 0)).select(
+        "id", F.array(F.cos(angle), F.sin(angle)).alias("v")
+    )
+    q = v.filter(F.col("id") < 8).select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            (F.col("id") / 3).cast("long").alias("recording_mbid"),
+            (F.col("id") % 3).cast("int").alias("offset"),
+            round_half_up(angular_distance(F.col("qv"), F.col("v")), 4).alias("distance"),
+        )
+    )
+    return postprocess_neighbors(pairs, threshold=0.5, remove_dups="all")
 
 
 # --------------------------------------------------------------------------------------
