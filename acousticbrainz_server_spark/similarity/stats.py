@@ -39,15 +39,26 @@ def compute_similarity_stats(
         fraction = min(1.0, sample_size / max(total, 1))
         feats = feats.sample(fraction=fraction, seed=seed)
 
+    # ONE job for both metrics: tag each exploded element with its metric
+    # name and aggregate on (metric, dim) — halves the scans vs a per-metric
+    # loop (the reference pulls all four paths in one sample query too,
+    # db/similarity_stats.py:95-105)
+    tagged = feats.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("mfccs").alias("metric"), F.col("mfccs").alias("vec")),
+                F.struct(F.lit("gfccs").alias("metric"), F.col("gfccs").alias("vec")),
+            )
+        ).alias("e")
+    ).filter(F.col("e.vec").isNotNull() & (F.size("e.vec") > 0))
+    per_dim = (
+        tagged.select(F.col("e.metric").alias("metric"), F.posexplode("e.vec").alias("dim", "x"))
+        .groupBy("metric", "dim")
+        .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
+        .collect()
+    )
     out: dict[str, tuple[list[float], list[float]]] = {}
     for name in ("mfccs", "gfccs"):
-        per_dim = (
-            feats.filter(F.col(name).isNotNull() & (F.size(name) > 0))
-            .select(F.posexplode(name).alias("dim", "x"))
-            .groupBy("dim")
-            .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
-            .orderBy("dim")
-            .collect()
-        )
-        out[name] = ([r["m"] for r in per_dim], [r["s"] for r in per_dim])
+        rows = sorted((r for r in per_dim if r["metric"] == name), key=lambda r: r["dim"])
+        out[name] = ([r["m"] for r in rows], [r["s"] for r in rows])
     return out
