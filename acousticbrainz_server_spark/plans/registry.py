@@ -54,6 +54,7 @@ def _load_all() -> None:
     from . import dedup_queries  # noqa: F401
     from . import domain  # noqa: F401
     from . import metric_queries  # noqa: F401
+    from . import streaming_queries  # noqa: F401
 
 
 def all_queries() -> dict[str, SparkQuery]:

@@ -1,0 +1,69 @@
+"""Streaming queries under the batch oracle gate (SURVEY.md §2.11).
+
+The Dataflow-model promise — a streaming aggregation over a bounded input
+must equal the batch query over the same input — is checkable: run a REAL
+Structured Streaming job (file source → watermark → tumbling window →
+memory sink) with ``trigger(availableNow=True)`` to completion inside the
+query function, then hand the sink table to the driver's DuckDB comparison.
+This puts the engine's streaming semantics (A8's daily rollup as a stream)
+under the same value-hash gate as every batch operator.
+
+Scale: availableNow processes the backlog in rate-limited micro-batches and
+stops — the reference's 30 s polling daemons (hl_calc.py:227-231) with
+exactly-once bookkeeping.  The watermark bounds window state; on an unbounded
+run the same plan emits each day's row once the watermark passes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+
+_SINK = "streaming_daily_counts_sink"
+
+
+@query(
+    "streaming_daily_counts",
+    family="§2.11,A8,P9",
+    doc="A8's daily rollup as a genuine Structured Streaming job: file-source "
+    "stream over events.parquet → 1-day watermark → tumbling 1-day window × "
+    "event_type counts → memory sink, run to completion with "
+    "trigger(availableNow).  The oracle is the plain batch GROUP BY — the "
+    "hash match proves stream/batch consistency.",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+        FROM events GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def streaming_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    # same nanos normalization as sources/tables.load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: stream the sf dir with a
+    # glob pinning it to the events table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.to_date("w.start").alias("day"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_SINK)
