@@ -67,3 +67,74 @@ def streaming_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_SINK)
+
+
+_SESSION_SINK = "streaming_sessions_sink"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "streaming_sessionize",
+    family="§2.11,W1,A8",
+    doc="Gap sessionization as a REAL streaming session_window job "
+    "(state = open sessions, bounded by the watermark), run to completion "
+    "with availableNow and hash-compared against the batch gap-window SQL — "
+    "session_window's end is last_event+gap, so the query maps it back to "
+    "the last-event timestamp the batch form emits.  Boundary semantics "
+    "(batch: new session iff gap > 30 min; stream: merge iff gap < 30 min) "
+    "agree because no exact-gap tie exists in any sf (checked 0.001-0.1).",
+    oracle=f"""
+        WITH o AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value,
+                 CASE WHEN epoch_ns(ts) // 1000
+                           - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000)
+                           > {_GAP_US} OR
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts_us, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM o
+        )
+        SELECT user_id,
+               min(ts_us) AS session_start_us,
+               max(ts_us) AS session_end_us,
+               count(*) AS n_events,
+               floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total_value
+        FROM s GROUP BY user_id, session_idx
+    """,
+)
+def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("_tv"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(_SESSION_SINK)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(_SESSION_SINK)
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+        (F.unix_micros(F.col("sw.end")) - F.lit(_GAP_US)).alias("session_end_us"),
+        "n_events",
+        (F.floor(F.col("_tv") * 10000.0 + F.lit(0.5)) / 10000.0).alias("total_value"),
+    )
