@@ -69,6 +69,50 @@ def streaming_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_SINK)
 
 
+_OFFSET_SINK = "streaming_offsets_sink"
+
+
+@query(
+    "streaming_offsets_stateful",
+    family="§2.11,W1,A4",
+    doc="W1 offset assignment as the CUSTOM STATEFUL streaming operator "
+    "(applyInPandasWithState, streaming/ingest_stream.py): per-user counter "
+    "state carried across micro-batches assigns dense arrival offsets, run "
+    "to completion over the bounded stream and hash-compared against the "
+    "batch row_number window — the stateful path must agree with the batch "
+    "semantics it replaces (db/data.py:273-288).",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(row_number() OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000, event_id) - 1 AS INTEGER) AS submission_offset
+        FROM events
+    """,
+)
+def streaming_offsets_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest_stream import assign_offsets_stateful
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    assigned = assign_offsets_stateful(ev, key_col="user_id", order_col=["ts", "event_id"])
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName(_OFFSET_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_OFFSET_SINK).select("event_id", "user_id", "submission_offset")
+
+
 _SESSION_SINK = "streaming_sessions_sink"
 _GAP_US = 30 * 60 * 1_000_000
 

@@ -137,7 +137,11 @@ def streaming_sessions(
 # --------------------------------------------------------------------------------------
 # W1 as a CUSTOM STATEFUL operator: per-gid offset counter across micro-batches
 # --------------------------------------------------------------------------------------
-def assign_offsets_stateful(submissions: DataFrame, key_col: str = "gid", order_col: str = "submitted") -> DataFrame:
+def assign_offsets_stateful(
+    submissions: DataFrame,
+    key_col: str = "gid",
+    order_col: str | list[str] = "submitted",
+) -> DataFrame:
     """Streaming ``submission_offset`` assignment (db/data.py:273-288) as an
     ``applyInPandasWithState`` operator: keyed state = the count of offsets
     already handed out for the gid, carried across micro-batches via the
@@ -151,6 +155,7 @@ def assign_offsets_stateful(submissions: DataFrame, key_col: str = "gid", order_
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     out_schema = T.StructType(
         submissions.schema.fields + [T.StructField("submission_offset", T.IntegerType())]
     )
@@ -160,7 +165,7 @@ def assign_offsets_stateful(submissions: DataFrame, key_col: str = "gid", order_
     def assign(key, pdf_iter, state: GroupState):
         n = state.get[0] if state.exists else 0
         batch = pd.concat(list(pdf_iter), ignore_index=True)
-        batch = batch.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        batch = batch.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
         batch["submission_offset"] = range(n, n + len(batch))
         state.update((n + len(batch),))
         yield batch[cols]
