@@ -419,6 +419,29 @@ def daily_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# A2 under skew salting — the two-phase hot-key aggregation template
+# --------------------------------------------------------------------------------------
+@query(
+    "salted_count_per_key",
+    family="A2,SKEW",
+    doc="Per-key count via explicit two-phase salting (functions/skew.py): "
+    "partial counts on (key, salt), final sum on key — the template for "
+    "non-algebraic aggregations whose single hot key would serialize a "
+    "stage at 100 TB.  Must equal the plain GROUP BY (the oracle), proving "
+    "the salt scatter is semantics-free.",
+    oracle="""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id
+    """,
+)
+def salted_count_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "user_id", n_salts=16)
+
+
+# --------------------------------------------------------------------------------------
 # A6 — jsonb_object_agg map-collect (db/data.py:836-850)
 # --------------------------------------------------------------------------------------
 @query(
