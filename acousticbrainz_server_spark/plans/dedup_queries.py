@@ -38,6 +38,34 @@ def content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# E3/E8 — content-addressed upsert (MERGE form: anti-join + union)
+# --------------------------------------------------------------------------------------
+@query(
+    "content_upsert",
+    family="E3,E8,V7",
+    doc="UPSERT / INSERT..ON CONFLICT DO UPDATE semantics (insert_version "
+    "db/data.py:187-208, eval-results store db/similarity.py:456-543) as the "
+    "warehouse MERGE form: incoming rows replace same-key existing rows via "
+    "anti-join + union — the Delta MERGE equivalent used by every "
+    "content-addressed table in the engine.",
+    oracle="""
+        WITH existing AS (SELECT doc_id, 'old' AS src FROM documents WHERE doc_id < 250),
+        incoming AS (SELECT doc_id, 'new' AS src FROM documents WHERE doc_id >= 200)
+        SELECT doc_id, src FROM existing WHERE doc_id NOT IN (SELECT doc_id FROM incoming)
+        UNION ALL
+        SELECT doc_id, src FROM incoming
+    """,
+)
+def content_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.jobs import upsert_eval_results
+
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") < 250).select("doc_id", F.lit("old").alias("src"))
+    incoming = d.filter(F.col("doc_id") >= 200).select("doc_id", F.lit("new").alias("src"))
+    return upsert_eval_results(existing, incoming, ["doc_id"])
+
+
+# --------------------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact baseline for MinHash)
 # --------------------------------------------------------------------------------------
 @query(
