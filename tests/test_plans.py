@@ -254,3 +254,30 @@ def test_pivot_two_phase_no_union(spark):
     plan = _plan(QUERIES["event_type_pivot"].spark_fn(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Union" not in plan
+
+
+def test_feature_projection_prunes_nested_scan(spark):
+    # the P2 defaults projection must read ONLY the touched subfields of the
+    # nested document, not the whole struct (nested-schema pruning).  The
+    # ReadSchema string truncates at ~100 chars, but the lowlevel struct is
+    # the document's FIRST field: unpruned, gfcc/barkbands would appear right
+    # after mfcc well inside the truncation window.
+    plan = _plan(QUERIES["feature_projection_defaults"].spark_fn(spark, SF_SMOKE))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lowlevel:struct<mfcc" in read_schema
+    assert "gfcc" not in read_schema and "barkbands" not in read_schema
+    assert "average_loudness" not in read_schema
+
+
+def test_highlevel_class_map_broadcasts_model_dim(spark):
+    # the 18-row model dimension must broadcast; the only shuffle-worthy
+    # relation is the highlevel_model fact side
+    plan = _plan(QUERIES["highlevel_class_map"].spark_fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_count_two_phase(spark):
+    # two exchanges by design: (key, salt) partial then key final — the
+    # template cost of splitting a hot key
+    plan = _plan(QUERIES["salted_count_per_key"].spark_fn(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2
