@@ -172,3 +172,83 @@ def test_knn_and_postprocess(spark, tables):
     # threshold path
     thr = postprocess_neighbors(nn2, threshold=0.5).collect()
     assert all(r["distance"] <= 0.5 for r in thr)
+
+
+def test_metric_vectors_match_reference_goldens(spark):
+    """Row-exact parity with the reference's OWN golden fixtures: the two
+    checked-in extractor documents (db/test_data/*.json) through our V1
+    pipeline must reproduce db/test_data/similarity_metrics_data.py's
+    expected_similarity_rows — the same assertion the reference's
+    test_add_metrics makes (db/test/test_similarity.py:36-66).  Fixture data
+    is READ from the reference checkout at test time, never copied."""
+    import ast
+    import json
+    import os
+
+    from acousticbrainz_server_spark import schemas
+    from acousticbrainz_server_spark.similarity.metrics import (
+        METRIC_NAMES,
+        assemble_metric_input,
+        compute_similarity_vectors,
+    )
+
+    ref = "/root/reference/db/test_data"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout not available")
+
+    golden_src = open(os.path.join(ref, "similarity_metrics_data.py")).read()
+    expected = ast.literal_eval(golden_src.split("=", 1)[1].strip())
+
+    def reduced_doc(path):
+        d = json.load(open(path))
+        return {
+            "lowlevel": {
+                "mfcc": {"mean": d["lowlevel"]["mfcc"]["mean"]},
+                "gfcc": {"mean": d["lowlevel"]["gfcc"]["mean"]},
+            },
+            "rhythm": {"bpm": d["rhythm"]["bpm"], "onset_rate": d["rhythm"]["onset_rate"]},
+            "tonal": {"key_key": d["tonal"]["key_key"], "key_scale": d["tonal"]["key_scale"]},
+        }
+
+    llj = spark.createDataFrame(
+        [
+            {"id": 1, "data": reduced_doc(os.path.join(ref, "0dad432b-16cc-4bf0-8961-fd31d124b01b.json"))},
+            {"id": 2, "data": reduced_doc(os.path.join(ref, "e8afe383-1478-497e-90b1-7885c7f37f6e.json"))},
+        ],
+        schemas.LOWLEVEL_JSON,
+    )
+    hl = json.load(open(os.path.join(ref, "0dad432b-16cc-4bf0-8961-fd31d124b01b_highlevel.json")))["highlevel"]
+    model_rows = [
+        {"id": i + 1, "model": name, "model_version": "v", "status": "show", "class_mapping": None}
+        for i, name in enumerate(sorted(hl))
+    ]
+    model_ids = {r["model"]: r["id"] for r in model_rows}
+    hlm_rows = [
+        {
+            "id": i + 1,
+            "highlevel": 1,  # only doc 1 has highlevel data, like the reference test
+            "data": {
+                "all": {k: float(v) for k, v in entry["all"].items()},
+                "value": entry["value"],
+                "probability": float(entry["probability"]),
+            },
+            "model": model_ids[name],
+            "version": 1,
+        }
+        for i, (name, entry) in enumerate(sorted(hl.items()))
+    ]
+    model = spark.createDataFrame(model_rows, schemas.MODEL)
+    hlm = spark.createDataFrame(hlm_rows, schemas.HIGHLEVEL_MODEL)
+
+    stats = compute_similarity_stats(llj)  # the reference samples both docs
+    vecs = compute_similarity_vectors(assemble_metric_input(llj, hlm, model), stats)
+    got = {r["id"]: r.asDict() for r in vecs.collect()}
+
+    assert len(expected) == 2
+    for exp in expected:
+        rid = exp["id"]
+        for metric in METRIC_NAMES:
+            g, e = got[rid][metric], exp[metric]
+            assert len(g) == len(e), (rid, metric)
+            for gi, ei in zip(g, e):
+                assert abs(gi - ei) < 1e-9, (rid, metric, g, e)
