@@ -185,3 +185,72 @@ def test_bulk_get_features_defaults(spark):
     assert out.count() == 3
     assert set(out.columns) == {"gid", "submission_offset", "rhythm.bpm", "metadata.tags"}
     assert all(r["rhythm.bpm"] is not None for r in out.collect())
+
+
+def test_bulk_features_match_reference_golden(spark):
+    """P1/P2 against the reference's OWN golden response
+    (db/test_data/lowlevel_select_features_response.json, asserted by the
+    reference's test_load_many_individual_features, db/test/test_data.py:778):
+    the same two fixture documents, the same (mbid, offset) request incl. a
+    missing pair, the numeric + key features our reduced document schema
+    carries.  Fixture data is read from the reference checkout at test time."""
+    import json
+    import os
+
+    from acousticbrainz_server_spark import schemas
+
+    ref = "/root/reference/db/test_data"
+    if not os.path.isdir(ref):
+        import pytest
+
+        pytest.skip("reference checkout not available")
+
+    mbid1 = "0dad432b-16cc-4bf0-8961-fd31d124b01b"
+    mbid2 = "e8afe383-1478-497e-90b1-7885c7f37f6e"
+    golden = json.load(open(os.path.join(ref, "lowlevel_select_features_response.json")))
+
+    def reduced(path):
+        d = json.load(open(path))
+        return {
+            "lowlevel": {
+                "average_loudness": d["lowlevel"]["average_loudness"],
+                "dynamic_complexity": d["lowlevel"]["dynamic_complexity"],
+            },
+            "rhythm": {"beats_loudness": {"mean": d["rhythm"]["beats_loudness"]["mean"]}},
+            "tonal": {"key_key": d["tonal"]["key_key"]},
+        }
+
+    doc1 = reduced(os.path.join(ref, f"{mbid1}.json"))
+    doc2 = reduced(os.path.join(ref, f"{mbid2}.json"))
+    # mbid1 submitted twice (offsets 0, 1), mbid2 once — the reference scenario
+    llj_rows = [
+        {"id": 1, "data": doc1},
+        {"id": 2, "data": doc1},
+        {"id": 3, "data": doc2},
+    ]
+    ll_rows = [
+        {"id": 1, "gid": mbid1, "submission_offset": 0},
+        {"id": 2, "gid": mbid1, "submission_offset": 1},
+        {"id": 3, "gid": mbid2, "submission_offset": 0},
+    ]
+    ll = spark.createDataFrame(ll_rows, "id long, gid string, submission_offset int")
+    llj = spark.createDataFrame(llj_rows, schemas.LOWLEVEL_JSON)
+    keys = spark.createDataFrame(
+        [(mbid1, 0), (mbid1, 1), (mbid1, 2), (mbid2, 0)], "gid string, submission_offset int"
+    )
+    feats = [
+        "lowlevel.average_loudness",
+        "lowlevel.dynamic_complexity",
+        "rhythm.beats_loudness.mean",
+        "tonal.key_key",
+    ]
+    out = {(r["gid"], r["submission_offset"]): r for r in bulk_get_features(ll, llj, keys, feats).collect()}
+
+    # the missing (mbid1, 2) pair is skipped, exactly like the reference
+    assert set(out) == {(mbid1, 0), (mbid1, 1), (mbid2, 0)}
+    for (gid, off), row in out.items():
+        g = golden[gid][str(off)]
+        assert abs(row["lowlevel.average_loudness"] - g["lowlevel"]["average_loudness"]) < 1e-12
+        assert abs(row["lowlevel.dynamic_complexity"] - g["lowlevel"]["dynamic_complexity"]) < 1e-12
+        assert abs(row["rhythm.beats_loudness.mean"] - g["rhythm"]["beats_loudness"]["mean"]) < 1e-12
+        assert row["tonal.key_key"] == g["tonal"]["key_key"]
