@@ -415,16 +415,59 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
-# V3 — LSH approximate k-NN (rows-only: bucket assignment is seed/engine-specific)
+# V3 — LSH approximate k-NN, oracle-gated: the seeded plane matrix is a committed
+# fixture parquet (tests/fixtures/ab/lsh_planes.parquet) read by BOTH engines, so
+# the bucketing floor(<v,p>/(||v||*bl)) is plain SQL in DuckDB.
 # --------------------------------------------------------------------------------------
+_LSH_QCOS = (
+    "list_dot_product(q.v, n.v)"
+    " / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))"
+)
+
+
 @query(
     "ann_lsh_topk",
     family="V3,V4",
-    oracle=None,  # LSH bucketing has no SQL equivalent; recall vs exact k-NN is pytest-asserted
-    doc="BucketedRandomProjectionLSH k-NN over unit-normalized vectors "
+    doc="Random-projection LSH k-NN over unit-normalized vectors "
     "(euclidean==angular on the unit sphere) — the Annoy-index scale path "
-    "(similarity/index_model.py:13-92).  Deterministic for a fixed seed; "
-    "recall against knn_exact_topk is asserted in tests/test_jobs_lookup_ann.py.",
+    "(similarity/index_model.py:13-92).  The seeded Gaussian plane matrix is a "
+    "committed fixture parquet shared with the oracle, so candidate generation "
+    "(vectors sharing >=1 (table, bucket) with the query) and the exact angular "
+    "re-rank are verified cross-engine end-to-end; recall vs knn_exact_topk is "
+    "additionally pytest-asserted (tests/test_jobs_lookup_ann.py).",
+    oracle=f"""
+        WITH nz AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv
+          FROM embeddings
+          WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+        ),
+        planes AS (
+          SELECT table_idx, plane FROM read_parquet('{AB_FIXTURE_DIR}/lsh_planes.parquet')
+        ),
+        b AS (
+          SELECT nz.vec_id, nz.v, p.table_idx,
+                 CAST(floor(list_dot_product(nz.v, p.plane) / (nz.nv * 0.5)) AS BIGINT) AS bucket
+          FROM nz, planes p
+        ),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS neighbor_id
+          FROM (SELECT * FROM b WHERE vec_id < 10) qb
+          JOIN b ON b.table_idx = qb.table_idx AND b.bucket = qb.bucket
+          WHERE b.vec_id <> qb.vec_id
+        ),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 {sql_round_half_up(f'sqrt(greatest(0.0, 2.0 - 2.0 * ({_LSH_QCOS})))', 4)} AS angular_dist
+          FROM cand c
+          JOIN nz q ON q.vec_id = c.query_id
+          JOIN nz n ON n.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, angular_dist, CAST(rn AS INTEGER) AS neighbor_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY angular_dist ASC, neighbor_id) AS rn
+          FROM scored
+        ) WHERE rn <= 5
+    """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import fit_lsh_index, knn_lsh
@@ -432,10 +475,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _vectors(spark, sf_dir).select("vec_id", "v")
     model, indexed = fit_lsh_index(emb, id_col="vec_id", vec_col="v", dim=64)
     queries = emb.filter(F.col("vec_id") < 10)
-    nn = knn_lsh(model, indexed, queries, k=5, id_col="vec_id", vec_col="v")
+    nn = knn_lsh(model, indexed, queries, k=5, id_col="vec_id", vec_col="v", round_digits=4)
     return nn.select(
         F.col("query_id"),
         F.col("neighbor_id"),
-        round_half_up(F.col("distance"), 4).alias("angular_dist"),
+        F.col("distance").alias("angular_dist"),
         F.col("neighbor_rank").cast("int").alias("neighbor_rank"),
     )

@@ -44,6 +44,17 @@ from pyspark.sql import functions as F
 from ..functions.vector import angular_distance, norm
 
 
+def rp_planes(num_hash_tables: int, dim: int, seed: int) -> list[list[float]]:
+    """The seeded Gaussian plane matrix shared by the Spark index and the
+    DuckDB oracle fixture (tools/gen_ab_fixture_parquet.py writes it to
+    tests/fixtures/ab/lsh_planes.parquet so both engines hash with the exact
+    same planes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_hash_tables, dim)).tolist()
+
+
 @dataclass
 class RPLSHIndex:
     """Random-projection LSH 'model': seeded Gaussian planes + bucket width."""
@@ -116,12 +127,9 @@ def fit_lsh_index(
     array<long> (one bucket per hash table) next to the raw vector.
     Pass ``dim`` when known to skip the probe job that reads it.
     """
-    import numpy as np
-
     if dim is None:
         dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_hash_tables, dim)).tolist()
+    planes = rp_planes(num_hash_tables, dim, seed)
     model = RPLSHIndex(planes=planes, bucket_length=bucket_length, seed=seed)
     nz = _nonzero_vectors(vectors, id_col, vec_col)
     indexed = nz.select("id", "raw", model.buckets_col("raw"))
@@ -140,29 +148,35 @@ def knn_lsh(
     k: int = 200,
     id_col: str = "id",
     vec_col: str = "v",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate bulk k-NN: candidates = vectors sharing ≥1 (table, bucket)
     with the query, exact angular distance recomputed on candidates, top-k per
     query.  Vectorized over the whole query set (vs the reference's per-id
     Annoy loop, index_model.py:182-224).
+
+    ``round_digits`` rounds the distance half-up BEFORE ranking so an external
+    oracle computing the same candidates ranks identically (near-tie float
+    jitter cannot flip ranks across engines).
     """
     from pyspark.sql import Window
+
+    from ..functions.scalar import round_half_up
 
     q_nz = _nonzero_vectors(queries, id_col, vec_col)
     q_indexed = q_nz.select("id", "raw", model.buckets_col("raw"))
     q_b = _explode_buckets(q_indexed, "query_id", keep_raw=True)
     d_b = _explode_buckets(indexed, "neighbor_id", keep_raw=True)
+    dist = angular_distance(F.col("raw_query_id"), F.col("raw_neighbor_id"))
+    if round_digits is not None:
+        dist = round_half_up(dist, round_digits)
     pairs = (
         F.broadcast(q_b)
         .join(d_b, ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "raw_query_id", "raw_neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            angular_distance(F.col("raw_query_id"), F.col("raw_neighbor_id")).alias("distance"),
-        )
+        .select("query_id", "neighbor_id", dist.alias("distance"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
     return pairs.withColumn("neighbor_rank", F.row_number().over(w)).filter(F.col("neighbor_rank") <= k)
