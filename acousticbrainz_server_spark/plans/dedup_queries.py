@@ -145,7 +145,7 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH f AS ({_simhash_oracle()})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM f a JOIN f b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -154,7 +154,9 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.simhash import simhash_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(d, max_hamming=3)
+    # int64 on both engines: DuckDB bit_count yields TINYINT, which is not a
+    # type Spark produces — the external gate hashes dtype-sensitively.
+    return simhash_neardup_pairs(d, max_hamming=3).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 # --------------------------------------------------------------------------------------

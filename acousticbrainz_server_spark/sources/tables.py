@@ -30,20 +30,36 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """Probe the parquet footer: True when events.ts is TIMESTAMP(NANOS)."""
+    if not os.path.isfile(path):
+        return False
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # The driver wrote events.ts as parquet TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects.  Read nanos as long (runtime-settable
-        # legacy conf — works on any caller-provided session, incl. the
-        # driver's) and truncate to microseconds EXACTLY like DuckDB's
-        # TIMESTAMP_NS -> TIMESTAMP cast.  Integer `div` is essential: nanos
-        # ~1.7e18 exceed double precision, so float division corrupts the
-        # low digits.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has been written as TIMESTAMP(NANOS) in some testdata
+        # generations (Spark's vectorized reader rejects it) and TIMESTAMP(US)
+        # in others — probe the footer and adapt rather than assume either.
+        path = os.path.join(sf_dir, "events.parquet")
+        if events_ts_is_nanos(path):
+            # Read nanos as long (runtime-settable legacy conf) and truncate
+            # to microseconds EXACTLY like DuckDB's TIMESTAMP_NS -> TIMESTAMP
+            # cast.  Integer `div` is essential: nanos ~1.7e18 exceed double
+            # precision, so float division corrupts the low digits.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.parquet(path)
+        # Micros parquet arrives as TIMESTAMP_NTZ; cast to TimestampType so
+        # every downstream plan (windows, streaming, comparisons) sees the
+        # same type in both generations.  Session tz is UTC — value-identity.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

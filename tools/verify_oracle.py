@@ -42,6 +42,43 @@ def normalize_cell(v) -> str:
     return str(v)
 
 
+def _canon_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    m = {"bigint": "i64", "long": "i64", "int": "i32", "integer": "i32", "smallint": "i16",
+         "tinyint": "i8", "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+         "date": "date", "binary": "bin"}
+    if dt in m:
+        return m[dt]
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("decimal") or dt.startswith("array") or dt.startswith("struct") or dt.startswith("map"):
+        return dt.split("(")[0]
+    return dt
+
+
+def _canon_arrow_type(t) -> str:
+    s = str(t)
+    m = {"int64": "i64", "int32": "i32", "int16": "i16", "int8": "i8", "uint64": "u64",
+         "uint32": "u32", "double": "f64", "float": "f32", "string": "str",
+         "large_string": "str", "bool": "bool", "date32[day]": "date", "binary": "bin"}
+    if s in m:
+        return m[s]
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith("decimal") or s.startswith("list") or s.startswith("struct") or s.startswith("map"):
+        return s.split("(")[0].split("<")[0].replace("list", "array")
+    return s
+
+
+def type_mismatches(spark_schema, arrow_schema) -> list[str]:
+    """Columns whose engine-level types differ — the external gate hashes
+    dtype-sensitively (round-1 lesson: DuckDB sum()→HUGEINT red-flagged two
+    otherwise-identical results), so value equality alone is not enough."""
+    sp = {f.name: _canon_spark_type(f.dataType.simpleString()) for f in spark_schema.fields}
+    du = {f.name: _canon_arrow_type(f.type) for f in arrow_schema}
+    return [f"{c}: spark={sp[c]} oracle={du[c]}" for c in sp if c in du and sp[c] != du[c]]
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
@@ -82,9 +119,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            res = con.execute(spec.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(spec.oracle).fetch_arrow_table()
+            ocols = otbl.schema.names
+            orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
@@ -92,8 +129,12 @@ def main() -> int:
         t_duck = time.time() - t0
         sn, sh = table_hash(scols, srows)
         on, oh = table_hash(ocols, orows)
+        tmis = type_mismatches(sdf.schema, otbl.schema)
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns differ spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures.append(name)
+        elif tmis:
+            print(f"FAIL {name}: column type mismatch: {tmis}")
             failures.append(name)
         elif sn != on:
             print(f"FAIL {name}: rowcount spark={sn} oracle={on}")
