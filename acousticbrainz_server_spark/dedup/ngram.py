@@ -160,7 +160,10 @@ def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
     # explode+join+agg.  (At 100 TB the B side is tiled rather than fully
     # collected and A streams from the cluster; this is the B-fits case.)
     n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
-    a_pdf = pd.DataFrame({"doc": b_ids, "sids": sid_arrays})
+    # plain-python-int lists: createDataFrame's non-Arrow fallback verifier
+    # rejects numpy.int64 elements in an ARRAY<INT> field (round-3 red), and
+    # lists convert on BOTH the Arrow and fallback paths
+    a_pdf = pd.DataFrame({"doc": b_ids, "sids": [a.tolist() for a in sid_arrays]})
     a_side = spark.createDataFrame(a_pdf, "doc LONG, sids ARRAY<INT>")
     return a_side.repartition(n_part).mapInPandas(
         block_pairs,

@@ -16,11 +16,10 @@ run the same plan emits each day's row once the watermark passes.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import load_events_stream
 from .registry import query
 
 _SINK = "streaming_daily_counts_sink"
@@ -40,18 +39,8 @@ _SINK = "streaming_daily_counts_sink"
     """,
 )
 def streaming_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    # same nanos normalization as sources/tables.load_table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    # the streaming file source wants a directory: stream the sf dir with a
-    # glob pinning it to the events table
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # footer-probed nanos/micros normalization shared with the batch reader
+    ev = load_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -92,15 +81,7 @@ _OFFSET_SINK = "streaming_offsets_sink"
 def streaming_offsets_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest_stream import assign_offsets_stateful
 
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = load_events_stream(spark, sf_dir)
     assigned = assign_offsets_stateful(ev, key_col="user_id", order_col=["ts", "event_id"])
     q = (
         assigned.writeStream.format("memory")
@@ -152,15 +133,7 @@ _GAP_US = 30 * 60 * 1_000_000
     """,
 )
 def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = load_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")

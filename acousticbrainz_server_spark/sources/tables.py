@@ -39,6 +39,43 @@ def events_ts_is_nanos(path: str) -> bool:
     return str(pq.read_schema(path).field("ts").type) == "timestamp[ns]"
 
 
+def normalize_events_ts(df: DataFrame, nanos: bool) -> DataFrame:
+    """Normalize events.ts to TimestampType regardless of parquet generation.
+
+    nanos=True: ts arrived as BIGINT nanoseconds (via the nanosAsLong legacy
+    conf) — truncate to microseconds EXACTLY like DuckDB's TIMESTAMP_NS ->
+    TIMESTAMP cast.  Integer `div` is essential: nanos ~1.7e18 exceed double
+    precision, so float division corrupts the low digits.
+
+    nanos=False: ts arrived as TIMESTAMP_NTZ (micros parquet) — cast to
+    TimestampType so every downstream plan (windows, streaming, comparisons)
+    sees the same type in both generations.  Callers must pin the session
+    timezone to UTC first (see ``_prep_events_session``) so the NTZ->TZ cast
+    is value-identical to DuckDB's UTC-naive reading.
+    """
+    if nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _prep_events_session(spark: SparkSession, path: str) -> bool:
+    """Probe the events footer and pin the runtime confs both read paths need.
+
+    Returns the nanos flag.  Both confs are runtime-settable, so this works
+    on caller-provided sessions (e.g. the driver's) as well as ours:
+    - nanosAsLong so TIMESTAMP(NANOS) parquet reads as BIGINT instead of
+      crashing the vectorized reader;
+    - session timezone UTC so the micros-generation TIMESTAMP_NTZ ->
+      TIMESTAMP cast never shifts values under a non-UTC caller session.
+    """
+    nanos = events_ts_is_nanos(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    else:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return nanos
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
@@ -47,20 +84,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # generations (Spark's vectorized reader rejects it) and TIMESTAMP(US)
         # in others — probe the footer and adapt rather than assume either.
         path = os.path.join(sf_dir, "events.parquet")
-        if events_ts_is_nanos(path):
-            # Read nanos as long (runtime-settable legacy conf) and truncate
-            # to microseconds EXACTLY like DuckDB's TIMESTAMP_NS -> TIMESTAMP
-            # cast.  Integer `div` is essential: nanos ~1.7e18 exceed double
-            # precision, so float division corrupts the low digits.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path)
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        df = spark.read.parquet(path)
-        # Micros parquet arrives as TIMESTAMP_NTZ; cast to TimestampType so
-        # every downstream plan (windows, streaming, comparisons) sees the
-        # same type in both generations.  Session tz is UTC — value-identity.
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        nanos = _prep_events_session(spark, path)
+        return normalize_events_ts(spark.read.parquet(path), nanos)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load_table(..., "events")`` — same footer probe,
+    same ts normalization, so a testdata generation flip (nanos<->micros)
+    can never split the batch and streaming paths again (the round-3 lesson:
+    three streaming plans hard-coded the nanos arithmetic and broke)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nanos = _prep_events_session(spark, path)
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: stream the sf dir with a
+    # glob pinning it to the events table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_events_ts(raw, nanos)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

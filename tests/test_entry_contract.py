@@ -25,7 +25,7 @@ def test_queries_and_oracles_align():
     # rows-only queries are the explicit exceptions (seed/engine-specific
     # bucketing or iterative fitting — recall pytest-asserted instead)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"ann_lsh_topk", "ann_ivf_kmeans_topk"}
+    assert rows_only == {"ann_ivf_kmeans_topk"}
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "knn_exact_topk", "submission_offset"])
