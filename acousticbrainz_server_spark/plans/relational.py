@@ -733,7 +733,8 @@ _LOOKUP_REQUEST = [(0, 5), (1, 99999999), (2, 1), (3, 3), (4, 5), (5, 77777777),
     "frame broadcast against the fact table; the big side never shuffles.",
     oracle="""
         WITH req(request_index, o_orderkey) AS (
-          VALUES (0, 5), (1, 99999999), (2, 1), (3, 3), (4, 5), (5, 77777777), (6, 2)
+          VALUES (0, CAST(5 AS BIGINT)), (1, 99999999), (2, 1), (3, 3), (4, 5),
+                 (5, 77777777), (6, 2)
         )
         SELECT r.request_index, r.o_orderkey, o.o_custkey
         FROM req r LEFT JOIN orders o ON o.o_orderkey = r.o_orderkey

@@ -1,0 +1,227 @@
+"""Approximate-sketch and storage-layout queries (the round-3 promises).
+
+Three sketches a 100 TB pipeline reaches for first — HLL distinct counts,
+approximate quantiles, heavy hitters — plus the bucketed-join layout proof.
+
+Oracle strategy for sketches: the two engines' sketch implementations (Spark
+HLL++/Greenwald-Khanna vs DuckDB HLL/t-digest) produce different estimates,
+so the estimate itself can't be hash-compared.  Instead each query emits the
+EXACT value (hash-comparable) alongside an ``sketch_ok`` boolean asserting
+the engine's OWN sketch landed within the documented error band of its own
+exact value.  Both engines compute ``true`` when their sketches behave, so
+the hash gate simultaneously verifies the exact semantics AND that each
+engine's sketch meets its accuracy contract — strictly stronger than a
+rows-only check.  Heavy hitters need no band: Misra-Gries + exact recount is
+exact by construction (operators/sketch.py), so it hash-gates directly
+against GROUP BY / HAVING.
+
+Reference framing: the reference keeps exact global stats over ~10M rows
+(db/stats.py, db/submission_stats.py); these are the same contracts held at
+a scale where exact per-item state no longer fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..operators.sketch import heavy_hitters
+from ..sources.tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------------------
+# approx distinct (HLL) — band-checked against the exact distinct count
+# --------------------------------------------------------------------------------------
+_DISTINCT_BAND = 0.05  # both engines' HLL variants sit well inside ±5% at this scale
+
+
+@query(
+    "approx_distinct_sketch",
+    family="A3,SKETCH",
+    doc="Per-flag approximate distinct part count: HLL++ (rsd=0.02) next to "
+    "the exact COUNT(DISTINCT); emits the exact count plus sketch_ok = "
+    "|approx-exact|/exact <= 5%.  The oracle runs DuckDB's own HLL under the "
+    "same band, so the hash match proves exact agreement AND that each "
+    "engine's sketch meets its error contract.  At 100 TB the exact column "
+    "is the one you drop: HLL partials merge map-side (one long per "
+    "partition-key vs a shuffle of every distinct value).",
+    oracle=f"""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_exact,
+               abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                 <= {_DISTINCT_BAND} * count(DISTINCT l_partkey) AS sketch_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_ap"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_exact",
+        (F.abs(F.col("_ap") - F.col("n_exact")) <= F.lit(_DISTINCT_BAND) * F.col("n_exact")).alias(
+            "sketch_ok"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# approx quantiles (GK / t-digest) — band-checked against exact interpolated quantiles
+# --------------------------------------------------------------------------------------
+_QUANTILE_BAND = 0.025
+
+
+@query(
+    "approx_quantile_sketch",
+    family="A8,SKETCH",
+    doc="Per-event-type p50/p90 of value: exact interpolated percentile "
+    "(hash-compared cross-engine, rounded half-up to 4) plus sketch_ok "
+    "booleans asserting each engine's approximate-quantile sketch "
+    "(Greenwald-Khanna here, t-digest in DuckDB) lands within ±2.5% of its "
+    "own exact value.  At 100 TB the sketch is the survivor: GK/t-digest "
+    "partials merge map-side in O(sketch) memory, exact quantiles need a "
+    "full sort.",
+    oracle=f"""
+        SELECT event_type,
+               {sql_round_half_up("quantile_cont(value, 0.5)", 4)} AS p50,
+               {sql_round_half_up("quantile_cont(value, 0.9)", 4)} AS p90,
+               abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+                 <= {_QUANTILE_BAND} * abs(quantile_cont(value, 0.5)) AS sketch_ok_p50,
+               abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
+                 <= {_QUANTILE_BAND} * abs(quantile_cont(value, 0.9)) AS sketch_ok_p90
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_x50"),
+        F.percentile("value", 0.9).alias("_x90"),
+        F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("value", 0.9, 10000).alias("_a90"),
+    )
+    band = F.lit(_QUANTILE_BAND)
+    return g.select(
+        "event_type",
+        round_half_up(F.col("_x50"), 4).alias("p50"),
+        round_half_up(F.col("_x90"), 4).alias("p90"),
+        (F.abs(F.col("_a50") - F.col("_x50")) <= band * F.abs(F.col("_x50"))).alias("sketch_ok_p50"),
+        (F.abs(F.col("_a90") - F.col("_x90")) <= band * F.abs(F.col("_x90"))).alias("sketch_ok_p90"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# heavy hitters — Misra-Gries candidates + exact recount (exact, so directly gated)
+# --------------------------------------------------------------------------------------
+_HH_SUPPORT = 0.001
+
+
+@query(
+    "frequent_items_sketch",
+    family="A2,SKETCH",
+    doc="Word-bigram heavy hitters over documents at 0.1% support: per-"
+    "partition Misra-Gries summaries (m=2/s counters, superset guarantee) "
+    "feed an exact broadcast-semi-join recount (operators/sketch.py) — the "
+    "long tail never reaches a shuffle.  Exact by construction, so it "
+    "hash-gates against the plain GROUP BY / HAVING oracle.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        big AS (
+          SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS bigram
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+        )
+        SELECT bigram, count(*) AS n
+        FROM big
+        GROUP BY bigram
+        HAVING count(*) >= ceil({_HH_SUPPORT} * (SELECT count(*) FROM big))
+    """,
+)
+def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # NON-distinct bigram occurrence stream (the frequency domain), unlike
+    # word_bigrams() which dedups per-document for Jaccard set semantics
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    stream = d.select(F.explode(bigrams).alias("bigram"))
+    return heavy_hitters(stream, "bigram", support=_HH_SUPPORT)
+
+
+# --------------------------------------------------------------------------------------
+# bucketed join — the co-located storage layout (no shuffle on the join key)
+# --------------------------------------------------------------------------------------
+_BUCKETS = 8
+
+
+@query(
+    "bucketed_join_rollup",
+    family="J2,A2,LAYOUT",
+    doc="Write orders and customer bucketed+sorted by custkey "
+    "(bucketBy/sortBy saveAsTable), then join bucket-to-bucket — zero "
+    "Exchange on the join (asserted in tests/test_sketch.py) — and roll up "
+    "order totals per nation.  THE layout move for a 100 TB fact table "
+    "joined repeatedly on the same key: the shuffle is paid once at write "
+    "time, never per query.",
+    oracle=f"""
+        SELECT c_nationkey,
+               count(*) AS n_orders,
+               {sql_round_half_up("sum(o_totalprice)", 2)} AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+)
+def bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _bucketed_join(spark, sf_dir)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer on custkey via bucketed external tables.
+
+    Exposed separately so tests can assert the join subplan has no Exchange
+    (the bucketed layout replaces the shuffle) before the rollup's own
+    aggregation exchange.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_bucketed", tag)
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        tbl = f"bjr_{name}_{tag}"
+        if not spark.catalog.tableExists(tbl):
+            (
+                # repartition on the bucket key with numPartitions == buckets:
+                # repartition's Murmur3 hash matches the bucket spec's, so each
+                # task holds exactly one bucket's keys and writes ONE file per
+                # bucket — multiple files per bucket would void the sortBy
+                # guarantee and re-introduce a Sort under the merge join
+                load_table(spark, sf_dir, name)
+                .repartition(_BUCKETS, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(_BUCKETS, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, name))
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
+    orders = spark.table(f"bjr_orders_{tag}")
+    customer = spark.table(f"bjr_customer_{tag}")
+    return orders.join(customer, orders["o_custkey"] == customer["c_custkey"])

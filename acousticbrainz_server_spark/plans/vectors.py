@@ -386,14 +386,62 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_kmeans_topk",
     family="V3,V4",
-    oracle=None,  # iterative (5 Lloyd's rounds) — not reasonably SQL-expressible;
-    # recall vs knn_exact_topk is pytest-asserted (tests/test_jobs_lookup_ann.py)
     doc="IVF k-NN over k-means-trained cells: deterministic farthest-point "
     "seeding + 3 Lloyd's iterations (assign = one sgemm per Arrow batch via "
     "mapInPandas, update = grouped avg per dimension) train an 8-cell coarse "
     "quantizer, then each query probes its nprobe=2 nearest cells — the "
     "trained-quantizer form of the reference's Annoy index "
-    "(similarity/index_model.py:13-92).",
+    "(similarity/index_model.py:13-92).  Oracle-gated via the COMMITTED "
+    "centroid fixture (tools/gen_kmeans_fixture.py): the fit is fully "
+    "deterministic (md5-seeded sample, maxmin init, fixed rounds, float64), "
+    "so the live fit at the gate's sf reproduces the committed model and the "
+    "whole assign→probe→topk pipeline is plain SQL in DuckDB.  Recall vs "
+    "knn_exact_topk is additionally pytest-asserted "
+    "(tests/test_jobs_lookup_ann.py).",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        km AS (SELECT cell, centroid FROM read_parquet('{AB_FIXTURE_DIR}/kmeans_centroids.parquet')),
+        sc AS (
+          SELECT v.vec_id, km.cell,
+                 list_dot_product(v.v, km.centroid)
+                   - 0.5 * list_dot_product(km.centroid, km.centroid) AS score
+          FROM v, km
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ),
+        e AS (SELECT a.cell, generate_subscripts(v.v, 1) AS d, unnest(v.v) AS x
+              FROM asg a JOIN v USING (vec_id)),
+        cd AS (SELECT cell, d, avg(x) AS m FROM e GROUP BY cell, d),
+        cent AS (SELECT cell, list(m ORDER BY d) AS c FROM cd GROUP BY cell),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        qc AS (
+          SELECT query_id, cent.cell,
+                 {sql_round_half_up('list_dot_product(q.qv, cent.c) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c)))', 4)} AS cell_cos
+          FROM q, cent
+        ),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_cos DESC, cell) AS rn FROM qc
+          ) WHERE rn <= 2
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {sql_round_half_up('list_dot_product(q.qv, v.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v)))', 4)} AS cosine_sim
+          FROM probe p
+          JOIN asg a ON a.cell = p.cell
+          JOIN v ON v.vec_id = a.vec_id
+          JOIN q ON q.query_id = p.query_id
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS neighbor_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM cand
+        ) WHERE rn <= 5
+    """,
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity.ann import ivf_topk
@@ -482,3 +530,133 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distance").alias("angular_dist"),
         F.col("neighbor_rank").cast("int").alias("neighbor_rank"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# V4 scale baseline — brute-force cosine top-k as a blocked matmul (the GPU-shaped plan)
+# --------------------------------------------------------------------------------------
+@query(
+    "ann_brute_cosine_topk",
+    family="V4,O4",
+    doc="Brute-force cosine top-10 as a BLOCKED MATMUL: the query matrix "
+    "(10 x 64, L2-normalized) broadcasts once per executor; each Arrow batch "
+    "of corpus vectors computes all its cosines in one float64 gemm and emits "
+    "only its LOCAL top-k per query, so the global shuffle carries "
+    "k x queries x batches rows instead of corpus x queries (exactness "
+    "preserved: global top-k of unioned local top-ks).  This is the dense "
+    "baseline ann_ivf/lsh approximate — and the plan shape that ports "
+    "directly to GPU gemm at 100 TB.  Rounding half-up to 4 BEFORE ranking "
+    "keeps cross-engine rank parity.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {sql_round_half_up(_COS, 4)} AS cosine_sim
+          FROM v a, v b
+          WHERE a.vec_id >= 10 AND a.vec_id < 20 AND b.vec_id <> a.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS neighbor_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+          FROM pairs
+        ) WHERE rn <= 10
+    """,
+)
+def ann_brute_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    k = 10
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    q_rows = (
+        v.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+        .orderBy("vec_id")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.asarray([list(r["v"]) for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_unit = q_mat / np.where(q_norm == 0.0, 1.0, q_norm)[:, None]
+    bc = spark.sparkContext.broadcast((q_ids, q_unit, q_norm == 0.0))
+
+    def block_topk(batches):
+        import pandas as pd
+
+        bq_ids, bq_unit, bq_zero = bc.value
+        nq = len(bq_ids)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np.sqrt((m * m).sum(axis=1))
+            unit = m / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            cos = unit @ bq_unit.T  # (n, nq) gemm
+            # zero-norm rows/queries -> cosine 0.0 (functions.vector.cosine)
+            cos[nrm == 0.0, :] = 0.0
+            cos[:, bq_zero] = 0.0
+            # round half-up BEFORE ranking — the cross-engine rank contract
+            cos = np.floor(cos * 1e4 + 0.5) / 1e4
+            out_q, out_n, out_c = [], [], []
+            for j in range(nq):
+                cj = cos[:, j].copy()
+                mask = ids == bq_ids[j]
+                cj[mask] = -np.inf  # exclude self
+                # local exact top-k by (cos desc, id asc)
+                order = np.lexsort((ids, -cj))[: min(k, n)]
+                order = order[np.isfinite(cj[order])]
+                out_q.append(np.full(len(order), bq_ids[j]))
+                out_n.append(ids[order])
+                out_c.append(cj[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine_sim": np.concatenate(out_c),
+                }
+            )
+
+    cand = v.mapInPandas(block_topk, "query_id LONG, neighbor_id LONG, cosine_sim DOUBLE")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("neighbor_rank", F.row_number().over(w))
+        .filter(F.col("neighbor_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("neighbor_rank").cast("int").alias("neighbor_rank"))
+    )
+
+
+# --------------------------------------------------------------------------------------
+# V3 — k-means cluster assignment as a standalone operator (the IVF cell column)
+# --------------------------------------------------------------------------------------
+@query(
+    "embedding_kmeans_assign",
+    family="V3,SKETCH",
+    doc="Deterministic k-means cell assignment over the embedding corpus: "
+    "kmeans_fit (md5-seeded sample, maxmin init, 3 Lloyd's rounds — "
+    "similarity/kmeans.py) trains k=8 centroids, then one sgemm-per-Arrow-"
+    "batch assignment pass labels every vector.  Oracle-gated end-to-end via "
+    "the committed centroid fixture: the live fit reproduces the committed "
+    "model bit-for-bit, and the argmin(||v-c||²) = argmax(v·c - ||c||²/2) "
+    "assignment (ties to lowest cell) is plain SQL.  At 100 TB the cell "
+    "column is the partition key IVF probing prunes on; assignment is "
+    "shuffle-free.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        km AS (SELECT cell, centroid FROM read_parquet('{AB_FIXTURE_DIR}/kmeans_centroids.parquet')),
+        sc AS (
+          SELECT v.vec_id, km.cell,
+                 list_dot_product(v.v, km.centroid)
+                   - 0.5 * list_dot_product(km.centroid, km.centroid) AS score
+          FROM v, km
+        )
+        SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+          FROM sc
+        ) WHERE rn = 1
+    """,
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.kmeans import kmeans_assign, kmeans_fit
+
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids = kmeans_fit(v, k=8, max_iter=3, id_col="vec_id", vec_col="v", dim=64)
+    return kmeans_assign(v, centroids, id_col="vec_id", vec_col="v").select("vec_id", "cell")

@@ -22,10 +22,10 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 30
     # every oracle key must have a query
     assert set(os_) <= set(qs)
-    # rows-only queries are the explicit exceptions (seed/engine-specific
-    # bucketing or iterative fitting — recall pytest-asserted instead)
+    # every registered query is oracle-gated since round 4 (the last
+    # holdout, ann_ivf_kmeans_topk, got a committed-centroid oracle)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"ann_ivf_kmeans_topk"}
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "knn_exact_topk", "submission_offset"])

@@ -51,8 +51,12 @@ def _canon_spark_type(dt: str) -> str:
         return m[dt]
     if dt.startswith("timestamp"):
         return "ts"
-    if dt.startswith("decimal") or dt.startswith("array") or dt.startswith("struct") or dt.startswith("map"):
-        return dt.split("(")[0]
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("array") or dt.startswith("struct") or dt.startswith("map"):
+        # strip element types symmetrically with the arrow side: spark spells
+        # them array<double>, arrow list<item: double> — bare kind only
+        return dt.split("(")[0].split("<")[0]
     return dt
 
 
@@ -65,8 +69,10 @@ def _canon_arrow_type(t) -> str:
         return m[s]
     if s.startswith("timestamp"):
         return "ts"
-    if s.startswith("decimal") or s.startswith("list") or s.startswith("struct") or s.startswith("map"):
-        return s.split("(")[0].split("<")[0].replace("list", "array")
+    if s.startswith("decimal"):  # decimal128(38,9) / decimal256 -> decimal
+        return "decimal"
+    if s.startswith("list") or s.startswith("large_list") or s.startswith("struct") or s.startswith("map"):
+        return s.split("(")[0].split("<")[0].replace("large_list", "array").replace("list", "array")
     return s
 
 
