@@ -61,6 +61,13 @@ def main() -> None:
             spark.catalog.clearCache()
         times[name] = round(best, 3)
         spark.catalog.clearCache()
+        # drop streaming memory-sink temp views: their buffered results would
+        # otherwise live for the rest of the run and bill GC pressure to
+        # whatever query happens to follow alphabetically (persistent tables
+        # like the bucketed-layout ones are NOT temp and are kept)
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(
         json.dumps(
