@@ -281,3 +281,37 @@ def test_salted_count_two_phase(spark):
     # template cost of splitting a hot key
     plan = _plan(QUERIES["salted_count_per_key"].spark_fn(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_approx_distinct_partial_agg_and_pruned_scan(spark):
+    df = QUERIES["approx_distinct_sketch"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # HLL partials must merge map-side (partial_ before the exchange), and the
+    # scan must read only the two involved columns
+    assert "merge_approx_count_distinct" in plan or "partial_approx_count_distinct" in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" in read_schema and "l_returnflag" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_frequent_items_recount_broadcasts_candidates(spark):
+    df = QUERIES["frequent_items_sketch"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # pass 2 semi-joins the token stream against the SMALL candidate set —
+    # broadcast, never a shuffle of the stream on the join key
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_kmeans_assign_is_shuffle_free(spark):
+    from pyspark.sql import functions as F
+
+    from acousticbrainz_server_spark.similarity.kmeans import kmeans_assign
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = kmeans_assign(emb, [[0.0] * 64, [1.0] * 64], id_col="vec_id", vec_col="v")
+    plan = _plan(assigned)
+    # the cell column comes from a mapInPandas over the scan: no Exchange
+    assert "Exchange" not in plan, plan
