@@ -69,3 +69,74 @@ def uuid_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(gid).alias("gid_normalized"),
         gid.rlike("^[0-9a-f]{32}$").alias("is_valid"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# P4/P5 — tag whitelist filter + trackid→recordingid rewrite, oracle-gated
+# --------------------------------------------------------------------------------------
+def _tag_whitelist_oracle() -> str:
+    from ..operators.ingest import TAG_WHITELIST
+    from .metric_queries import AB_FIXTURE_DIR
+
+    wl = ", ".join(f"'{t}'" for t in sorted(TAG_WHITELIST))
+    return f"""
+        WITH ent AS (
+          SELECT id, unnest(map_entries(data.metadata.tags)) AS e
+          FROM read_parquet('{AB_FIXTURE_DIR}/lowlevel_json.parquet')
+        ),
+        renamed AS (
+          SELECT id,
+                 CASE WHEN id % 2 = 1 AND e.key = 'musicbrainz_recordingid'
+                      THEN 'musicbrainz_trackid' ELSE e.key END AS key,
+                 e.value AS value
+          FROM ent
+        ),
+        trk AS (SELECT id, value FROM renamed WHERE key = 'musicbrainz_trackid'),
+        cleaned AS (
+          SELECT r.id, r.key, r.value FROM renamed r WHERE lower(r.key) IN ({wl})
+        ),
+        kept AS (
+          SELECT c.id, c.key, c.value
+          FROM cleaned c LEFT JOIN trk ON trk.id = c.id
+          WHERE trk.id IS NULL OR c.key NOT IN ('musicbrainz_trackid', 'musicbrainz_recordingid')
+        ),
+        added AS (SELECT id, 'musicbrainz_recordingid' AS key, value FROM trk)
+        SELECT id, key AS tag, array_to_string(value, '|') AS val
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM added)
+    """
+
+
+@query(
+    "tag_whitelist_rewrite",
+    family="P4,P5",
+    doc="Tag whitelist filter + musicbrainz_trackid -> recordingid rewrite "
+    "(reference webserver/views/api/v1/core.py tag cleaning + "
+    "db/tagwhitelist.json) as native map expressions (map_filter / "
+    "map_concat / transform_keys) over the AB fixture's nested tag maps — "
+    "odd ids are fed with their recordingid renamed to trackid so the "
+    "rewrite branch does real work; output is the exploded long form so "
+    "every surviving (tag, value) pair is hashed cross-engine.",
+    oracle=_tag_whitelist_oracle(),
+)
+def tag_whitelist_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import clean_tags
+    from .metric_queries import AB_FIXTURE_DIR
+
+    llj = spark.read.parquet(f"{AB_FIXTURE_DIR}/lowlevel_json.parquet")
+    renamed = llj.withColumn(
+        "data",
+        F.col("data").withField(
+            "metadata.tags",
+            F.transform_keys(
+                F.col("data.metadata.tags"),
+                lambda k, v: F.when(
+                    (F.col("id") % 2 == 1) & (k == F.lit("musicbrainz_recordingid")),
+                    F.lit("musicbrainz_trackid"),
+                ).otherwise(k),
+            ),
+        ),
+    )
+    cleaned = clean_tags(renamed)
+    return cleaned.select(
+        "id", F.explode(F.col("data.metadata.tags")).alias("tag", "vals")
+    ).select("id", "tag", F.array_join("vals", "|").alias("val"))

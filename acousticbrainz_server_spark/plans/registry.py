@@ -75,13 +75,15 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_sessionize",
     "ngram_jaccard_neardup",
     "ann_ivf_kmeans_topk",
-    # -- new in round 4 (6) --
+    # -- new in round 4 (8) --
     "approx_distinct_sketch",
     "approx_quantile_sketch",
     "frequent_items_sketch",
     "bucketed_join_rollup",
     "ann_brute_cosine_topk",
     "embedding_kmeans_assign",
+    "embedding_quantize_int8",
+    "tag_whitelist_rewrite",
     # -- r2-green, rotated out of the r3 window: re-confirm (32) --
     "json_path_projection",
     "feature_projection_defaults",
@@ -121,8 +123,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "neardup_cluster_assign",
     "knn_exact_topk",
     "pricing_summary",
-    "daily_stats_rollup",
-    "submission_offset",
+    # submission_offset + daily_stats_rollup rotated out to hold the window
+    # at 50 — their W1/A8 semantics are still in-window via
+    # streaming_offsets_stateful / streaming_daily_counts oracles
 )
 
 

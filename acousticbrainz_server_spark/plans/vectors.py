@@ -660,3 +660,56 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir).select("vec_id", "v")
     centroids = kmeans_fit(v, k=8, max_iter=3, id_col="vec_id", vec_col="v", dim=64)
     return kmeans_assign(v, centroids, id_col="vec_id", vec_col="v").select("vec_id", "cell")
+
+
+# --------------------------------------------------------------------------------------
+# V3 scale path — int8 scalar quantization of the embedding corpus
+# --------------------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8",
+    family="V3,SKETCH",
+    doc="Per-dimension affine int8 quantization of the embedding corpus: "
+    "global min/max per dimension (one grouped agg over posexplode, exact "
+    "because min/max are order-insensitive), scale=(max-min)/255, "
+    "q=floor((x-min)/scale+0.5) clamped to [0,255] — the standard 4x memory "
+    "cut applied before ANN serving at corpus scale (quantized vectors + a "
+    "256-double dequant table per metric).  Stats are a broadcast dimension; "
+    "quantization itself is a shuffle-free projection.  Constant dimensions "
+    "(scale=0) quantize to 0 by convention.",
+    oracle="""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim_idx,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ),
+        s AS (
+          SELECT dim_idx, min(x) AS lo, max(x) AS hi,
+                 (max(x) - min(x)) / 255.0 AS scale
+          FROM e GROUP BY dim_idx
+        )
+        SELECT e.vec_id, e.dim_idx,
+               CAST(CASE WHEN s.scale = 0 THEN 0
+                    ELSE least(255, greatest(0, floor((e.x - s.lo) / s.scale + 0.5)))
+               END AS INTEGER) AS q
+        FROM e JOIN s USING (dim_idx)
+        WHERE e.vec_id < 30
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    e = v.select("vec_id", F.posexplode("v").alias("dim_idx", "x"))
+    stats = e.groupBy("dim_idx").agg(
+        F.min("x").alias("lo"), ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("scale")
+    )
+    q = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(255),
+            F.greatest(F.lit(0), F.floor((F.col("x") - F.col("lo")) / F.col("scale") + F.lit(0.5))),
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") < 30)
+        .join(F.broadcast(stats), "dim_idx")
+        .select("vec_id", "dim_idx", q.cast("int").alias("q"))
+    )

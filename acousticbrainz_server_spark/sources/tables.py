@@ -65,14 +65,15 @@ def _prep_events_session(spark: SparkSession, path: str) -> bool:
     on caller-provided sessions (e.g. the driver's) as well as ours:
     - nanosAsLong so TIMESTAMP(NANOS) parquet reads as BIGINT instead of
       crashing the vectorized reader;
-    - session timezone UTC so the micros-generation TIMESTAMP_NTZ ->
-      TIMESTAMP cast never shifts values under a non-UTC caller session.
+    - session timezone UTC in BOTH generations: the micros TIMESTAMP_NTZ ->
+      TIMESTAMP cast and every tz-sensitive rendering downstream (to_date,
+      window starts, date_trunc) must agree with the UTC-naive DuckDB oracle
+      even under a non-UTC caller session.
     """
     nanos = events_ts_is_nanos(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    else:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return nanos
 
 
