@@ -140,3 +140,39 @@ def tag_whitelist_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaned.select(
         "id", F.explode(F.col("data.metadata.tags")).alias("tag", "vals")
     ).select("id", "tag", F.array_join("vals", "|").alias("val"))
+
+
+# --------------------------------------------------------------------------------------
+# F15 — first-array-element extraction from the nested tag document
+# --------------------------------------------------------------------------------------
+def _first_artist_oracle() -> str:
+    from .metric_queries import AB_FIXTURE_DIR
+
+    return f"""
+        SELECT id,
+               data.metadata.tags['artist'][1][1] AS first_artist,
+               data.metadata.tags['title'][1][1] AS title
+        FROM read_parquet('{AB_FIXTURE_DIR}/lowlevel_json.parquet')
+    """
+
+
+@query(
+    "first_tag_element",
+    family="F15,P1",
+    doc="First-array-element extraction from nested tag lists — the "
+    "reference's `document['metadata']['tags']['artist'][0]` pattern "
+    "(dataset_eval/evaluate.py artist filter, db/data.py tag reads) as a "
+    "native nested projection; NULL-safe when the tag is absent.  The scan "
+    "reads only the tags map (nested-schema pruning).",
+    oracle=_first_artist_oracle(),
+)
+def first_tag_element(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .metric_queries import AB_FIXTURE_DIR
+
+    llj = spark.read.parquet(f"{AB_FIXTURE_DIR}/lowlevel_json.parquet")
+    tags = F.col("data.metadata.tags")
+    return llj.select(
+        "id",
+        F.element_at(F.element_at(tags, "artist"), 1).alias("first_artist"),
+        F.element_at(F.element_at(tags, "title"), 1).alias("title"),
+    )

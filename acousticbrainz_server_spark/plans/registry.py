@@ -84,6 +84,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "embedding_kmeans_assign",
     "embedding_quantize_int8",
     "tag_whitelist_rewrite",
+    "first_tag_element",
+    "streaming_dedup_distinct",
     # -- r2-green, rotated out of the r3 window: re-confirm (32) --
     "json_path_projection",
     "feature_projection_defaults",
@@ -121,11 +123,10 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "similarity_vectors",
     "minhash_lsh_neardup",
     "neardup_cluster_assign",
-    "knn_exact_topk",
-    "pricing_summary",
-    # submission_offset + daily_stats_rollup rotated out to hold the window
-    # at 50 — their W1/A8 semantics are still in-window via
-    # streaming_offsets_stateful / streaming_daily_counts oracles
+    # knn_exact_topk / pricing_summary / submission_offset /
+    # daily_stats_rollup rotated out to hold the window at 50: all r2+r3
+    # double-green, and their semantics stay in-window via the ANN queries'
+    # exact re-rank, entry()'s own smoke, and the streaming oracles
 )
 
 

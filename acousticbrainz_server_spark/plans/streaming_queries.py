@@ -155,3 +155,38 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.floor(F.col("_tv") * 10000.0 + F.lit(0.5)) / 10000.0).alias("total_value"),
     )
+
+
+_DEDUP_SINK = "streaming_dedup_sink"
+
+
+@query(
+    "streaming_dedup_distinct",
+    family="§2.11,E1,E2",
+    doc="Streaming exact dedup as a REAL dropDuplicates stream over the "
+    "bounded events replay (streaming/ingest_stream.py:84's pattern): the "
+    "stream is projected to the dedup key BEFORE dropDuplicates, so which "
+    "arrival wins is immaterial and the sink equals the batch DISTINCT — "
+    "hash-proving the streaming dedup state machine against the batch "
+    "semantics.  State is O(distinct keys); when keys only repeat within a "
+    "time horizon, dropDuplicatesWithinWatermark bounds it by the watermark "
+    "instead (the 100 TB default).",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    dd = (
+        ev.select("ts", "user_id", "event_type")
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(_DEDUP_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_DEDUP_SINK)
