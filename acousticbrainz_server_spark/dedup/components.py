@@ -13,10 +13,10 @@ when a round changes nothing.  Rounds = O(component diameter) — near-dup
 components are small and dense (they exist because their members are copies
 of each other), so this converges in a handful of rounds; the driver checks
 an exact changed-count per round (one action) and stops early.  For
-adversarially long path-shaped graphs at 100 TB, swap the body for the
-large-star/small-star alternation (Kiveris et al., "Connected Components in
-MapReduce and Beyond"), which contracts paths in O(log²) rounds — the
-driver-loop skeleton stays identical.
+adversarially long path-shaped graphs the loop AUTOMATICALLY falls back to
+the large-star/small-star alternation (:func:`connected_components_star`,
+after Kiveris et al., "Connected Components in MapReduce and Beyond"),
+which contracts any graph in O(log² n) rounds regardless of diameter.
 
 Each round is one shuffle: edges ⋈ labels (on src) → groupBy dst min.  Edge
 relation is symmetrized once up front; labels carry (vertex, label) only.
@@ -103,18 +103,124 @@ def connected_components(
     sym.unpersist()
     if not converged:
         # partially-converged labels are WRONG labels — never return them
-        # silently (a diameter > max_iter graph needs large-star/small-star
-        # or a bigger budget)
-        raise RuntimeError(
-            f"connected_components did not reach a fixpoint within max_iter={max_iter} "
-            f"rounds (label sum still changing: {prev_sum}); raise max_iter or switch "
-            "to the large-star/small-star variant for long-diameter graphs"
+        # silently.  A diameter > max_iter graph is exactly what the
+        # large-star/small-star alternation contracts in O(log² n) rounds,
+        # so fall back to it (same contract, proven round bound) instead of
+        # failing the job.
+        return connected_components_star(
+            nodes, edges, id_col=id_col, src_col=src_col, dst_col=dst_col
         )
     components = labels.select(F.col("v").alias(id_col), F.col("lbl").alias("component"))
     singletons = nodes.select(F.col(id_col)).join(
         components.select(id_col), id_col, "left_anti"
     ).select(F.col(id_col), F.col(id_col).cast("long").alias("component"))
     return components.union(singletons)
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Canonical directed edge set: (a > b), deduped, no self-loops."""
+    return (
+        df.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node links its LARGER neighbours to its minimum.
+
+    For each u over the symmetrized neighbourhood: m = min(Γ(u) ∪ {u});
+    emit (v, m) for v ∈ Γ(u), v > u.  (Kiveris et al., §3.)
+    """
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("_mb"))
+    m = mins.select("a", F.least(F.col("a"), F.col("_mb")).alias("m"))
+    return (
+        sym.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node re-points its SMALLER neighbours (and itself)
+    at the minimum of that set.
+
+    Input directed (a > b); for each a: m = min(Γ⁻(a)); emit (v, m) for
+    v ∈ Γ⁻(a) ∪ {a}, v ≠ m.  (Kiveris et al., §3.)
+    """
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    to_small = edges.join(mins, "a").filter(F.col("b") != F.col("m")).select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    to_self = mins.select("a", F.col("m").alias("b"))
+    return to_small.union(to_self)
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(id, component) via large-star/small-star alternation — the
+    long-diameter escape hatch for :func:`connected_components`.
+
+    Each round is two grouped aggregations + joins over the edge relation
+    and provably contracts any graph in O(log² n) rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm, independent implementation), vs min-label propagation's
+    O(diameter).  Preferred when components can be path-shaped (chains of
+    borderline near-dups); the default hook+jump loop wins on the short,
+    dense components real near-dup graphs produce.
+
+    At 100 TB: the edge relation shrinks toward one star edge per non-root
+    node; every round's shuffles are edge-partitioned (never node-adjacency
+    materialized), and localCheckpoint truncates the per-round lineage.
+    """
+    cur = _canon(
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    ).localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame):
+        # (count, xor-of-row-hashes): order-insensitive, overflow-free (ANSI
+        # mode rejects a sum of 2^63-scale hashes), collision-safe because
+        # the canonical edge set is distinct
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
+        ).first()
+
+    prev = _sig(cur)
+    converged = False
+    for _ in range(max_rounds):
+        # star rounds change edge ORIENTATION toward component minima; the
+        # canonical form stabilizes exactly at the star fixpoint
+        nxt = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        sig = _sig(nxt)
+        cur = nxt
+        if (sig["n"], sig["h"]) == (prev["n"], prev["h"]):
+            converged = True
+            break
+        prev = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds — "
+            "this exceeds the O(log² n) bound and indicates a bug, not a data issue"
+        )
+    # fixpoint edges are (v, component_min) stars; roots appear only as b
+    members = cur.select(F.col("a").alias(id_col), F.col("b").alias("component"))
+    roots = cur.select(F.col("b").alias(id_col)).distinct().withColumn(
+        "component", F.col(id_col).cast("long")
+    )
+    labelled = members.union(roots.select(id_col, "component"))
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(labelled.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).cast("long").alias("component"))
+    )
+    return labelled.union(singletons)
 
 
 def neardup_clusters(

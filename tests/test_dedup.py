@@ -149,12 +149,59 @@ def test_shingle_join_doc_freq_cap(spark):
     assert capped == uncapped == {(1, 2), (3, 4), (5, 6)}
 
 
-def test_connected_components_raises_on_nonconvergence(spark):
+def test_connected_components_falls_back_to_star_on_nonconvergence(spark):
     from acousticbrainz_server_spark.dedup.components import connected_components
-    import pytest
 
     nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
-    # path graph 1-2-...-8; max_iter=1 cannot converge
+    # path graph 1-2-...-8; max_iter=1 cannot converge in the hook+jump loop,
+    # so the large-star/small-star fallback must produce the labels instead
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "src long, dst long")
-    with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(nodes, edges, max_iter=1)
+    comp = {r["id"]: r["component"] for r in connected_components(nodes, edges, max_iter=1).collect()}
+    assert comp == {i: 1 for i in range(1, 9)}
+
+
+def test_star_matches_hook_and_jump_on_random_graphs(spark):
+    import random
+
+    from acousticbrainz_server_spark.dedup.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        ids = list(range(1, n + 1))
+        edges = [
+            (rng.choice(ids), rng.choice(ids)) for _ in range(rng.randint(10, 40))
+        ]
+        nodes_df = spark.createDataFrame([(i,) for i in ids], "id long")
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+        a = {r["id"]: r["component"] for r in connected_components(nodes_df, edges_df).collect()}
+        b = {r["id"]: r["component"] for r in connected_components_star(nodes_df, edges_df).collect()}
+        assert a == b, f"trial {trial}: label mismatch"
+
+
+def test_star_on_long_path_and_singletons(spark):
+    from acousticbrainz_server_spark.dedup.components import connected_components_star
+
+    # 120-node path with scrambled ids (worst case for label propagation),
+    # plus isolated vertices that must come back as singleton components
+    import random
+
+    rng = random.Random(13)
+    perm = list(range(1, 121))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(len(perm) - 1)]
+    nodes = [(i,) for i in range(1, 131)]  # 121..130 isolated
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components_star(
+            spark.createDataFrame(nodes, "id long"),
+            spark.createDataFrame(edges, "src long, dst long"),
+        ).collect()
+    }
+    assert len(comp) == 130
+    assert {comp[p] for p in perm} == {1}
+    for i in range(121, 131):
+        assert comp[i] == i
