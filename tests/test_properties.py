@@ -80,3 +80,44 @@ def test_duckdb_int_div_truncates_unlike_python(x):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=2, max_value=7),
+    st.sampled_from([0.01, 0.02, 0.05, 0.1, 0.25]),
+)
+def test_misra_gries_partition_superset_guarantee(items, n_parts, batch_size, support):
+    """The invariant frequent_items_sketch's exactness rests on: for ANY
+    partitioning and ANY batch slicing, every item with global count >=
+    ceil(support*N) survives in at least one partition's Misra-Gries summary
+    (so the exact recount sees it)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from acousticbrainz_server_spark.operators.sketch import _mg_partition_candidates
+
+    items = [f"i{x}" for x in items]
+    n_counters = max(8, math.ceil(2.0 / support))
+    kernel = _mg_partition_candidates("item", n_counters)
+
+    # deterministic round-robin partitioning, then slice each partition into
+    # Arrow-batch-sized pieces exactly as mapInPandas would deliver them
+    candidates: set[str] = set()
+    for p in range(n_parts):
+        part = items[p::n_parts]
+        batches = [
+            pd.DataFrame({"item": part[i : i + batch_size]})
+            for i in range(0, len(part), batch_size)
+        ] or [pd.DataFrame({"item": []})]
+        for out in kernel(iter(batches)):
+            candidates.update(out["item"].tolist())
+
+    n = len(items)
+    thr = math.ceil(support * n)
+    heavy = {k for k, c in Counter(items).items() if c >= thr}
+    assert heavy <= candidates, f"lost heavy hitters: {heavy - candidates}"
