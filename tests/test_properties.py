@@ -26,10 +26,15 @@ def _py_round_half_up(x: float, digits: int) -> float:
 @settings(max_examples=300, deadline=None)
 @given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), st.integers(min_value=0, max_value=6))
 def test_round_half_up_matches_duckdb(x, digits):
-    # CAST to DOUBLE: a bare literal may parse as DECIMAL, which is NOT the
-    # type oracle columns have (parquet doubles) and overflows on multiply
+    # Bind the double NATIVELY (parameter, not a repr'd literal): oracle
+    # values flow from parquet as binary doubles, so that is the contract —
+    # and DuckDB's string->double parse is 1 ulp off Python's for some
+    # literals (found by hypothesis: 900719925.7082665), which is a parser
+    # property, not a rounding-kernel property.
     scale = float(10**digits)
-    got = duckdb.sql(f"SELECT floor(CAST({x!r} AS DOUBLE) * {scale} + 0.5) / {scale}").fetchone()[0]
+    got = duckdb.execute(
+        "SELECT floor(CAST(? AS DOUBLE) * ? + 0.5) / ?", [x, scale, scale]
+    ).fetchone()[0]
     assert got == _py_round_half_up(x, digits)
 
 
