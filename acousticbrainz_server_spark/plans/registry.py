@@ -86,6 +86,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "tag_whitelist_rewrite",
     "first_tag_element",
     "streaming_dedup_distinct",
+    "benchmark_contamination",
     # -- r2-green, rotated out of the r3 window: re-confirm (32) --
     "json_path_projection",
     "feature_projection_defaults",
@@ -118,7 +119,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "left_join_keep_unmatched",
     "point_lookup_batch",
     "count_distinct_split",
-    "count_per_key",
+    # count_per_key rotated out (double-green; A2 semantics still in-window
+    # via count_distinct_split and frequent_items_sketch's grouped recount)
     # -- r3-green heavy hitters: keep a few regression re-checks in-window --
     "similarity_vectors",
     "minhash_lsh_neardup",

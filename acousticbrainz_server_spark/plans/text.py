@@ -471,3 +471,75 @@ def pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(prefix_excl / _PACK_BUDGET).cast("int").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Benchmark decontamination — eval-set n-gram overlap (the training-data gate)
+# --------------------------------------------------------------------------------------
+_CONTAM_N = 5  # n-gram order
+_CONTAM_MIN_OVERLAP = 5  # shingles shared with the eval set => contaminated
+
+
+@query(
+    "benchmark_contamination",
+    family="DEDUP,TEXT",
+    doc="Benchmark decontamination: flag training documents sharing word "
+    f"{_CONTAM_N}-grams with an evaluation set (docs with doc_id < 10 stand "
+    "in for the benchmark corpus).  Eval shingles are a broadcast dimension "
+    "(real benchmarks are tiny next to the corpus); each doc counts its "
+    "DISTINCT shingles and the overlap via one broadcast join — the corpus "
+    "is scanned once, never shuffled on the shingle key.  contaminated = "
+    f"overlap >= {_CONTAM_MIN_OVERLAP}.  The standard pre-training hygiene "
+    "pass (eval-set leakage removal), exact by construction.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 list_aggregate(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_N} - 1 AS INTEGER)], 'string_agg', ' ') AS s
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CONTAM_N} + 2)) AS i FROM tok)
+        ),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        ov AS (
+          SELECT sh.doc_id, count(*) AS n_overlap
+          FROM sh JOIN ev ON sh.s = ev.s
+          GROUP BY sh.doc_id
+        ),
+        sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        SELECT sz.doc_id, sz.n_shingles,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               coalesce(ov.n_overlap, 0) >= {_CONTAM_MIN_OVERLAP} AS contaminated
+        FROM sz LEFT JOIN ov ON sz.doc_id = ov.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = _CONTAM_N
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    # guard sub-n-token docs: sequence(0, negative) would run DESCENDING in
+    # Spark and index off the array; DuckDB's range() is empty there, so the
+    # doc must simply produce zero shingles in both engines
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    sh = d.select(F.col("doc_id"), F.explode(F.array_distinct(grams)).alias("s"))
+    ev = sh.filter(F.col("doc_id") < 10).select("s").distinct()
+    ov = (
+        sh.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sz.join(ov, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(_CONTAM_MIN_OVERLAP)).alias(
+            "contaminated"
+        ),
+    )
