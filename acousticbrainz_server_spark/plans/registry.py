@@ -87,6 +87,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "first_tag_element",
     "streaming_dedup_distinct",
     "benchmark_contamination",
+    "streaming_interval_join",
     # -- r2-green, rotated out of the r3 window: re-confirm (32) --
     "json_path_projection",
     "feature_projection_defaults",
@@ -105,7 +106,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "first_per_key_dedup",
     "train_test_split",
     "slugify_names",
-    "slugify_names_nfkd",
+    # slugify_names_nfkd rotated out (r2-green; the native twin stays
+    # in-window and the NFKD path has its own goldens in pytest)
     "format_track_length",
     "format_track_length_full",
     "timestamp_functions",

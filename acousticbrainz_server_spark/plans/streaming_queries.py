@@ -190,3 +190,69 @@ def streaming_dedup_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_DEDUP_SINK)
+
+
+_JOIN_SINK = "streaming_join_sink"
+
+
+@query(
+    "streaming_interval_join",
+    family="§2.11,J1,P9",
+    doc="Stream-stream interval join (purchase attribution): two watermarked "
+    "event streams joined on user_id with a 1-hour event-time constraint "
+    "(click within the hour BEFORE the purchase) — Structured Streaming's "
+    "state-bounded two-sided join, run to completion with availableNow and "
+    "hash-compared against the batch interval join.  The time constraint + "
+    "watermarks are what let the engine EVICT join state at 100 TB: each "
+    "side buffers only rows inside the watermark horizon, vs an unbounded "
+    "buffer without them.",
+    oracle="""
+        SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+               epoch_ns(a.ts) // 1000 AS p_ts_us, epoch_ns(b.ts) // 1000 AS c_ts_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'purchase' AND b.event_type = 'click'
+         AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts
+    """,
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - interval 1 hour AND p_ts"),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(_JOIN_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_JOIN_SINK)
