@@ -208,7 +208,10 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # process-unique tag: concurrent harness processes (bench + gate) must
+    # never overwrite each other's bucket files; within one session the
+    # catalog's tableExists makes the write once-only anyway
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), "abspark_bucketed", tag)
     for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         tbl = f"bjr_{name}_{tag}"
