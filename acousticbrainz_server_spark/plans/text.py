@@ -480,6 +480,33 @@ _CONTAM_N = 5  # n-gram order
 _CONTAM_MIN_OVERLAP = 5  # shingles shared with the eval set => contaminated
 
 
+def _contam_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, s): distinct word n-gram shingles per document.
+
+    Shape matters: an array-building ``transform(sequence(...), lambda)``
+    is a higher-order function Spark INTERPRETS per element (measured 11 s
+    at sf0.1); posexplode + window ``lead`` stays inside whole-stage
+    codegen (same 250k shingles in 0.8 s).  The one shuffle (by doc_id) is
+    the window's — embarrassingly parallel across docs at any scale.  Docs
+    under n tokens produce zero shingles (the trailing lead is NULL), same
+    as DuckDB's empty range().
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    n = _CONTAM_N
+    e = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(" ", F.col("t"), *[F.lead("t", k).over(w) for k in range(1, n)])
+    return (
+        e.select("doc_id", gram.alias("s"), F.lead("t", n - 1).over(w).alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+
+
 @query(
     "benchmark_contamination",
     family="DEDUP,TEXT",
@@ -514,32 +541,23 @@ _CONTAM_MIN_OVERLAP = 5  # shingles shared with the eval set => contaminated
     """,
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens
-
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = _CONTAM_N
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-    )
-    # guard sub-n-token docs: sequence(0, negative) would run DESCENDING in
-    # Spark and index off the array; DuckDB's range() is empty there, so the
-    # doc must simply produce zero shingles in both engines
-    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    sh = d.select(F.col("doc_id"), F.explode(F.array_distinct(grams)).alias("s"))
-    ev = sh.filter(F.col("doc_id") < 10).select("s").distinct()
-    ov = (
-        sh.join(F.broadcast(ev), "s")
+    sh = _contam_shingles(d)
+    ev = _contam_shingles(d.filter(F.col("doc_id") < 10)).select("s").distinct()
+    # single pass over the corpus shingles: mark eval hits via the broadcast
+    # join, then count total + hits in ONE grouped aggregation
+    hit = F.broadcast(ev.withColumn("_hit", F.lit(1)))
+    per_doc = (
+        sh.join(hit, "s", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+        )
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return sz.join(ov, "doc_id", "left").select(
+    return per_doc.select(
         "doc_id",
         "n_shingles",
-        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(_CONTAM_MIN_OVERLAP)).alias(
-            "contaminated"
-        ),
+        "n_overlap",
+        (F.col("n_overlap") >= F.lit(_CONTAM_MIN_OVERLAP)).alias("contaminated"),
     )
