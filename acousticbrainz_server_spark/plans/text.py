@@ -158,25 +158,37 @@ _FP_B = 31
     """,
 )
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window-lead formulation (vs the array transform/aggregate the oracle
+    # spells): per-char explode + two codegen'd window passes.  Array-HOF
+    # lambdas are INTERPRETED in Spark (same lesson as
+    # benchmark_contamination — measured ~10x); lead/least stay inside
+    # whole-stage codegen.  The rolling hash (acc*B + c) % M iterated over
+    # k chars equals (Σ c_j·B^(k-1-j)) % M — with B=31, k=7, c≤0x10FFFF the
+    # power sum peaks ~1e15 < 2^63, so one final mod is exact.
+    from pyspark.sql import Window
+
     d = (
         load_table(spark, sf_dir, "documents")
         .filter((F.col("doc_id") < 300) & (F.length("text") >= _FP_K + _FP_W - 1))
     )
-    hs = F.transform(
-        F.sequence(F.lit(1), F.length("text") - _FP_K + 1),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(0), F.lit(_FP_K - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: (acc * _FP_B + F.ascii(F.col("text").substr(i + j, F.lit(1)))) % _FP_M,
-        ),
+    chars = d.select("doc_id", F.posexplode(F.split(F.col("text"), "")).alias("pos", "c"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    a = F.ascii("c").cast("long")
+    kgram_hash = (
+        sum(
+            (F.lead(a, j).over(w) if j else a) * F.lit(_FP_B ** (_FP_K - 1 - j))
+            for j in range(_FP_K)
+        )
+        % _FP_M
     )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("hs")) - _FP_W + 1),
-        lambda p: F.array_min(F.slice(F.col("hs"), p, _FP_W)),
-    )
+    hashed = chars.select("doc_id", "pos", kgram_hash.alias("h")).filter(F.col("h").isNotNull())
+    win_min = F.least(*[(F.lead("h", p).over(w) if p else F.col("h")) for p in range(_FP_W)])
+    last_in_win = F.lead("h", _FP_W - 1).over(w)
     return (
-        d.select("doc_id", hs.alias("hs"))
-        .select("doc_id", F.explode(F.array_distinct(wins)).alias("fingerprint"))
+        hashed.select("doc_id", win_min.alias("fingerprint"), last_in_win.alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select("doc_id", "fingerprint")
+        .distinct()
     )
 
 
