@@ -256,3 +256,45 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(_JOIN_SINK)
+
+
+_ENRICH_SINK = "streaming_enrich_sink"
+
+
+@query(
+    "streaming_enrich_dim",
+    family="§2.11,J3",
+    doc="Stream-static enrichment: the events stream left-joins a broadcast "
+    "customer dimension per micro-batch (streaming/ingest_stream.py:90) — "
+    "stateless, no stream-side shuffle, and the dim is re-resolved each "
+    "batch so slowly-changing dimensions pick up updates mid-stream.  The "
+    "contrast case to streaming_interval_join's stateful buffering; "
+    "hash-equal to the batch left join.",
+    oracle="""
+        SELECT e.event_id, e.user_id, c.c_mktsegment
+        FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def streaming_enrich_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.ingest_stream import streaming_enrich
+
+    ev = load_events_stream(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("c_custkey"), F.col("user_id")
+    )
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = streaming_enrich(ev, dim, on="c_custkey", how="left").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(_ENRICH_SINK)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(_ENRICH_SINK)

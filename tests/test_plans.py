@@ -315,3 +315,13 @@ def test_kmeans_assign_is_shuffle_free(spark):
     plan = _plan(assigned)
     # the cell column comes from a mapInPandas over the scan: no Exchange
     assert "Exchange" not in plan, plan
+
+
+def test_fingerprint_queries_stay_codegen(spark):
+    # the interpreted-HOF regression guard: shingle/hash generation must run
+    # as window functions (codegen), not array-building lambdas, and no
+    # Python UDF may appear in these hot paths
+    for name in ("winnow_fingerprint", "benchmark_contamination"):
+        plan = _plan(QUERIES[name].spark_fn(spark, SF_SMOKE))
+        assert "Window" in plan, f"{name}: expected window-based shingling\n{plan}"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
