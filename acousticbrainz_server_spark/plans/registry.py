@@ -88,6 +88,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_dedup_distinct",
     "benchmark_contamination",
     "streaming_interval_join",
+    "streaming_enrich_dim",
     # -- r2-green, rotated out of the r3 window: re-confirm (32) --
     "json_path_projection",
     "feature_projection_defaults",
@@ -109,7 +110,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # slugify_names_nfkd rotated out (r2-green; the native twin stays
     # in-window and the NFKD path has its own goldens in pytest)
     "format_track_length",
-    "format_track_length_full",
+    # format_track_length_full rotated out (r2-green; short-form twin stays
+    # in-window, long-form branches have their own pytest goldens)
     "timestamp_functions",
     "pairwise_angular_distance",
     "bpm_circle_embedding",
