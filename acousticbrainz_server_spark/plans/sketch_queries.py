@@ -234,3 +234,71 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.table(f"bjr_orders_{tag}")
     customer = spark.table(f"bjr_customer_{tag}")
     return orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+
+
+# --------------------------------------------------------------------------------------
+# Z-order (Morton) clustering key — the multi-dimensional sort/layout primitive
+# --------------------------------------------------------------------------------------
+# 2-D interleave magic numbers (spread one bit into every OTHER position);
+# pinned against a bit-by-bit python reference in tests/test_sketch.py —
+# the 3-D Morton constants look deceptively similar and hash-match
+# cross-engine while being semantically wrong
+_MORTON_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_sql(expr: str) -> str:
+    """21-bit -> every-other-bit spread, DuckDB SQL form.
+
+    Each step is ``(x & m) | ((x & (m >> s)) << s)`` — algebraically equal
+    to the classic ``(x | x << s) & m`` but the operand is pre-masked so the
+    shift never leaves 64 bits (DuckDB raises on checked shift overflow).
+    """
+    out = f"(({expr}) & 2097151)"
+    for shift, mask in _MORTON_MASKS:
+        out = f"((({out} & {mask}) | (({out} & {mask >> shift}) << {shift})))"
+    return out
+
+
+def _spread_col(col):
+    """Same pre-masked magic-number spread as native Spark bit expressions."""
+    out = col.bitwiseAND(F.lit(2097151))
+    for shift, mask in _MORTON_MASKS:
+        out = (out.bitwiseAND(F.lit(mask))).bitwiseOR(
+            F.shiftleft(out.bitwiseAND(F.lit(mask >> shift)), shift)
+        )
+    return out
+
+
+@query(
+    "zorder_index_key",
+    family="LAYOUT,F5",
+    doc="Z-order (Morton) clustering key over (user_id, event-hour): the "
+    "classic magic-number bit spread interleaves two 21-bit dimensions into "
+    "one BIGINT sort key, entirely in native integer expressions (portable "
+    "to the oracle bit-for-bit).  Sorting/partitioning a 100 TB fact table "
+    "by this key gives min/max file statistics that prune BOTH predicates "
+    "(user range AND time range) — the layout move behind SCALE.md's "
+    "'Z-ORDER within partitions' position, and what Delta/Iceberg OPTIMIZE "
+    "ZORDER computes under the hood.",
+    oracle=f"""
+        SELECT event_id, user_id,
+               epoch_ns(ts) // 3600000000000 AS ts_hour,
+               {_spread_sql('user_id')} | ({_spread_sql('epoch_ns(ts) // 3600000000000')} << 1) AS zkey
+        FROM events WHERE event_id < 2000
+    """,
+)
+def zorder_index_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ts_hour = F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+    zkey = _spread_col(F.col("user_id")).bitwiseOR(
+        F.shiftleft(_spread_col(ts_hour), 1)
+    )
+    return ev.select(
+        "event_id", "user_id", ts_hour.alias("ts_hour"), zkey.alias("zkey")
+    )

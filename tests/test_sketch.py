@@ -140,3 +140,27 @@ def test_events_ts_generations_batch_and_stream(spark, tmp_path, unit):
     row = spark.table(sink).collect()[0]
     assert row["n"] == 48
     assert row["first_ts"].isoformat() == "2023-11-14T22:13:20"
+
+
+def test_morton_spread_matches_bitwise_reference():
+    """Cross-engine hash equality can't catch a semantically wrong spread
+    (both engines would compute the same wrong key) — pin the magic-number
+    cascade to a bit-by-bit reference."""
+    import duckdb
+
+    from acousticbrainz_server_spark.plans.sketch_queries import _spread_sql
+
+    def py_spread(x: int) -> int:
+        x &= (1 << 21) - 1
+        out = 0
+        for i in range(21):
+            out |= ((x >> i) & 1) << (2 * i)
+        return out
+
+    con = duckdb.connect()
+    for v in [0, 1, 2, 3, 5, 1000, 123456, 2097151]:
+        got = con.execute(f"SELECT {_spread_sql(str(v))}").fetchone()[0]
+        assert got == py_spread(v), f"spread({v}): {got} != {py_spread(v)}"
+    a, b = 1234, 567
+    got = con.execute(f"SELECT {_spread_sql(str(a))} | ({_spread_sql(str(b))} << 1)").fetchone()[0]
+    assert got == py_spread(a) | (py_spread(b) << 1)
