@@ -38,12 +38,20 @@ def _mg_partition_candidates(item_col: str, n_counters: int):
     (m+1)-th count — same error bound as item-at-a-time MG).  Per Arrow batch
     this is one vectorized ``value_counts`` + an O(m log m) merge, not a
     Python loop per token — the summary state lives across the partition's
-    batches inside the generator."""
+    batches inside the generator.
+
+    Output: one candidate row per surviving counter (``_n`` NULL) plus ONE
+    sentinel row per partition carrying the partition's row count (item
+    NULL) — so the global N rides along with the sweep and the caller never
+    pays a separate count() pass over the stream.
+    """
     import pandas as pd
 
     def summarize(batches):
         acc = None
+        part_n = 0
         for pdf in batches:
+            part_n += len(pdf)
             counts = pdf[item_col].value_counts()
             acc = counts if acc is None else acc.add(counts, fill_value=0)
             if len(acc) > n_counters:
@@ -52,7 +60,12 @@ def _mg_partition_candidates(item_col: str, n_counters: int):
                 acc = acc.iloc[:n_counters] - cut
                 acc = acc[acc > 0]
         items = [] if acc is None else list(acc.index)
-        yield pd.DataFrame({item_col: pd.Series(items, dtype="object")})
+        yield pd.DataFrame(
+            {
+                item_col: pd.Series(items + [None], dtype="object"),
+                "_n": pd.Series([None] * len(items) + [part_n], dtype="object"),
+            }
+        )
 
     return summarize
 
@@ -63,21 +76,27 @@ def heavy_hitters(
     support: float,
     count_alias: str = "n",
 ) -> DataFrame:
-    """All items with count >= ceil(support * N), with their EXACT counts.
+    """All non-null items with count >= ceil(support * N), with EXACT counts.
 
-    ``items`` is the token stream (one row per occurrence).  Two jobs: the
-    MG candidate sweep (+ a count() for N), then the recount of candidates.
+    ``items`` is the token stream (one row per occurrence).  NULL items are
+    excluded from both the candidates and N (pandas value_counts drops them
+    and a semi-join can't match them; callers wanting a null group should
+    encode it as a sentinel string first).  Exactly two passes over the
+    stream: the MG candidate sweep (which also carries per-partition row
+    counts, so N needs no separate job), then the recount of candidates.
     """
     if not (0.0 < support < 1.0):
         raise ValueError(f"support must be in (0,1), got {support}")
     n_counters = max(8, math.ceil(2.0 / support))
-    stream = items.select(F.col(item_col).cast("string").alias(item_col))
-    n_total = stream.count()
-    threshold = math.ceil(support * n_total)
-    candidates = (
-        stream.mapInPandas(_mg_partition_candidates(item_col, n_counters), f"{item_col} STRING")
-        .distinct()
+    stream = items.select(F.col(item_col).cast("string").alias(item_col)).filter(
+        F.col(item_col).isNotNull()
     )
+    summary = stream.mapInPandas(
+        _mg_partition_candidates(item_col, n_counters), f"{item_col} STRING, _n LONG"
+    ).persist()
+    n_total = summary.agg(F.sum("_n")).first()[0] or 0
+    threshold = math.ceil(support * n_total)
+    candidates = summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
     return (
         stream.join(F.broadcast(candidates), item_col, "left_semi")
         .groupBy(item_col)

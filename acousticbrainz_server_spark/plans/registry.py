@@ -75,7 +75,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_sessionize",
     "ngram_jaccard_neardup",
     "ann_ivf_kmeans_topk",
-    # -- new in round 4 (8) --
+    # -- new in round 4 (15) --
     "approx_distinct_sketch",
     "approx_quantile_sketch",
     "frequent_items_sketch",
@@ -89,6 +89,10 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "benchmark_contamination",
     "streaming_interval_join",
     "streaming_enrich_dim",
+    "zorder_index_key",
+    # winnow_fingerprint re-enters: its r3 green certified the OLD array-HOF
+    # implementation; the round-4 window-lead rewrite must face the gate
+    "winnow_fingerprint",
     # -- r2-green, rotated out of the r3 window: re-confirm (32) --
     "json_path_projection",
     "feature_projection_defaults",
@@ -118,7 +122,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "dataset_snapshot_flat",
     "dataset_validation",
     "uuid_normalize",
-    "content_hash_dedup",
+    # content_hash_dedup rotated out (r2+r3 double-green; E2 exact-dedup
+    # semantics also exercised inside corpus_filter and content_upsert)
     "latest_per_group",
     "left_join_keep_unmatched",
     "point_lookup_batch",
@@ -126,8 +131,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # count_per_key rotated out (double-green; A2 semantics still in-window
     # via count_distinct_split and frequent_items_sketch's grouped recount)
     # -- r3-green heavy hitters: keep a few regression re-checks in-window --
+    # (minhash_lsh_neardup rotated out: its full pipeline runs inside
+    # neardup_cluster_assign's pair source, which stays)
     "similarity_vectors",
-    "minhash_lsh_neardup",
     "neardup_cluster_assign",
     # knn_exact_topk / pricing_summary / submission_offset /
     # daily_stats_rollup rotated out to hold the window at 50: all r2+r3

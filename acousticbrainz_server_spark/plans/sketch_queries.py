@@ -80,6 +80,10 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx quantiles (GK / t-digest) — band-checked against exact interpolated quantiles
 # --------------------------------------------------------------------------------------
 _QUANTILE_BAND = 0.025
+# absolute floor on the band: a pure relative band degenerates to zero
+# tolerance when the exact quantile is 0 (a distribution with median 0 would
+# demand the sketch be EXACTLY 0 and flake the cross-engine booleans)
+_QUANTILE_ABS_EPS = 1e-6
 
 
 @query(
@@ -97,9 +101,9 @@ _QUANTILE_BAND = 0.025
                {sql_round_half_up("quantile_cont(value, 0.5)", 4)} AS p50,
                {sql_round_half_up("quantile_cont(value, 0.9)", 4)} AS p90,
                abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-                 <= {_QUANTILE_BAND} * abs(quantile_cont(value, 0.5)) AS sketch_ok_p50,
+                 <= {_QUANTILE_BAND} * abs(quantile_cont(value, 0.5)) + {_QUANTILE_ABS_EPS} AS sketch_ok_p50,
                abs(approx_quantile(value, 0.9) - quantile_cont(value, 0.9))
-                 <= {_QUANTILE_BAND} * abs(quantile_cont(value, 0.9)) AS sketch_ok_p90
+                 <= {_QUANTILE_BAND} * abs(quantile_cont(value, 0.9)) + {_QUANTILE_ABS_EPS} AS sketch_ok_p90
         FROM events
         GROUP BY event_type
     """,
@@ -112,13 +116,13 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("_a50"),
         F.percentile_approx("value", 0.9, 10000).alias("_a90"),
     )
-    band = F.lit(_QUANTILE_BAND)
+    band, eps = F.lit(_QUANTILE_BAND), F.lit(_QUANTILE_ABS_EPS)
     return g.select(
         "event_type",
         round_half_up(F.col("_x50"), 4).alias("p50"),
         round_half_up(F.col("_x90"), 4).alias("p90"),
-        (F.abs(F.col("_a50") - F.col("_x50")) <= band * F.abs(F.col("_x50"))).alias("sketch_ok_p50"),
-        (F.abs(F.col("_a90") - F.col("_x90")) <= band * F.abs(F.col("_x90"))).alias("sketch_ok_p90"),
+        (F.abs(F.col("_a50") - F.col("_x50")) <= band * F.abs(F.col("_x50")) + eps).alias("sketch_ok_p50"),
+        (F.abs(F.col("_a90") - F.col("_x90")) <= band * F.abs(F.col("_x90")) + eps).alias("sketch_ok_p90"),
     )
 
 

@@ -276,16 +276,13 @@ _ENRICH_SINK = "streaming_enrich_sink"
     """,
 )
 def streaming_enrich_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
+    from ..sources.tables import load_table
     from ..streaming.ingest_stream import streaming_enrich
 
     ev = load_events_stream(spark, sf_dir).select(
         "event_id", F.col("user_id").alias("c_custkey"), F.col("user_id")
     )
-    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
-        "c_custkey", "c_mktsegment"
-    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     out = streaming_enrich(ev, dim, on="c_custkey", how="left").select(
         "event_id", "user_id", "c_mktsegment"
     )

@@ -113,6 +113,7 @@ def test_misra_gries_partition_superset_guarantee(items, n_parts, batch_size, su
     # deterministic round-robin partitioning, then slice each partition into
     # Arrow-batch-sized pieces exactly as mapInPandas would deliver them
     candidates: set[str] = set()
+    n_from_sentinels = 0
     for p in range(n_parts):
         part = items[p::n_parts]
         batches = [
@@ -120,9 +121,11 @@ def test_misra_gries_partition_superset_guarantee(items, n_parts, batch_size, su
             for i in range(0, len(part), batch_size)
         ] or [pd.DataFrame({"item": []})]
         for out in kernel(iter(batches)):
-            candidates.update(out["item"].tolist())
+            candidates.update(out["item"][out["item"].notna()].tolist())
+            n_from_sentinels += int(out["_n"][out["_n"].notna()].sum())
 
     n = len(items)
+    assert n_from_sentinels == n  # the sweep's ride-along row count is exact
     thr = math.ceil(support * n)
     heavy = {k for k, c in Counter(items).items() if c >= thr}
     assert heavy <= candidates, f"lost heavy hitters: {heavy - candidates}"
