@@ -90,6 +90,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_interval_join",
     "streaming_enrich_dim",
     "zorder_index_key",
+    "equidepth_histogram",
+    "funnel_stages",
     # winnow_fingerprint re-enters: its r3 green certified the OLD array-HOF
     # implementation; the round-4 window-lead rewrite must face the gate
     "winnow_fingerprint",
@@ -122,11 +124,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "dataset_snapshot_flat",
     "dataset_validation",
     "uuid_normalize",
-    # content_hash_dedup rotated out (r2+r3 double-green; E2 exact-dedup
-    # semantics also exercised inside corpus_filter and content_upsert)
-    "latest_per_group",
+    # content_hash_dedup, latest_per_group, point_lookup_batch rotated out
+    # (all r2+r3 double-green) in favor of never-checked round-4 queries
     "left_join_keep_unmatched",
-    "point_lookup_batch",
     "count_distinct_split",
     # count_per_key rotated out (double-green; A2 semantics still in-window
     # via count_distinct_split and frequent_items_sketch's grouped recount)

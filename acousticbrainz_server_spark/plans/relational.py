@@ -1187,3 +1187,115 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# A9/stats — equi-depth histogram (the optimizer-statistics collection operator)
+# --------------------------------------------------------------------------------------
+@query(
+    "equidepth_histogram",
+    family="A9,STATS",
+    doc="Equi-depth (equal-height) histogram of value per event_type via "
+    "ntile(8) over a TOTAL order (value, event_id — the tie-break is what "
+    "makes bucket assignment engine-independent): per-bucket count, min and "
+    "max boundaries.  Equi-depth histograms are what cost-based optimizers "
+    "collect for selectivity estimation (ANALYZE in the reference's "
+    "PostgreSQL collects exactly these); at 100 TB the same shape runs on a "
+    "percentile_approx sketch instead of the full sort.",
+    oracle=f"""
+        WITH t AS (
+          SELECT event_type, value,
+                 CAST(ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INTEGER) AS bucket
+          FROM events
+        )
+        SELECT event_type, bucket, count(*) AS n,
+               {sql_round_half_up('min(value)', 4)} AS lo,
+               {sql_round_half_up('max(value)', 4)} AS hi
+        FROM t GROUP BY event_type, bucket
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t = ev.select("event_type", "value", F.ntile(8).over(w).alias("bucket"))
+    return t.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(F.min("value"), 4).alias("lo"),
+        round_half_up(F.max("value"), 4).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# W-family — funnel analysis (ordered multi-step conversion)
+# --------------------------------------------------------------------------------------
+@query(
+    "funnel_stages",
+    family="W3,A2,FUNNEL",
+    doc="Ordered conversion funnel view -> click -> purchase per user: each "
+    "stage's timestamp is the EARLIEST event of that type at-or-after the "
+    "previous stage's timestamp (three conditional min-aggregations chained "
+    "by broadcast joins — never a per-user sort).  funnel_stage = how deep "
+    "the user got, the classic product-analytics rollup.",
+    oracle="""
+        WITH v AS (
+          SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               epoch_ns(v.v_ts) // 1000 AS view_ts_us,
+               epoch_ns(c.c_ts) // 1000 AS click_ts_us,
+               epoch_ns(p.p_ts) // 1000 AS purchase_ts_us,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         ELSE 1 END AS INTEGER) AS funnel_stage
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = c.user_id
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.join(p.select("user_id", "p_ts"), "user_id", "left")
+        .join(c.select("user_id", "c_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("v_ts").alias("view_ts_us"),
+            F.unix_micros("c_ts").alias("click_ts_us"),
+            F.unix_micros("p_ts").alias("purchase_ts_us"),
+            F.when(F.col("p_ts").isNotNull(), 3)
+            .when(F.col("c_ts").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("funnel_stage"),
+        )
+    )
