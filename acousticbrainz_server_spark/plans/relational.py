@@ -1299,3 +1299,35 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# E/W-family — SCD2 validity intervals (temporal table from a change stream)
+# --------------------------------------------------------------------------------------
+@query(
+    "scd2_value_history",
+    family="W1,E3,SCD2",
+    doc="Slowly-changing-dimension type-2 history: each user's event stream "
+    "becomes validity intervals [valid_from, valid_to) via one lead() window "
+    "over the total order (ts, event_id); the open (current) row has NULL "
+    "valid_to.  The warehouse temporal-table build — at 100 TB one window "
+    "pass partitioned by the entity key, no self-join.",
+    oracle="""
+        SELECT user_id, event_id,
+               floor(value * 10000.0 + 0.5) / 10000.0 AS value,
+               epoch_ns(ts) // 1000 AS valid_from_us,
+               lead(epoch_ns(ts) // 1000) OVER (
+                 PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS valid_to_us
+        FROM events
+    """,
+)
+def scd2_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        round_half_up(F.col("value"), 4).alias("value"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+    )

@@ -573,3 +573,48 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         (F.col("n_overlap") >= F.lit(_CONTAM_MIN_OVERLAP)).alias("contaminated"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Relative-quality corpus pruning — percentile-rank threshold (keep top share)
+# --------------------------------------------------------------------------------------
+_QPR_KEEP = 0.30  # keep the top 30% by quality within each language
+
+
+@query(
+    "quality_percentile_filter",
+    family="TXT,E5",
+    doc="Relative-quality corpus pruning: percent_rank over the composite "
+    "quality score WITHIN each language (doc_id tie-break for a total "
+    "order), keep the top 30% — how pretraining pipelines prune when the "
+    "budget is a SHARE of the corpus rather than an absolute quality bar "
+    "(absolute thresholds drift across languages/domains; ranks don't).  "
+    "One window pass; at 100 TB the same shape runs on approx quantile "
+    "cutoffs instead of a full per-language sort.",
+    oracle=f"""
+        WITH q AS (
+          SELECT doc_id, lang,
+                 {sql_round_half_up(sql_quality_score('text'), 4)} AS quality
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, lang, quality,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+          FROM q
+        )
+        SELECT doc_id, lang, quality, {sql_round_half_up('pr', 6)} AS quality_rank
+        FROM r WHERE pr >= 1.0 - {_QPR_KEEP}
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "lang", round_half_up(quality_score(F.col("text")), 4).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    r = q.withColumn("pr", F.percent_rank().over(w))
+    return r.filter(F.col("pr") >= 1.0 - _QPR_KEEP).select(
+        "doc_id", "lang", "quality", round_half_up(F.col("pr"), 6).alias("quality_rank")
+    )
