@@ -69,7 +69,11 @@ def _load_all() -> None:
 # rounds.  Names absent from this list keep registration order after it;
 # names listed but not registered are ignored.
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- round-3 reds, fixed this round (5) --
+    # -- round 5: the only two registered queries with no driver row ever
+    # (added after the r4 gate window closed; judge-verified green locally) --
+    "quality_percentile_filter",
+    "scd2_value_history",
+    # -- round-3 reds, fixed in round 4 (5) --
     "streaming_daily_counts",
     "streaming_offsets_stateful",
     "streaming_sessionize",
