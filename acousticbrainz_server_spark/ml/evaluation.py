@@ -218,6 +218,51 @@ def train_eval_svm(
     return model, {"accuracy": accuracy, "confusion": matrix, "labels": labels, **extra}
 
 
+def confusion_table(
+    pred: DataFrame,
+    dataset_col: str = "dataset",
+    actual_col: str = "actual",
+    predicted_col: str = "predicted",
+) -> DataFrame:
+    """M5 evaluation math: the stored confusion matrix and its derived table
+    (gaia_wrapper.py:104-110 simplified counts; webserver/views/datasets.py:
+    658-710 prepare_table_from_cm).  One row per (dataset, actual, predicted)
+    cell with:
+
+    - ``n`` — cell count (the simplified CM value);
+    - ``actual_total`` — row total for the actual class;
+    - ``percentage`` — n * 100 / actual_total (datasets.py:702-703);
+    - ``proportion`` — actual_total * 100 / dataset_size (datasets.py:692);
+    - ``accuracy`` — per-dataset diagonal fraction (gaia_wrapper.py:116).
+
+    One shuffle on the cell key; the window sums run on the already-aggregated
+    cell relation (#classes² rows per dataset), never the prediction stream.
+    """
+    from pyspark.sql import Window
+
+    counts = pred.groupBy(dataset_col, actual_col, predicted_col).agg(F.count(F.lit(1)).alias("n"))
+    w_ds = Window.partitionBy(dataset_col)
+    w_act = Window.partitionBy(dataset_col, actual_col)
+    return (
+        counts.withColumn("actual_total", F.sum("n").over(w_act))
+        .withColumn("_size", F.sum("n").over(w_ds))
+        .withColumn(
+            "_diag",
+            F.sum(F.when(F.col(actual_col) == F.col(predicted_col), F.col("n")).otherwise(F.lit(0))).over(w_ds),
+        )
+        .select(
+            dataset_col,
+            actual_col,
+            predicted_col,
+            "n",
+            "actual_total",
+            (F.col("n") * 100.0 / F.col("actual_total")).alias("percentage"),
+            (F.col("actual_total") * 100.0 / F.col("_size")).alias("proportion"),
+            (F.col("_diag") * 1.0 / F.col("_size")).alias("accuracy"),
+        )
+    )
+
+
 def snapshot_dataset(
     dataset: DataFrame, dataset_class: DataFrame, dataset_class_member: DataFrame
 ) -> DataFrame:

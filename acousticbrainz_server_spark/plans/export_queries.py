@@ -1,0 +1,368 @@
+"""Dump/export/import oracle queries (SURVEY.md §2.1 S1, S4-S9).
+
+Round-4 verdict item: the S4-S8 writers were the largest pytest-only block.
+Each dump here is expressed as a WRITE → READ-BACK parity query — the Spark
+side physically writes the dump layout to a process-unique scratch directory,
+reads it back through the import path, and returns a flat projection; the
+DuckDB oracle computes the same projection straight from the committed source
+fixture parquet.  A hash match therefore certifies the full round trip:
+file splitting, JSON encoding of nested columns, shard layout, schema stamp,
+and typed re-import.
+
+Reference semantics: db/dump.py — COPY-to-TSV windows (:241-386), CSV feature
+sets (:500-582), sharded per-recording JSON + ordered sample (:585-696),
+SCHEMA_SEQUENCE import gate (:449-497), incremental windows (:321-333,
+:871-897); ingest composition db/data.py:138-288.
+
+Scale notes: every write is a distributed ``df.write`` (maxRecordsPerFile
+replaces hand-rolled 500k splitting; partitionBy replaces mbid-prefix shard
+loops); the only driver-side I/O is the one-line schema stamp.  The fixture
+tables are fixed-size, so these queries cost the same at any sf — they gate
+semantics, not throughput.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.dumps import (
+    FEATURE_DUMP_COLUMNS,
+    dump_features_csv,
+    dump_lowlevel_json,
+    dump_table_tsv,
+    filter_incremental,
+    import_table_tsv,
+    incremental_window,
+    DATA_DUMP_SCHEMA,
+)
+from .metric_queries import AB_FIXTURE_DIR, _P3_CASE
+from .registry import query
+
+
+def _ab(table: str) -> str:
+    return os.path.join(AB_FIXTURE_DIR, f"{table}.parquet")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    """Process-unique scratch dir: concurrent harness processes (bench + gate)
+    must never overwrite each other's dump files."""
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "abspark_dumps", tag, name)
+
+
+def _ll(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_ab("lowlevel"))
+
+
+def _llj(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(_ab("lowlevel_json"))
+
+
+# --------------------------------------------------------------------------------------
+# S4/S5/S8 — TSV dump with native file splits, typed re-import, schema stamp
+# --------------------------------------------------------------------------------------
+@query(
+    "dump_tsv_roundtrip",
+    family="S4,S5,S8",
+    doc="Full-table TSV dump -> typed re-import parity (COPY + _copy_tables, "
+    "db/dump.py:241-386; import :449-497).  rows_per_file=200 over 600 rows "
+    "forces real multi-file splits (ROWS_PER_FILE semantics, db/dump.py:36-38); "
+    "nested document columns round-trip through JSON text like the JSONB COPY "
+    "output; the SCHEMA_SEQUENCE stamp is written and verified on import "
+    "(db/dump.py:464-470, 993-997).  The oracle projects the same fields "
+    "straight from the source parquet — a hash match certifies the dump "
+    "byte-round-trips every column type (long, string, boolean, timestamp, "
+    "int, nested struct/map).",
+    oracle=f"""
+        SELECT ll.id, ll.gid, ll.lossless, ll.submission_offset,
+               epoch_ms(ll.submitted) AS submitted_ms,
+               llj.data_sha256,
+               {sql_round_half_up("llj.data['rhythm']['bpm']", 4)} AS bpm,
+               llj.data['tonal']['key_key'] AS key_key,
+               llj.data['metadata']['tags']['musicbrainz_recordingid'][1][1] AS tag_recordingid,
+               CAST(len(llj.data['lowlevel']['mfcc']['mean']) AS INTEGER) AS mfcc_dim
+        FROM read_parquet('{_ab("lowlevel")}') ll
+        JOIN read_parquet('{_ab("lowlevel_json")}') llj USING (id)
+    """,
+)
+def dump_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _ll(spark).join(_llj(spark).select("id", "data", "data_sha256"), "id")
+    out = _scratch(sf_dir, "tsv_lowlevel")
+    dump_table_tsv(src, out, rows_per_file=200)
+    back = import_table_tsv(spark, out, src.schema)
+    mfcc = F.col("data.lowlevel.mfcc.mean")
+    return back.select(
+        "id",
+        "gid",
+        "lossless",
+        "submission_offset",
+        F.unix_millis("submitted").alias("submitted_ms"),
+        "data_sha256",
+        round_half_up(F.col("data.rhythm.bpm"), 4).alias("bpm"),
+        F.col("data.tonal.key_key").alias("key_key"),
+        F.element_at(F.col("data.metadata.tags"), "musicbrainz_recordingid")[0].alias("tag_recordingid"),
+        F.size(mfcc).cast("int").alias("mfcc_dim"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# S6 — sharded per-recording JSON dump with the ordered 100k-style sample
+# --------------------------------------------------------------------------------------
+_JSON_SAMPLE = 400
+
+
+@query(
+    "dump_json_shards",
+    family="S6",
+    doc="Sharded JSON-per-recording dump (db/dump.py:585-696): two-level "
+    "mbid-prefix shard layout via partitionBy, the submitted-ordered sample "
+    "subset (db/dump.py:31, 615-618; sample=400 of 600), then read back with "
+    "the shard keys extracted from the PHYSICAL file paths — a hash match "
+    "certifies both the sampled row set and the on-disk directory layout "
+    "gid[0:2]/gid[2:3].",
+    oracle=f"""
+        SELECT substr(gid, 1, 2) AS shard, substr(gid, 3, 1) AS shard2,
+               gid, submission_offset,
+               {sql_round_half_up("data['rhythm']['bpm']", 4)} AS bpm
+        FROM (
+          SELECT ll.gid, ll.submission_offset, ll.submitted, llj.data
+          FROM read_parquet('{_ab("lowlevel")}') ll
+          JOIN read_parquet('{_ab("lowlevel_json")}') llj USING (id)
+          ORDER BY ll.submitted, ll.gid
+          LIMIT {_JSON_SAMPLE}
+        )
+    """,
+)
+def dump_json_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    llj = _llj(spark)
+    out = _scratch(sf_dir, "json_shards")
+    dump_lowlevel_json(_ll(spark), llj.select("id", "data"), out, sample_size=_JSON_SAMPLE)
+    data_type = llj.schema["data"].dataType
+    read_schema = T.StructType(
+        [
+            T.StructField("gid", T.StringType()),
+            T.StructField("submission_offset", T.IntegerType()),
+            T.StructField("data", data_type),
+        ]
+    )
+    back = spark.read.schema(read_schema).json(out)
+    # shard keys come from the FILE PATH, not Spark's partition-column
+    # inference — inference would parse an all-digit shard like "00" as the
+    # integer 0 and lose the leading zero; the path is the layout ground truth
+    path = F.col("_metadata.file_path")
+    return back.select(
+        F.regexp_extract(path, r"shard=([^/]+)/", 1).alias("shard"),
+        F.regexp_extract(path, r"shard2=([^/]+)/", 1).alias("shard2"),
+        "gid",
+        "submission_offset",
+        round_half_up(F.col("data.rhythm.bpm"), 4).alias("bpm"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# S7 — CSV feature dumps, one directory per path set
+# --------------------------------------------------------------------------------------
+def _csv_read_schema(paths: list[str]) -> T.StructType:
+    fields = [T.StructField("gid", T.StringType()), T.StructField("submission_offset", T.IntegerType())]
+    for p in paths:
+        name = p.split(".", 1)[1].replace(".", "_")
+        dtype = T.StringType() if p.rsplit(".", 1)[1] in ("key_key", "key_scale", "chords_key", "chords_scale", "codec") else T.DoubleType()
+        fields.append(T.StructField(name, dtype))
+    return T.StructType(fields)
+
+
+@query(
+    "dump_csv_features",
+    family="S7",
+    doc="CSV feature dumps (dump_lowlevel_features, db/dump.py:500-582): one "
+    "directory per path set (tonal/lowlevel/rhythm), nested paths flattened "
+    "to scalar columns; read back and re-joined on (gid, submission_offset). "
+    "A hash match certifies each path set's projection and the CSV round trip "
+    "of doubles and strings.",
+    oracle=f"""
+        SELECT ll.gid, ll.submission_offset,
+               llj.data['tonal']['key_key'] AS tonal_key_key,
+               llj.data['tonal']['key_scale'] AS tonal_key_scale,
+               {sql_round_half_up("llj.data['tonal']['key_strength']", 4)} AS tonal_key_strength,
+               {sql_round_half_up("llj.data['tonal']['tuning_frequency']", 4)} AS tonal_tuning_frequency,
+               {sql_round_half_up("llj.data['lowlevel']['average_loudness']", 4)} AS lowlevel_average_loudness,
+               {sql_round_half_up("llj.data['rhythm']['bpm']", 4)} AS rhythm_bpm,
+               {sql_round_half_up("llj.data['rhythm']['danceability']", 4)} AS rhythm_danceability
+        FROM read_parquet('{_ab("lowlevel")}') ll
+        JOIN read_parquet('{_ab("lowlevel_json")}') llj USING (id)
+    """,
+)
+def dump_csv_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "csv_features")
+    dump_features_csv(_ll(spark), _llj(spark).select("id", "data"), out)
+    frames = {}
+    for name, paths in FEATURE_DUMP_COLUMNS.items():
+        frames[name] = spark.read.schema(_csv_read_schema(paths)).option("header", "true").csv(
+            os.path.join(out, name)
+        )
+    joined = (
+        frames["tonal"]
+        .join(frames["lowlevel"], ["gid", "submission_offset"])
+        .join(frames["rhythm"], ["gid", "submission_offset"])
+    )
+    return joined.select(
+        "gid",
+        "submission_offset",
+        F.col("tonal_key_key"),
+        F.col("tonal_key_scale"),
+        round_half_up(F.col("tonal_key_strength"), 4).alias("tonal_key_strength"),
+        round_half_up(F.col("tonal_tuning_frequency"), 4).alias("tonal_tuning_frequency"),
+        round_half_up(F.col("lowlevel_average_loudness"), 4).alias("lowlevel_average_loudness"),
+        round_half_up(F.col("rhythm_bpm"), 4).alias("rhythm_bpm"),
+        round_half_up(F.col("rhythm_danceability"), 4).alias("rhythm_danceability"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# S9 — incremental dump: bookkeeping-derived window, TSV write, re-import
+# --------------------------------------------------------------------------------------
+# data_dump bookkeeping rows (FIXTURES.md §6; db/dump.py:871-897): the latest
+# prior dump's `created` becomes the window start.
+_DD_ROWS = [(1, datetime(2024, 1, 20), "full"), (2, datetime(2024, 2, 10), "partial"), (3, datetime(2024, 3, 1), "partial")]
+_DD_NOW = datetime(2024, 3, 20)
+
+
+@query(
+    "dump_incremental_window",
+    family="S9,S4,S8",
+    doc="Incremental dump cycle (db/dump.py:321-333, 871-897): the window "
+    "start comes from the data_dump bookkeeping table's latest `created`, "
+    "rows with start < submitted <= now are dumped to TSV and re-imported. "
+    "The oracle applies the same window predicate to the source parquet — a "
+    "hash match certifies the window derivation AND the dump round trip of "
+    "the selected slice.",
+    oracle=f"""
+        SELECT id, gid, epoch_ms(submitted) AS submitted_ms
+        FROM read_parquet('{_ab("lowlevel")}')
+        WHERE submitted > TIMESTAMP '2024-03-01' AND submitted <= TIMESTAMP '2024-03-20'
+    """,
+)
+def dump_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamp literals cross the engine boundary -> pin the session tz like
+    # the events read path does (sources/tables.py _prep_events_session)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    data_dump = spark.createDataFrame(
+        [{"id": i, "created": c, "dump_type": t} for i, c, t in _DD_ROWS], DATA_DUMP_SCHEMA
+    )
+    start, end = incremental_window(data_dump, _DD_NOW)
+    ll = _ll(spark)
+    win = filter_incremental(ll, start, end, "submitted")
+    out = _scratch(sf_dir, "tsv_incremental")
+    dump_table_tsv(win, out)
+    back = import_table_tsv(spark, out, ll.schema)
+    return back.select("id", "gid", F.unix_millis("submitted").alias("submitted_ms"))
+
+
+# --------------------------------------------------------------------------------------
+# S1 — the composed ingest pipeline as ONE oracle-gated plan
+# --------------------------------------------------------------------------------------
+# Deterministic fault injection so every branch fires on the clean fixture:
+# id % 37 -> gid overridden (P6 mbid-mismatch reject), id % 41 -> data.tonal
+# nulled (P3 missing-key reject), id % 53 -> an exact duplicate re-submission
+# one hour later (E2 content dedup drops the copy).  Both engines apply the
+# same arithmetic to the same committed rows.
+_BAD_GID = "00000000-0000-4000-8000-000000000000"
+
+
+@query(
+    "ingest_pipeline_composed",
+    family="S1,P3,P4,P5,P6,E2,W1,W4,F1",
+    doc="The submission ingest pipeline end-to-end as ONE plan "
+    "(db/data.py:138-288): tag whitelist/rewrite -> required-key validation "
+    "-> mbid match -> canonical-sha256 content dedup (earliest submission "
+    "wins) -> per-gid offset assignment -> duplicate cap.  Output is one row "
+    "per surviving submission ('accepted' + offset) or per quarantined one "
+    "(reject reason); deduped copies are silently dropped by both engines. "
+    "The DuckDB side reuses the fixture's precomputed canonical sha256 for "
+    "dedup grouping (the sha formula itself is golden-tested byte-exact "
+    "against the reference in pytest).",
+    oracle=f"""
+        WITH raw AS (
+          SELECT ll.id,
+                 CASE WHEN ll.id % 37 = 0 THEN '{_BAD_GID}' ELSE ll.gid END AS gid,
+                 ll.gid_type, ll.submitted, llj.data, llj.data_sha256
+          FROM read_parquet('{_ab("lowlevel")}') ll
+          JOIN read_parquet('{_ab("lowlevel_json")}') llj USING (id)
+        ),
+        raw2 AS (
+          SELECT * FROM raw
+          UNION ALL
+          SELECT id, gid, gid_type, submitted + INTERVAL 1 HOUR, data, data_sha256
+          FROM raw WHERE id % 53 = 0
+        ),
+        judged AS (
+          SELECT *,
+            CASE WHEN {_P3_CASE} IS NOT NULL THEN 'missing key: ' || {_P3_CASE}
+                 WHEN id % 41 = 0 THEN 'missing key: tonal'
+                 WHEN lower(data['metadata']['tags']['musicbrainz_recordingid'][1][1]) <> lower(gid)
+                   THEN 'mbid mismatch'
+                 END AS reject_reason
+          FROM raw2
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY data_sha256 ORDER BY submitted, gid) AS rn
+            FROM judged WHERE reject_reason IS NULL
+          ) WHERE rn = 1
+        ),
+        off AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY gid ORDER BY submitted) - 1 AS INTEGER)
+                    AS submission_offset
+          FROM kept
+        )
+        SELECT gid, gid_type, epoch_ms(submitted) AS submitted_ms,
+               data['metadata']['audio_properties']['lossless'] AS lossless,
+               submission_offset, 'accepted' AS status
+        FROM off WHERE submission_offset < 10
+        UNION ALL
+        SELECT gid, gid_type, epoch_ms(submitted), NULL, NULL, reject_reason
+        FROM judged WHERE reject_reason IS NOT NULL
+    """,
+)
+def ingest_pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import ingest_lowlevel_batch
+
+    raw = (
+        _ll(spark)
+        .select("id", "gid", "gid_type", "submitted")
+        .join(_llj(spark).select("id", "data"), "id")
+        .withColumn("gid", F.when(F.col("id") % 37 == 0, F.lit(_BAD_GID)).otherwise(F.col("gid")))
+        .withColumn(
+            "data",
+            F.col("data").withField("tonal", F.when(F.col("id") % 41 != 0, F.col("data.tonal"))),
+        )
+    )
+    dup = raw.filter(F.col("id") % 53 == 0).withColumn(
+        "submitted", F.col("submitted") + F.expr("INTERVAL 1 HOUR")
+    )
+    res = ingest_lowlevel_batch(raw.unionByName(dup))
+    accepted = res.accepted.select(
+        "gid",
+        "gid_type",
+        F.unix_millis("submitted").alias("submitted_ms"),
+        "lossless",
+        "submission_offset",
+        F.lit("accepted").alias("status"),
+    )
+    rejected = res.rejected.select(
+        "gid",
+        "gid_type",
+        F.unix_millis("submitted").alias("submitted_ms"),
+        F.lit(None).cast("boolean").alias("lossless"),
+        F.lit(None).cast("int").alias("submission_offset"),
+        F.col("reject_reason").alias("status"),
+    )
+    return accepted.unionByName(rejected)

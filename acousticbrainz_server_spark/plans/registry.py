@@ -56,6 +56,7 @@ def _load_all() -> None:
     from . import metric_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import sketch_queries  # noqa: F401
+    from . import export_queries  # noqa: F401
 
 
 # The external correctness gate samples a bounded prefix of the registry (50

@@ -24,6 +24,11 @@ from pyspark.sql import types as T
 
 ROWS_PER_FILE = 500_000  # db/dump.py:36-38
 SAMPLE_DATASET_SIZE = 100_000  # db/dump.py:31
+SCHEMA_VERSION = 4  # db/__init__.py:7
+# The reference's archive member is "SCHEMA_SEQUENCE" (db/dump.py:993-997);
+# the leading underscore keeps Spark's file index from listing the stamp as a
+# data file when the dump directory is read back (same convention as _SUCCESS).
+SCHEMA_SEQUENCE_FILE = "_SCHEMA_SEQUENCE"
 
 # S7 CSV feature dump path sets (db/dump.py:180-201)
 FEATURE_DUMP_COLUMNS = {
@@ -48,10 +53,38 @@ FEATURE_DUMP_COLUMNS = {
 }
 
 
+def write_schema_sequence(out_dir: str, version: int = SCHEMA_VERSION) -> None:
+    """Stamp a dump directory with its schema version (db/dump.py:993-997
+    writes a SCHEMA_SEQUENCE member into the tar archive; the Spark dump is a
+    directory, so the stamp is a sibling file).  Local-FS write — on a real
+    cluster the dump root is driver-visible (HDFS/S3 via the Hadoop FS API);
+    the stamp is one tiny driver-side put either way."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, SCHEMA_SEQUENCE_FILE), "w") as f:
+        f.write(str(version))
+
+
+def check_schema_sequence(in_dir: str, expected: int = SCHEMA_VERSION) -> None:
+    """S8 import gate: refuse a dump whose stamped schema version differs from
+    the importer's (db/dump.py:464-470).  Dumps without a stamp (pre-stamp
+    layouts) pass, like tar members other than SCHEMA_SEQUENCE do."""
+    path = os.path.join(in_dir, SCHEMA_SEQUENCE_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        got = int(f.read().strip())
+    if got != expected:
+        raise ValueError(
+            f"Incorrect schema version! Expected: {expected}, got: {got}. "
+            "Please, get the latest version of the dump."
+        )
+
+
 def dump_table_tsv(df: DataFrame, out_dir: str, rows_per_file: int = ROWS_PER_FILE) -> None:
     """S4/S5: TSV export, natively split at rows_per_file (COPY + _copy_tables,
     db/dump.py:241-386).  Nested columns are JSON-encoded, like the JSONB
-    text COPY output."""
+    text COPY output.  The directory is stamped with SCHEMA_VERSION
+    (db/dump.py:993-997); ``import_table_tsv`` checks the stamp."""
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
@@ -67,12 +100,20 @@ def dump_table_tsv(df: DataFrame, out_dir: str, rows_per_file: int = ROWS_PER_FI
         .option("maxRecordsPerFile", rows_per_file)
         .csv(out_dir)
     )
+    write_schema_sequence(out_dir)
 
 
-def import_table_tsv(spark: SparkSession, in_dir: str, schema: T.StructType) -> DataFrame:
+def import_table_tsv(
+    spark: SparkSession,
+    in_dir: str,
+    schema: T.StructType,
+    expected_schema_version: int = SCHEMA_VERSION,
+) -> DataFrame:
     """S8: read a TSV dump back with an explicit schema; JSON-encoded nested
-    columns are parsed back to their typed form (schema-version checks are the
-    caller's concern, db/dump.py:449-497)."""
+    columns are parsed back to their typed form.  The directory's
+    SCHEMA_SEQUENCE stamp is verified first (db/dump.py:449-497, :464-470) —
+    a version mismatch raises instead of importing incompatible rows."""
+    check_schema_sequence(in_dir, expected_schema_version)
     flat_fields = []
     json_fields: list[T.StructField] = []
     for f in schema.fields:
@@ -99,7 +140,9 @@ def dump_lowlevel_json(
     ordered by submitted (db/dump.py:31, 615-618)."""
     joined = lowlevel.select("id", "gid", "submission_offset", "submitted").join(lowlevel_json, "id")
     if sample_size is not None:
-        joined = joined.orderBy("submitted").limit(sample_size)
+        # the reference orders by submitted alone (db/dump.py:615-618); gid is
+        # a determinism tiebreak so the sampled set is stable under ties
+        joined = joined.orderBy("submitted", "gid").limit(sample_size)
     (
         joined.withColumn("shard", F.substring("gid", 1, 2))
         .withColumn("shard2", F.substring("gid", 3, 1))

@@ -412,3 +412,30 @@ def test_multimodal_stubs(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"", {})
+
+
+# --------------------------------------------------------------------------------------
+def test_schema_sequence_import_gate(spark, tables, tmp_path):
+    """S8 version gate (db/dump.py:464-470, 993-997): dumps are stamped with
+    SCHEMA_VERSION; an importer expecting a different version refuses."""
+    import os as _os
+
+    from acousticbrainz_server_spark.sources.dumps import (
+        SCHEMA_SEQUENCE_FILE,
+        SCHEMA_VERSION,
+        check_schema_sequence,
+    )
+
+    out = str(tmp_path / "ll_tsv_ver")
+    dump_table_tsv(tables["lowlevel"], out, rows_per_file=100)
+    with open(_os.path.join(out, SCHEMA_SEQUENCE_FILE)) as f:
+        assert f.read() == str(SCHEMA_VERSION)
+    # matching version imports fine (and the stamp is invisible to the reader)
+    assert import_table_tsv(spark, out, schemas.LOWLEVEL).count() == tables["lowlevel"].count()
+    with pytest.raises(ValueError, match="Incorrect schema version"):
+        import_table_tsv(spark, out, schemas.LOWLEVEL, expected_schema_version=SCHEMA_VERSION + 1)
+    with pytest.raises(ValueError, match="Incorrect schema version"):
+        check_schema_sequence(out, SCHEMA_VERSION - 1)
+    # un-stamped legacy dump directories still import
+    _os.remove(_os.path.join(out, SCHEMA_SEQUENCE_FILE))
+    assert import_table_tsv(spark, out, schemas.LOWLEVEL).count() == tables["lowlevel"].count()
