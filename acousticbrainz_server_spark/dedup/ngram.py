@@ -35,9 +35,15 @@ from ..functions.text import word_bigrams
 
 
 MAX_DENSE_VOCAB = 16_384
-# B-side indicator matrix budget (floats) for the broadcast sgemm path:
-# n_docs * vocab must fit comfortably in executor memory (256 MB at float32).
+# Per-TILE indicator-matrix budget (floats) for the broadcast sgemm path:
+# one tile of the B side (tile_rows x vocab) must fit comfortably in driver
+# and executor memory (256 MB at float32).  The B side as a whole may span
+# several tiles (driver holds ONE tile at a time while building broadcasts).
 MAX_DENSE_CELLS = 64_000_000
+# Dense-path ceiling in tiles: each tile costs one full pass over the A side,
+# so total work grows linearly in tile count — past this, the capped exact
+# shingle join is the better plan shape.
+MAX_DENSE_TILES = 8
 # Shingle document-frequency cap for the exact join path: a shingle in >1000
 # docs contributes >=10^6 join pairs on its own while connecting no pair that
 # could clear a 0.4 Jaccard on its rarity-driven intersection — boilerplate
@@ -69,7 +75,10 @@ def ngram_jaccard_pairs(
     dims = sh.agg(
         F.countDistinct("s").alias("vocab"), F.countDistinct("doc").alias("n_docs")
     ).first()
-    if dims["vocab"] <= MAX_DENSE_VOCAB and dims["vocab"] * dims["n_docs"] <= MAX_DENSE_CELLS:
+    if (
+        dims["vocab"] <= MAX_DENSE_VOCAB
+        and dims["vocab"] * dims["n_docs"] <= MAX_DENSE_CELLS * MAX_DENSE_TILES
+    ):
         return _jaccard_dense_matmul(sh, threshold)  # unpersists sh itself
     # join path: recompute the shingle explode per scan instead of caching a
     # corpus-sized stream — at 100 TB the explode is a cheap scan-side
@@ -78,19 +87,33 @@ def ngram_jaccard_pairs(
     return _jaccard_shingle_join(sh, threshold, max_doc_freq)
 
 
-def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard via blocked indicator-matrix multiply (dense-vocab path).
+def _jaccard_dense_matmul(
+    sh: DataFrame, threshold: float, max_tile_cells: int = MAX_DENSE_CELLS
+) -> DataFrame:
+    """Exact Jaccard via TILED indicator-matrix multiply (dense-vocab path).
 
-    sid assignment and the doc→sid-list aggregation stay in Spark; the B-side
-    (sid lists for ALL docs) comes to the driver once via Arrow (``toPandas``
-    — numpy int arrays, not Python Row/int objects whose overhead near the
-    cell budget would be multi-GB) and is closed over — the same data
-    movement a broadcast join performs — then each Arrow batch of A-side
-    docs computes a (block × n_docs) intersection-count matrix with one
-    float32 sgemm and emits only the (a < b, jaccard ≥ t) survivors.
+    sid assignment and the doc→sid-list aggregation stay in Spark; the
+    aggregated (doc, sids) relation is localCheckpoint'd once and plays both
+    sides of the product:
+
+    - the **B side** is pulled to the driver one TILE at a time (Arrow
+      ``toPandas`` over a doc-id range — numpy int arrays, not Python
+      Row/int objects whose overhead near the cell budget would be multi-GB),
+      densified to a (tile_rows × vocab) float32 indicator matrix, and
+      torrent-broadcast.  Driver memory therefore holds ONE tile's matrix,
+      never the whole B side — the round-4 driver-memory cliff is gone.
+      Executors cache the broadcast tiles in MEMORY_AND_DISK storage, so the
+      aggregate B footprint on the cluster can spill.
+    - the **A side** streams from the checkpointed relation per tile; each
+      Arrow batch computes a (block × tile_rows) intersection-count matrix
+      with one float32 sgemm and emits only the (a < b, jaccard ≥ t)
+      survivors.  Tile results union; doc-id-range tiles partition B, so
+      every qualifying pair is emitted exactly once.
+
     Intersection counts ≤ vocab ≤ 16384 are exactly representable in float32,
     and the jaccard division is float64 in both engines, so results are
-    bit-identical to the join path.
+    bit-identical to the join path (property-tested tiled == untiled ==
+    exact-join in tests/test_dedup.py).
     """
     import numpy as np
     import pandas as pd
@@ -99,76 +122,95 @@ def _jaccard_dense_matmul(sh: DataFrame, threshold: float) -> DataFrame:
     vocab = sh.select("s").distinct().select(
         "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
     )
+    # checkpoint: truncates the explode+join+agg lineage so each tile's A-side
+    # pass re-reads materialized blocks instead of recomputing the shingle
+    # stream; blocks are released by the ContextCleaner once the result
+    # DataFrame is dropped (unlike cache(), which pins for the session)
     doc_sids = (
-        sh.join(F.broadcast(vocab), "s").groupBy("doc").agg(F.collect_list("sid").alias("sids"))
+        sh.join(F.broadcast(vocab), "s")
+        .groupBy("doc")
+        .agg(F.collect_list("sid").alias("sids"))
+        .localCheckpoint(eager=True)
     )
-    b_pdf = doc_sids.toPandas()
-    # every action on sh is done (dims + the toPandas above) — release the
-    # shingle cache before building the returned (pdf-sourced) plan
     sh.unpersist(blocking=False)
 
-    n_docs = len(b_pdf)
-    sid_arrays = [np.asarray(s, dtype=np.int64) for s in b_pdf["sids"]]
-    vocab_size = int(max((a.max() for a in sid_arrays if a.size), default=-1)) + 1
-    b_ids = b_pdf["doc"].to_numpy(dtype=np.int64)
-    b_mat = np.zeros((n_docs, vocab_size), dtype=np.float32)
-    for i, sids in enumerate(sid_arrays):
-        b_mat[i, sids] = 1.0
-    b_sizes = b_mat.sum(axis=1)
-    # torrent-broadcast the B side once per executor (inlining it in the task
-    # closure would re-pickle ~vocab*n_docs floats into EVERY task)
-    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
-
-    def block_pairs(batches):
-        bb_ids, bb_mat, bb_sizes = bc.value
-        for pdf in batches:
-            k = len(pdf)
-            if k == 0:
-                continue
-            a_mat = np.zeros((k, bb_mat.shape[1]), dtype=np.float32)
-            for i, sids in enumerate(pdf["sids"]):
-                a_mat[i, np.asarray(sids, dtype=np.int64)] = 1.0
-            a_ids = pdf["doc"].to_numpy(dtype=np.int64)
-            a_sizes = a_mat.sum(axis=1)
-            # all-float32 arithmetic: set sizes ≤ vocab ≤ 16384 are exact in
-            # float32, and int64-ing the (k × n_docs) matrices would triple
-            # the memory traffic of the hot loop
-            inter = a_mat @ bb_mat.T  # (k, n_docs) sgemm
-            union = a_sizes[:, None] + bb_sizes[None, :] - inter
-            # threshold in float64 — the exact jaccard the SQL engines compute
-            jac = inter.astype(np.float64) / np.maximum(union, 1.0)
-            keep = (jac >= threshold) & (a_ids[:, None] < bb_ids[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "doc_a": a_ids[ai],
-                    "doc_b": bb_ids[bi],
-                    "n_inter": inter[ai, bi].astype(np.int64),
-                    "n_a": a_sizes[ai].astype(np.int64),
-                    "n_b": bb_sizes[bi].astype(np.int64),
-                    "jaccard": jac[ai, bi],
-                }
-            )
-
-    # ~512-row A blocks: enough tasks to spread the sgemm, few enough that
-    # per-task Python-worker + broadcast-fetch overhead stays negligible.
-    # The A side is rebuilt from the already-collected rows AS A PANDAS FRAME
-    # (Arrow-path createDataFrame — a plain python list would take the
-    # pickled-RDD path, which spawns a Python worker per partition just to
-    # deserialize rows; measured ~10s of the query's wall on its own).
-    # Re-deriving A from the shingle lineage would also re-run the
-    # explode+join+agg.  (At 100 TB the B side is tiled rather than fully
-    # collected and A streams from the cluster; this is the B-fits case.)
-    n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
-    # plain-python-int lists: createDataFrame's non-Arrow fallback verifier
-    # rejects numpy.int64 elements in an ARRAY<INT> field (round-3 red), and
-    # lists convert on BOTH the Arrow and fallback paths
-    a_pdf = pd.DataFrame({"doc": b_ids, "sids": [a.tolist() for a in sid_arrays]})
-    a_side = spark.createDataFrame(a_pdf, "doc LONG, sids ARRAY<INT>")
-    return a_side.repartition(n_part).mapInPandas(
-        block_pairs,
-        "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE",
+    stats = doc_sids.agg(
+        F.count(F.lit(1)).alias("n_docs"), (F.max(F.array_max("sids")) + 1).alias("vocab_size")
+    ).first()
+    n_docs, vocab_size = stats["n_docs"] or 0, stats["vocab_size"] or 0
+    empty = spark.createDataFrame(
+        [], "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE"
     )
+    if n_docs == 0 or vocab_size == 0:
+        return empty
+
+    # doc-id range boundaries per tile: one tiny ids-only sort job; tiles are
+    # exact row-count slices, so the per-tile matrix never exceeds the budget
+    tile_rows = max(1, max_tile_cells // max(vocab_size, 1))
+    ids = [r["doc"] for r in doc_sids.select("doc").orderBy("doc").collect()] if n_docs > tile_rows else None
+    tile_bounds = (
+        [(ids[i], ids[min(i + tile_rows, n_docs) - 1]) for i in range(0, n_docs, tile_rows)]
+        if ids is not None
+        else [(None, None)]
+    )
+
+    out = empty
+    # ~512-row A blocks: enough tasks to spread the sgemm, few enough that
+    # per-task Python-worker + broadcast-fetch overhead stays negligible
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
+    a_side = doc_sids.repartition(n_part)
+    for lo, hi in tile_bounds:
+        tile_df = doc_sids if lo is None else doc_sids.filter((F.col("doc") >= lo) & (F.col("doc") <= hi))
+        b_pdf = tile_df.toPandas()
+        sid_arrays = [np.asarray(s, dtype=np.int64) for s in b_pdf["sids"]]
+        b_ids = b_pdf["doc"].to_numpy(dtype=np.int64)
+        b_mat = np.zeros((len(b_pdf), vocab_size), dtype=np.float32)
+        for i, sids in enumerate(sid_arrays):
+            b_mat[i, sids] = 1.0
+        b_sizes = b_mat.sum(axis=1)
+        # torrent-broadcast the tile once per executor (inlining it in the
+        # task closure would re-pickle the matrix into EVERY task)
+        bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
+        del b_pdf, sid_arrays, b_ids, b_mat, b_sizes  # driver keeps ONE tile live at a time
+
+        def block_pairs(batches, _bc=bc):
+            bb_ids, bb_mat, bb_sizes = _bc.value
+            for pdf in batches:
+                k = len(pdf)
+                if k == 0:
+                    continue
+                a_mat = np.zeros((k, bb_mat.shape[1]), dtype=np.float32)
+                for i, sids in enumerate(pdf["sids"]):
+                    a_mat[i, np.asarray(sids, dtype=np.int64)] = 1.0
+                a_ids = pdf["doc"].to_numpy(dtype=np.int64)
+                a_sizes = a_mat.sum(axis=1)
+                # all-float32 arithmetic: set sizes ≤ vocab ≤ 16384 are exact
+                # in float32, and int64-ing the matrices would triple the
+                # memory traffic of the hot loop
+                inter = a_mat @ bb_mat.T  # (k, tile_rows) sgemm
+                union = a_sizes[:, None] + bb_sizes[None, :] - inter
+                # threshold in float64 — the exact jaccard SQL engines compute
+                jac = inter.astype(np.float64) / np.maximum(union, 1.0)
+                keep = (jac >= threshold) & (a_ids[:, None] < bb_ids[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": a_ids[ai],
+                        "doc_b": bb_ids[bi],
+                        "n_inter": inter[ai, bi].astype(np.int64),
+                        "n_a": a_sizes[ai].astype(np.int64),
+                        "n_b": bb_sizes[bi].astype(np.int64),
+                        "jaccard": jac[ai, bi],
+                    }
+                )
+
+        out = out.unionByName(
+            a_side.mapInPandas(
+                block_pairs,
+                "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE",
+            )
+        )
+    return out
 
 
 def _jaccard_shingle_join(
