@@ -27,6 +27,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral_ids(fn_name: str, **named_cols) -> None:
+    """Both CC variants label components with the MIN NODE ID AS LONG — a
+    non-integral id type would cast to NULL silently instead of failing
+    (round-4 advice).  Fail loudly up front instead."""
+    for desc, (df, col) in named_cols.items():
+        dt = df.schema[col].dataType.simpleString()
+        if dt not in _INTEGRAL_TYPES:
+            raise TypeError(
+                f"{fn_name}: {desc} column {col!r} must be an integral type "
+                f"(component labels are min-id longs), got {dt}"
+            )
+
 
 def connected_components(
     nodes: DataFrame,
@@ -41,6 +56,12 @@ def connected_components(
     ``nodes``: one row per vertex.  ``edges``: undirected pairs (either
     orientation).  Isolated vertices keep their own id as component.
     """
+    _require_integral_ids(
+        "connected_components",
+        node_id=(nodes, id_col),
+        edge_src=(edges, src_col),
+        edge_dst=(edges, dst_col),
+    )
     # no distinct(): duplicate edges are harmless under the min-aggregate
     # (and the near-dup pair sources already dedup), so skip that shuffle
     sym = (
@@ -180,14 +201,22 @@ def connected_components_star(
     node; every round's shuffles are edge-partitioned (never node-adjacency
     materialized), and localCheckpoint truncates the per-round lineage.
     """
+    _require_integral_ids(
+        "connected_components_star",
+        node_id=(nodes, id_col),
+        edge_src=(edges, src_col),
+        edge_dst=(edges, dst_col),
+    )
     cur = _canon(
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     ).localCheckpoint(eager=True)
 
     def _sig(df: DataFrame):
         # (count, xor-of-row-hashes): order-insensitive, overflow-free (ANSI
-        # mode rejects a sum of 2^63-scale hashes), collision-safe because
-        # the canonical edge set is distinct
+        # mode rejects a sum of 2^63-scale hashes).  A cheap PRE-FILTER only:
+        # a 64-bit xor can collide between different edge sets, so a matching
+        # signature is CONFIRMED with an exact anti-join below before the
+        # loop terminates (round-4 advice — the fixpoint test is now exact).
         return df.agg(
             F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
         ).first()
@@ -199,10 +228,16 @@ def connected_components_star(
         # canonical form stabilizes exactly at the star fixpoint
         nxt = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
         sig = _sig(nxt)
-        cur = nxt
         if (sig["n"], sig["h"]) == (prev["n"], prev["h"]):
-            converged = True
-            break
+            # exact confirmation: equal distinct-set sizes + empty (cur \ nxt)
+            # anti-join ⇒ set equality.  One extra join on the already-shrunk
+            # star relation, paid once at the fixpoint (or on the
+            # astronomically rare xor collision, where the loop continues).
+            if cur.join(nxt, ["a", "b"], "left_anti").isEmpty():
+                cur = nxt
+                converged = True
+                break
+        cur = nxt
         prev = sig
     if not converged:
         raise RuntimeError(

@@ -15,30 +15,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import repartition_if_narrow, tokens, use_portable_hash
 
 N_BITS = 32
 
 
-def token_hash32(col: F.Column) -> F.Column:
-    """First 8 md5 hex chars as a 32-bit unsigned int (portable to SQL:
-    CAST('0x'||substr(md5(s),1,8) AS BIGINT))."""
+def token_hash32(col: F.Column, portable: bool | None = None) -> F.Column:
+    """32 uniform hash bits per token.  Portable family: first 8 md5 hex
+    chars as a 32-bit unsigned int (SQL twin: CAST('0x'||substr(md5(s),1,8)
+    AS BIGINT)).  Production family (SPARK_GRAFT_FAST_HASH=1): the low 32
+    bits of xxhash64 — one codegen hash, no digest/hex step."""
+    if portable is None:
+        portable = use_portable_hash()
+    if not portable:
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 32) - 1))
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool | None = None
+) -> DataFrame:
     """One row per doc: ``simhash`` 32-bit fingerprint (as long)."""
     # parallelize the token explode when the source arrives under-partitioned
-    # (single-file parquet at bench scale); at real scale the scan already has
-    # enough splits and the repartition shuffle of full text is skipped
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n_part // 2:
-        docs = docs.repartition(n_part)
+    # (single-file single-row-group parquet at bench scale); at real scale
+    # the scan has many files and the full-text shuffle is skipped
+    docs = repartition_if_narrow(docs)
     tok = docs.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t"))
-    h = tok.select("doc", token_hash32(F.col("t")).alias("h"))
+    h = tok.select("doc", token_hash32(F.col("t"), portable).alias("h"))
+    # arithmetic ±1 (bit*2-1), not a per-bit CASE WHEN: the CaseWhen nodes
+    # made the 32-sum tree ~30% slower END-TO-END at sf0.1 — almost all of it
+    # driver-side Catalyst analysis of the larger expression tree, which a
+    # fresh plan pays every run (measured 1.5-1.7s -> 1.1-1.2s per query)
     bit_sums = h.groupBy("doc").agg(
         *[
-            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
             for b in range(N_BITS)
         ]
     )
@@ -59,6 +69,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     dedupe: bool = True,
+    portable: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by banded simhash join (4 bytes; hamming<=3 ⇒ ≥1 equal byte).
 
@@ -76,7 +87,7 @@ def simhash_neardup_pairs(
     bytes appears k times) — e.g. connected-components clustering, whose
     min-aggregate is idempotent.
     """
-    sig = simhash(docs, id_col, text_col)
+    sig = simhash(docs, id_col, text_col, portable)
     banded = sig.select(
         "doc",
         "simhash",

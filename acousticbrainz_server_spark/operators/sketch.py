@@ -91,9 +91,14 @@ def heavy_hitters(
     stream = items.select(F.col(item_col).cast("string").alias(item_col)).filter(
         F.col(item_col).isNotNull()
     )
+    # localCheckpoint, not persist(): summary feeds two consumers (the N
+    # aggregate below and the candidate set in the returned plan); checkpoint
+    # blocks are released by the ContextCleaner when the caller drops the
+    # result, while a persist() would pin the cached summaries in executor
+    # storage for the rest of the session (round-4 advice).
     summary = stream.mapInPandas(
         _mg_partition_candidates(item_col, n_counters), f"{item_col} STRING, _n LONG"
-    ).persist()
+    ).localCheckpoint(eager=True)
     n_total = summary.agg(F.sum("_n")).first()[0] or 0
     threshold = math.ceil(support * n_total)
     candidates = summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()

@@ -128,7 +128,7 @@ def _simhash_oracle() -> str:
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash(d).select(F.col("doc").alias("doc_id"), "simhash")
+    return simhash(d, portable=True).select(F.col("doc").alias("doc_id"), "simhash")
 
 
 # --------------------------------------------------------------------------------------
@@ -156,7 +156,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # int64 on both engines: DuckDB bit_count yields TINYINT, which is not a
     # type Spark produces — the external gate hashes dtype-sensitively.
-    return simhash_neardup_pairs(d, max_hamming=3).withColumn("hamming", F.col("hamming").cast("long"))
+    return simhash_neardup_pairs(d, max_hamming=3, portable=True).withColumn("hamming", F.col("hamming").cast("long"))
 
 
 # --------------------------------------------------------------------------------------
@@ -234,7 +234,7 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deduped pairs: the component loop joins the edge relation EVERY round,
     # so paying one dedup shuffle of the (tiny) surviving-pair stream beats
     # carrying ~1.8x edge multiplicity through every iteration
-    pairs = simhash_neardup_pairs(d, max_hamming=3)
+    pairs = simhash_neardup_pairs(d, max_hamming=3, portable=True)
     return neardup_clusters(d, pairs, id_col="doc_id")
 
 
@@ -292,7 +292,7 @@ def _minhash_lsh_oracle(n_hashes: int = 8, n_bands: int = 4, max_bucket: int = 1
 )
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs(d, n_hashes=8, n_bands=4)
+    pairs = minhash_neardup_pairs(d, n_hashes=8, n_bands=4, portable=True)
     return pairs.filter(F.col("est_jaccard") >= 0.5).select(
         "doc_a", "doc_b", round_half_up(F.col("est_jaccard"), 4).alias("est_jaccard")
     )

@@ -200,3 +200,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """(id, v, cell) under a trained model — the IVF cell column."""
     return _assign_cells(vectors, centroids, id_col, vec_col)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Load a committed centroid model (cell, centroid) parquet as the plain
+    k x dim list ``kmeans_fit`` returns — the deploy-time path: coarse
+    quantizers are trained once on a sample and SHIPPED, not refit per query
+    (the reference ships its Annoy index the same way,
+    similarity/index_model.py:13-92)."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [list(r["centroid"]) for r in rows]

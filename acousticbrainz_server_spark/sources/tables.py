@@ -78,6 +78,18 @@ def _prep_events_session(spark: SparkSession, path: str) -> bool:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table.
+
+    SIDE EFFECT, by design (round-4 advice: surface it): loading ``events``
+    pins ``spark.sql.session.timeZone=UTC`` (and, for TIMESTAMP(NANOS)
+    generations, ``legacy.parquet.nanosAsLong``) on the CALLER's session for
+    the rest of that session — every tz-sensitive rendering downstream
+    (to_date, window starts, date_trunc) must agree with the UTC-naive DuckDB
+    oracle even when the caller's session default differs.  A per-column
+    to_utc conversion cannot express this: group windows and date_trunc read
+    the session zone, not the column.  All other tables are plain parquet
+    reads with no conf changes.
+    """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":

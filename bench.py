@@ -9,12 +9,16 @@ is billed its own compute, and cached artifacts from one query cannot cause
 GC pressure that bills a *later* query (observed: +60% total wall without
 clearing).
 
-Each query reports the BEST of $SPARK_GRAFT_BENCH_RUNS (default 2) timed
-runs — standard steady-state practice: run 1 pays one-shot Catalyst
-analysis + whole-stage-codegen javac/JIT compilation (hundreds of ms to
-seconds for wide expression trees), which on a long-lived service or a
-100 TB job is amortized to nothing.  Run-to-run wall variance on this box
-is ±25%; min-of-N is the stable estimator of the plan's actual cost.
+Each query reports COLD and WARM times from $SPARK_GRAFT_BENCH_RUNS
+(default 2) timed runs: ``queries_cold[name]`` is the FIRST run — it pays
+one-shot Catalyst analysis + whole-stage-codegen javac/JIT compilation
+(hundreds of ms to seconds for wide expression trees) — and
+``queries[name]`` is the best of the REMAINING runs, each still building a
+fresh DataFrame (no plan-object reuse), i.e. the steady-state cost a
+long-lived service or a 100 TB job converges to.  Reporting both makes the
+amortization argument measured rather than asserted (round-4 verdict item).
+Run-to-run wall variance on this box is ±25%; min-of-N is the stable
+estimator of the plan's actual cost.
 """
 
 from __future__ import annotations
@@ -44,22 +48,29 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     times: dict[str, float] = {}
+    times_cold: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
+        cold = None
         best = None
-        for _ in range(n_runs):
+        for i in range(n_runs):
             t0 = time.time()
             try:
                 spec.spark_fn(spark, sf_dir).toPandas()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                if i == 0:
+                    cold = dt
+                else:
+                    best = dt if best is None else min(best, dt)
             except Exception as e:
                 print(f"bench error {name}: {e}", file=sys.stderr)
-                # keep a successful earlier run's timing; -1.0 only if NO run succeeded
-                if best is None:
-                    best = -1.0
+                # keep successful earlier timings; -1.0 only if NO run succeeded
+                if cold is None:
+                    cold = -1.0
                 break
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
+        times_cold[name] = round(cold, 3)
+        # single-run mode (or an error after run 1): warm falls back to cold
+        times[name] = round(best if best is not None else cold, 3)
         spark.catalog.clearCache()
         # drop streaming memory-sink temp views: their buffered results would
         # otherwise live for the rest of the run and bill GC pressure to
@@ -69,6 +80,7 @@ def main() -> None:
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    total_cold = round(sum(t for t in times_cold.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -76,6 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": times_cold,
+                "value_cold": total_cold,
                 "sf": sf,
                 "n_queries": len(times),
             }

@@ -199,3 +199,21 @@ def test_kmeans_recovers_clusters_and_is_deterministic(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"IVF-kmeans recall {recall}"
+
+
+def test_kmeans_fit_reproduces_committed_centroid_fixture(spark):
+    """The registered IVF/assign queries ship the COMMITTED centroid model
+    (round-5 change: sf-independent queries).  This test keeps the fit itself
+    gated: the deterministic kmeans_fit at sf0.01 must reproduce the fixture
+    bit-for-bit — if sources or tools/gen_kmeans_fixture.py drift, this fails
+    rather than the gate going silently stale."""
+    import os
+
+    from acousticbrainz_server_spark.plans.metric_queries import AB_FIXTURE_DIR
+    from acousticbrainz_server_spark.plans.vectors import _vectors
+    from acousticbrainz_server_spark.similarity.kmeans import kmeans_fit, load_centroids
+
+    v = _vectors(spark, "/root/testdata/sf0.01").select("vec_id", "v")
+    live = kmeans_fit(v, k=8, max_iter=3, id_col="vec_id", vec_col="v", dim=64)
+    committed = load_centroids(spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet"))
+    assert live == committed
