@@ -116,7 +116,11 @@ def dump_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------------------
 # S6 — sharded per-recording JSON dump with the ordered 100k-style sample
 # --------------------------------------------------------------------------------------
-_JSON_SAMPLE = 400
+# 150 of 600: enough rows that the two-level shard fan-out is dense (~140
+# shard dirs) while keeping the many-tiny-files commit cost — ~7ms/file under
+# the v1 file committer, the genuine price of the reference's one-file-per-
+# recording layout — bounded in the per-round bench.
+_JSON_SAMPLE = 150
 
 
 @query(
