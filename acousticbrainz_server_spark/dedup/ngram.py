@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import word_bigrams
+from ..functions.text import repartition_if_narrow, word_bigrams
 
 
 MAX_DENSE_VOCAB = 16_384
@@ -69,7 +69,9 @@ def ngram_jaccard_pairs(
     Otherwise the general shingle self-join runs, its Σ df(s)² cost bounded
     by ``max_doc_freq`` (default ``DEFAULT_MAX_DOC_FREQ``; None = uncapped).
     """
-    sh = docs.select(
+    # fan out before the explode: a compact single-file corpus would run the
+    # shingle explode, the dims aggregate, and the sid join on one core
+    sh = repartition_if_narrow(docs).select(
         F.col(id_col).alias("doc"), F.explode(word_bigrams(F.col(text_col))).alias("s")
     ).persist()
     dims = sh.agg(
@@ -79,7 +81,11 @@ def ngram_jaccard_pairs(
         dims["vocab"] <= MAX_DENSE_VOCAB
         and dims["vocab"] * dims["n_docs"] <= MAX_DENSE_CELLS * MAX_DENSE_TILES
     ):
-        return _jaccard_dense_matmul(sh, threshold)  # unpersists sh itself
+        # dims ride along so the dense kernel does not recompute the
+        # explode+join+agg just to learn the corpus shape
+        return _jaccard_dense_matmul(
+            sh, threshold, n_docs=dims["n_docs"], vocab_size=dims["vocab"]
+        )  # unpersists sh itself
     # join path: recompute the shingle explode per scan instead of caching a
     # corpus-sized stream — at 100 TB the explode is a cheap scan-side
     # flatMap, while persisting it would pin ~L rows/doc in executor storage
@@ -88,13 +94,18 @@ def ngram_jaccard_pairs(
 
 
 def _jaccard_dense_matmul(
-    sh: DataFrame, threshold: float, max_tile_cells: int = MAX_DENSE_CELLS
+    sh: DataFrame,
+    threshold: float,
+    max_tile_cells: int = MAX_DENSE_CELLS,
+    n_docs: int | None = None,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard via TILED indicator-matrix multiply (dense-vocab path).
 
-    sid assignment and the doc→sid-list aggregation stay in Spark; the
-    aggregated (doc, sids) relation is localCheckpoint'd once and plays both
-    sides of the product:
+    sid assignment and the doc→sid-list aggregation stay in Spark; when B
+    spans multiple tiles the aggregated (doc, sids) relation is
+    localCheckpoint'd once and plays both sides of the product (a B-fits
+    single tile takes the cheaper collected-once path — see loop comments):
 
     - the **B side** is pulled to the driver one TILE at a time (Arrow
       ``toPandas`` over a doc-id range — numpy int arrays, not Python
@@ -122,36 +133,41 @@ def _jaccard_dense_matmul(
     vocab = sh.select("s").distinct().select(
         "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
     )
-    # checkpoint: truncates the explode+join+agg lineage so each tile's A-side
-    # pass re-reads materialized blocks instead of recomputing the shingle
-    # stream; blocks are released by the ContextCleaner once the result
-    # DataFrame is dropped (unlike cache(), which pins for the session)
-    doc_sids = (
-        sh.join(F.broadcast(vocab), "s")
-        .groupBy("doc")
-        .agg(F.collect_list("sid").alias("sids"))
-        .localCheckpoint(eager=True)
-    )
-    sh.unpersist(blocking=False)
+    doc_sids = sh.join(F.broadcast(vocab), "s").groupBy("doc").agg(F.collect_list("sid").alias("sids"))
 
-    stats = doc_sids.agg(
-        F.count(F.lit(1)).alias("n_docs"), (F.max(F.array_max("sids")) + 1).alias("vocab_size")
-    ).first()
-    n_docs, vocab_size = stats["n_docs"] or 0, stats["vocab_size"] or 0
+    if n_docs is None or vocab_size is None:
+        # standalone call (tests): one extra pass to learn the corpus shape;
+        # the production caller passes the dims it already computed, so the
+        # explode+join+agg runs exactly once (in the collect below)
+        stats = sh.agg(
+            F.countDistinct("doc").alias("n_docs"), F.countDistinct("s").alias("vocab_size")
+        ).first()
+        n_docs, vocab_size = stats["n_docs"] or 0, stats["vocab_size"] or 0
     empty = spark.createDataFrame(
         [], "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE"
     )
     if n_docs == 0 or vocab_size == 0:
+        sh.unpersist(blocking=False)
         return empty
+    tile_rows = max(1, max_tile_cells // max(vocab_size, 1))
+    if n_docs > tile_rows:
+        # MULTI-TILE: checkpoint the aggregated relation — it is scanned once
+        # per tile for the A side plus once per tile boundary pull, and the
+        # checkpoint truncates the explode+join+agg lineage so those scans
+        # re-read materialized blocks (released by the ContextCleaner when
+        # the result DataFrame is dropped, unlike cache()).  The single-tile
+        # case skips the checkpoint: B is collected once (served by the
+        # caller's sh cache) and A is rebuilt from the collected rows.
+        doc_sids = doc_sids.localCheckpoint(eager=True)
 
     # doc-id range boundaries per tile: one tiny ids-only sort job; tiles are
     # exact row-count slices, so the per-tile matrix never exceeds the budget
-    tile_rows = max(1, max_tile_cells // max(vocab_size, 1))
-    ids = [r["doc"] for r in doc_sids.select("doc").orderBy("doc").collect()] if n_docs > tile_rows else None
+    single_tile = n_docs <= tile_rows
+    ids = None if single_tile else [r["doc"] for r in doc_sids.select("doc").orderBy("doc").collect()]
     tile_bounds = (
-        [(ids[i], ids[min(i + tile_rows, n_docs) - 1]) for i in range(0, n_docs, tile_rows)]
-        if ids is not None
-        else [(None, None)]
+        [(None, None)]
+        if single_tile
+        else [(ids[i], ids[min(i + tile_rows, n_docs) - 1]) for i in range(0, n_docs, tile_rows)]
     )
 
     out = empty
@@ -160,8 +176,25 @@ def _jaccard_dense_matmul(
     n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
     a_side = doc_sids.repartition(n_part)
     for lo, hi in tile_bounds:
-        tile_df = doc_sids if lo is None else doc_sids.filter((F.col("doc") >= lo) & (F.col("doc") <= hi))
+        tile_df = doc_sids if single_tile else doc_sids.filter((F.col("doc") >= lo) & (F.col("doc") <= hi))
         b_pdf = tile_df.toPandas()
+        if single_tile:
+            # B == all docs: rebuild the A side from the already-collected
+            # rows as a pandas frame (Arrow-path createDataFrame) instead of
+            # re-scanning the checkpoint — saves ~1.5s of extra jobs per
+            # query at bench scale; the multi-tile path streams A from the
+            # checkpoint because A must be read once PER TILE there
+            import pandas as _pd
+
+            # plain-python-int lists: createDataFrame's non-Arrow fallback
+            # verifier rejects numpy ints in an ARRAY<INT> field (round-3
+            # red), and .tolist() converts on BOTH the Arrow and fallback paths
+            a_side = spark.createDataFrame(
+                _pd.DataFrame(
+                    {"doc": b_pdf["doc"], "sids": [np.asarray(s).tolist() for s in b_pdf["sids"]]}
+                ),
+                "doc LONG, sids ARRAY<INT>",
+            ).repartition(n_part)
         sid_arrays = [np.asarray(s, dtype=np.int64) for s in b_pdf["sids"]]
         b_ids = b_pdf["doc"].to_numpy(dtype=np.int64)
         b_mat = np.zeros((len(b_pdf), vocab_size), dtype=np.float32)
@@ -210,6 +243,9 @@ def _jaccard_dense_matmul(
                 "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE",
             )
         )
+    # every eager action on sh is done (stats, boundary pull, tile collects —
+    # the returned plan reads only the checkpoint or the collected A frame)
+    sh.unpersist(blocking=False)
     return out
 
 

@@ -155,9 +155,13 @@ _HH_SUPPORT = 0.001
     """,
 )
 def frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import tokens
+    from ..functions.text import repartition_if_narrow, tokens
 
-    d = load_table(spark, sf_dir, "documents")
+    # fan out BEFORE the bigram explode: the compact single-file bench corpus
+    # would otherwise run the whole MG sweep on one core (the explode
+    # inherits the scan's partitioning); at real scale the scan has many
+    # files and the shuffle is skipped
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     # NON-distinct bigram occurrence stream (the frequency domain), unlike
     # word_bigrams() which dedups per-document for Jaccard set semantics
