@@ -719,3 +719,70 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats), "dim_idx")
         .select("vec_id", "dim_idx", q.cast("int").alias("q"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# V3/V4 scale path — product quantization: 4-bit codes + ADC top-k
+# --------------------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+
+
+@query(
+    "ann_pq_adc_topk",
+    family="V3,V4,SKETCH",
+    doc="Product-quantization ANN (Jégou et al., TPAMI 2011): every vector "
+    "compressed to 8 four-bit sub-codes under the COMMITTED per-subspace "
+    "codebooks (tools/gen_pq_fixture.py — trained once, shipped like any "
+    "index artifact; min assignment margin 2.1e-5 audited at gen time), "
+    "then each query ranks the whole corpus by Asymmetric Distance "
+    "Computation — sum of 8 table lookups per candidate, the 128x-memory-cut "
+    "serving path that composes with IVF cells at corpus scale.  Assignment "
+    "and ADC are Arrow-batched table-lookup kernels emitting only per-batch "
+    "top-k; the oracle replays assignment and ADC in plain SQL over the "
+    "exploded codebook parquet.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cb AS (SELECT s, c, o, w FROM read_parquet('{AB_FIXTURE_DIR}/pq_codebooks.parquet')),
+        ve AS (
+          SELECT vec_id,
+                 CAST((generate_subscripts(v, 1) - 1) // {_PQ_SUB} AS INTEGER) AS s,
+                 CAST((generate_subscripts(v, 1) - 1) % {_PQ_SUB} AS INTEGER) AS o,
+                 unnest(v) AS x
+          FROM v
+        ),
+        dist AS (
+          SELECT ve.vec_id, ve.s, cb.c, sum((ve.x - cb.w) * (ve.x - cb.w)) AS d
+          FROM ve JOIN cb ON ve.s = cb.s AND ve.o = cb.o
+          GROUP BY ve.vec_id, ve.s, cb.c
+        ),
+        codes AS (
+          SELECT vec_id, s, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM dist
+          ) WHERE rn = 1
+        ),
+        qtab AS (SELECT vec_id AS query_id, s, c, d FROM dist WHERE vec_id < 10),
+        adc AS (
+          SELECT q.query_id, cd.vec_id AS neighbor_id,
+                 {sql_round_half_up("sum(q.d)", 4)} AS adc_dist
+          FROM codes cd
+          JOIN qtab q ON q.s = cd.s AND q.c = cd.c
+          WHERE cd.vec_id <> q.query_id
+          GROUP BY q.query_id, cd.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS neighbor_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+          FROM adc
+        ) WHERE rn <= 5
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.pq import load_codebooks, pq_adc_topk, pq_assign
+
+    books = load_codebooks(
+        spark, os.path.join(AB_FIXTURE_DIR, "pq_codebooks.parquet"), _PQ_M, _PQ_K, _PQ_SUB
+    )
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    codes = pq_assign(v, books, id_col="vec_id", vec_col="v")
+    return pq_adc_topk(
+        codes, v.filter(F.col("vec_id") < 10), books, topk=5, id_col="vec_id", vec_col="v"
+    )
