@@ -59,6 +59,7 @@ def _load_all() -> None:
     from . import export_queries  # noqa: F401
     from . import serving_queries  # noqa: F401
     from . import corpus_queries  # noqa: F401
+    from . import retrieval_queries  # noqa: F401
 
 
 # The external correctness gate samples a bounded prefix of the registry (50

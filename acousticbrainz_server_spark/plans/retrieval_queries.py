@@ -1,0 +1,244 @@
+"""Retrieval scoring queries: BM25 and hybrid (lexical + dense) rank fusion.
+
+The retrieval half of a training-data / RAG pipeline, complementing the ANN
+family: BM25 (Robertson et al.; the Lucene idf variant ln(1 + (N-df+0.5)/
+(df+0.5))) as the lexical scorer, and Reciprocal Rank Fusion (Cormack et al.,
+SIGIR 2009: score = Σ 1/(60+rank)) to merge a lexical ranking with an
+embedding-cosine ranking — all public formulas, implemented as native
+column expressions with DuckDB oracles.
+
+Scale notes: term frequencies shuffle once on (doc, term); document
+frequencies aggregate over the tiny query-term dimension after a broadcast
+semi-join (the posting-list pruning a search engine does with an index —
+only matching terms' rows survive the scan side).  The fusion step joins two
+top-k lists (k rows each) — trivially broadcast at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..functions.text import repartition_if_narrow, tokens
+from ..sources.tables import load_table
+from .registry import query
+
+_K1, _B = 1.2, 0.75
+_QUERY_TERMS = [
+    (1, "spark"), (1, "query"),
+    (2, "table"), (2, "scan"), (2, "fast"),
+    (3, "stream"), (3, "window"),
+]
+_QT_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _QUERY_TERMS)
+_RRF_K = 60
+_DENSE_QUERY_VEC = 0  # vec_id whose embedding is the dense query
+_TOPN = 50
+
+
+@query(
+    "bm25_retrieval",
+    family="TXT,RETR,A2",
+    doc="BM25 document scoring (Lucene idf variant) for a small query-term "
+    "set: tf from one (doc, term) agg, df over the broadcast-semi-joined "
+    "matching terms only, dl/avgdl from token counts; top-10 docs per query "
+    "by the rounded score.  The scan-side term filter is the posting-list "
+    "prune — non-matching tokens never shuffle.",
+    oracle=f"""
+        WITH qt(qid, term) AS (VALUES {_QT_VALUES}),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, t, count(*) AS tf FROM tok
+          WHERE t IN (SELECT DISTINCT term FROM qt)
+          GROUP BY doc_id, t
+        ),
+        df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        scored AS (
+          SELECT qt.qid, tf.doc_id,
+                 sum(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN qt ON qt.term = tf.t
+          JOIN df ON df.t = tf.t
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          GROUP BY qt.qid, tf.doc_id
+        )
+        SELECT qid, doc_id, bm25, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT qid, doc_id, {sql_round_half_up("score", 4)} AS bm25,
+                 row_number() OVER (PARTITION BY qid ORDER BY {sql_round_half_up("score", 4)} DESC, doc_id) AS rn
+          FROM scored
+        ) WHERE rn <= 10
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    qt = spark.createDataFrame(_QUERY_TERMS, "qid INT, term STRING")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    # dl feeds the corpus stats AND the per-doc normalizer — one
+    # materialization (checkpoint blocks release with the result)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=True)
+    # corpus stats stay IN-PLAN as a broadcast 1-row dimension instead of a
+    # driver collect: one job end-to-end, AQE pipelines the whole thing
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.join(F.broadcast(qt.select(F.col("term").alias("t")).distinct()), "t", "left_semi")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (_K1 + 1) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt.withColumnRenamed("term", "t")), "t")
+        .join(F.broadcast(df_), "t")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("bm25", round_half_up(F.col("score"), 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@query(
+    "rrf_hybrid_search",
+    family="RETR,V4,W3",
+    doc="Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009): "
+    "fuse the BM25 top-50 for query 1 with the embedding-cosine top-50 for "
+    "a fixed dense query (vec_id 0) via score = Σ 1/(60+rank) over a full "
+    "outer join of the two lists; top-10 ids by the fused score.  The fusion "
+    "operates on two k-row rank lists — broadcast at any corpus size.",
+    oracle=f"""
+        WITH qt(qid, term) AS (VALUES {_QT_VALUES}),
+        tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents
+        ),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (
+          SELECT doc_id, t, count(*) AS tf FROM tok
+          WHERE t IN (SELECT DISTINCT term FROM qt WHERE qid = 1)
+          GROUP BY doc_id, t
+        ),
+        df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        bm AS (
+          SELECT tf.doc_id,
+                 sum(
+                   ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_K1} + 1)
+                   / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf JOIN df ON df.t = tf.t JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+          GROUP BY tf.doc_id
+        ),
+        bmr AS (
+          SELECT doc_id AS id,
+                 row_number() OVER (ORDER BY {sql_round_half_up("score", 4)} DESC, doc_id) AS r
+          FROM bm QUALIFY r <= {_TOPN}
+        ),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qv AS (SELECT v FROM v WHERE vec_id = {_DENSE_QUERY_VEC}),
+        cos AS (
+          SELECT a.vec_id AS id,
+                 {sql_round_half_up("list_dot_product(a.v, qv.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv.v, qv.v)))", 4)} AS c
+          FROM v a CROSS JOIN qv WHERE a.vec_id <> {_DENSE_QUERY_VEC}
+        ),
+        cosr AS (
+          SELECT id, row_number() OVER (ORDER BY c DESC, id) AS r
+          FROM cos QUALIFY r <= {_TOPN}
+        ),
+        fused AS (
+          SELECT coalesce(bmr.id, cosr.id) AS id,
+                 coalesce(1.0 / ({_RRF_K} + bmr.r), 0) + coalesce(1.0 / ({_RRF_K} + cosr.r), 0) AS s
+          FROM bmr FULL OUTER JOIN cosr ON bmr.id = cosr.id
+        )
+        SELECT id, rrf_score, CAST(rn AS INTEGER) AS rank FROM (
+          SELECT id, {sql_round_half_up("s", 6)} AS rrf_score,
+                 row_number() OVER (ORDER BY {sql_round_half_up("s", 6)} DESC, id) AS rn
+          FROM fused
+        ) WHERE rn <= 10
+    """,
+)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine
+
+    # lexical list: the BM25 pipeline restricted to query 1's terms,
+    # ranked to the fusion depth
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    qt = spark.createDataFrame([r for r in _QUERY_TERMS if r[0] == 1], "qid INT, term STRING")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=True)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        tok.join(F.broadcast(qt.select(F.col("term").alias("t")).distinct()), "t", "left_semi")
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (_K1 + 1) / (
+        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    bm_scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    bmr = (
+        bm_scored.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc(round_half_up(F.col("score"), 4)), F.asc("doc_id")))
+        )
+        .filter(F.col("r") <= _TOPN)
+        .select(F.col("doc_id").alias("id"), F.col("r").alias("r_bm"))
+    )
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = v.filter(F.col("vec_id") == _DENSE_QUERY_VEC).select(F.col("v").alias("qv"))
+    cos = (
+        v.filter(F.col("vec_id") != _DENSE_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", round_half_up(cosine(F.col("v"), F.col("qv")), 4).alias("c"))
+    )
+    cosr = (
+        cos.withColumn("r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("vec_id"))))
+        .filter(F.col("r") <= _TOPN)
+        .select(F.col("vec_id").alias("id"), F.col("r").alias("r_cos"))
+    )
+    fused = (
+        bmr.join(cosr, "id", "full_outer")
+        .select(
+            "id",
+            (
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_cos")), F.lit(0.0))
+            ).alias("s"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("rrf_score", round_half_up(F.col("s"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("id", "rrf_score", F.col("rank").cast("int").alias("rank"))
+    )
