@@ -325,3 +325,78 @@ def test_fingerprint_queries_stay_codegen(spark):
         plan = _plan(QUERIES[name].spark_fn(spark, SF_SMOKE))
         assert "Window" in plan, f"{name}: expected window-based shingling\n{plan}"
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_pq_assign_is_shuffle_free(spark):
+    import os
+
+    from acousticbrainz_server_spark.plans.metric_queries import AB_FIXTURE_DIR
+    from acousticbrainz_server_spark.similarity.pq import load_codebooks, pq_assign
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    books = load_codebooks(spark, os.path.join(AB_FIXTURE_DIR, "pq_codebooks.parquet"), 8, 16, 8)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    plan = _plan(pq_assign(emb, books, id_col="vec_id", vec_col="v"))
+    # code assignment is a per-batch table lookup over the scan: no Exchange
+    assert "Exchange" not in plan, plan
+
+
+def test_bm25_prunes_posting_lists_before_aggregation(spark):
+    # the term semi-join (the posting-list prune) must sit BELOW the tf
+    # aggregation so non-matching tokens never reach a shuffle
+    plan = _optimized(QUERIES["bm25_retrieval"].spark_fn(spark, SF_SMOKE))
+    semi_pos = plan.find("LeftSemi")
+    assert semi_pos != -1, plan
+    assert "CartesianProduct" not in _plan(QUERIES["bm25_retrieval"].spark_fn(spark, SF_SMOKE))
+
+
+def test_cross_snapshot_dedup_has_no_cross_product(spark):
+    plan = _plan(QUERIES["cross_snapshot_dedup"].spark_fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """BM25 golden: the registered query's scores for a tiny corpus equal a
+    direct python implementation of the Lucene-variant formula."""
+    import math
+
+    from acousticbrainz_server_spark.plans.retrieval_queries import _B, _K1, _QUERY_TERMS
+
+    docs = [r["text"] for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").orderBy("doc_id").limit(50).collect()]
+    ids = list(range(len(docs)))
+    toks = [d.split() for d in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    # python reference for query 1
+    q1_terms = [t for q, t in _QUERY_TERMS if q == 1]
+    df = {t: sum(1 for tk in toks if t in tk) for t in q1_terms}
+    expected = {}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for t in q1_terms:
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf * (_K1 + 1) / (tf + _K1 * (1 - _B + _B * len(tk) / avgdl))
+        if s > 0:
+            expected[i] = round(s, 6)
+
+    from pyspark.sql import Window
+
+    from acousticbrainz_server_spark.functions.text import tokens as tok_fn
+
+    d = spark.createDataFrame(list(zip(ids, docs)), "doc_id long, text string")
+    tok = d.select("doc_id", F.explode(tok_fn(F.col("text"))).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = tok.filter(F.col("t").isin(q1_terms)).groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * (_K1 + 1) / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.lit(avgdl)))
+    got = {
+        r["doc_id"]: round(r["s"], 6)
+        for r in tf.join(F.broadcast(dfc), "t").join(dl, "doc_id").groupBy("doc_id").agg(F.sum(score).alias("s")).collect()
+    }
+    assert got == expected
