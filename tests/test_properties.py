@@ -129,3 +129,73 @@ def test_misra_gries_partition_superset_guarantee(items, n_parts, batch_size, su
     thr = math.ceil(support * n)
     heavy = {k for k, c in Counter(items).items() if c >= thr}
     assert heavy <= candidates, f"lost heavy hitters: {heavy - candidates}"
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC (no Spark needed): code assignment and table-lookup distance must
+# equal the direct definition for arbitrary inputs
+# ---------------------------------------------------------------------------
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=12).flatmap(
+        lambda n: st.tuples(
+            st.just(n),
+            st.lists(
+                st.lists(st.floats(-10, 10, allow_nan=False, width=32), min_size=8, max_size=8),
+                min_size=n,
+                max_size=n,
+            ),
+        )
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_pq_adc_matches_direct_definition(vecs_t, seed):
+    """For random vectors and a random K=4, M=2 codebook: _dist_tables +
+    argmin + table-lookup ADC == the literal 'quantize then squared distance
+    to the reconstructed vector' definition."""
+    import numpy as np
+
+    from acousticbrainz_server_spark.similarity.pq import _dist_tables
+
+    _, vec_lists = vecs_t
+    x = np.asarray(vec_lists, dtype=np.float64)  # n x 8
+    rng = np.random.RandomState(seed)
+    m, k, sub = 2, 4, 4
+    books = [rng.normal(size=(k, sub)).tolist() for _ in range(m)]
+
+    tabs = _dist_tables(x, books)  # n x m x k
+    codes = tabs.argmin(axis=2)  # n x m
+    # reconstruction from codes
+    recon = np.concatenate(
+        [np.asarray(books[s])[codes[:, s]] for s in range(m)], axis=1
+    )  # n x 8
+    # ADC distance of query x[0] to every db vector's reconstruction
+    qtab = _dist_tables(x[0:1], books)[0]  # m x k
+    adc = sum(qtab[s, codes[:, s]] for s in range(m))
+    direct = ((x[0] - recon) ** 2).sum(axis=1)
+    assert np.allclose(adc, direct, rtol=1e-9, atol=1e-9)
+    # per-subspace codes are the nearest codewords by definition
+    for s in range(m):
+        d = ((x[:, s * sub : (s + 1) * sub][:, None, :] - np.asarray(books[s])[None, :, :]) ** 2).sum(-1)
+        assert (d.argmin(axis=1) == codes[:, s]).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=20, unique=True),
+    st.lists(st.integers(0, 30), min_size=1, max_size=20, unique=True),
+)
+def test_rrf_fusion_reference(list_a, list_b):
+    """RRF score = sum of 1/(60+rank) over the lists an id appears in; ids in
+    both lists always outrank an id at the SAME ranks in only one list."""
+    K = 60
+    score = {}
+    for lst in (list_a, list_b):
+        for r, i in enumerate(lst, start=1):
+            score[i] = score.get(i, 0.0) + 1.0 / (K + r)
+    for i in set(list_a) & set(list_b):
+        ra = list_a.index(i) + 1
+        rb = list_b.index(i) + 1
+        assert score[i] == 1.0 / (K + ra) + 1.0 / (K + rb)
+        # strictly greater than any single-list id at those exact ranks
+        assert score[i] > 1.0 / (K + ra) and score[i] > 1.0 / (K + rb)
