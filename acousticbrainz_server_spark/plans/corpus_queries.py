@@ -274,3 +274,200 @@ def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("disposition"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# The composed corpus-build pipeline: filter -> dedup -> pack, as ONE plan
+# --------------------------------------------------------------------------------------
+_CB_QUALITY_MIN = 0.5
+_CB_PACK_BUDGET = 1024
+
+
+def _cb_oracle() -> str:
+    from ..functions.text import sql_quality_score
+
+    rows_per_band = _XS_HASHES // _XS_BANDS
+    bands = []
+    for b in range(_XS_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        bands.append(f"SELECT doc, {b} AS band_idx, md5({cols}) AS band_hash FROM sig")
+    q = sql_quality_score("text")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, text, lang, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM d),
+        tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        uni AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok FROM tf GROUP BY doc_id),
+        big AS (
+          SELECT doc_id, toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS bg
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i
+                FROM d)
+        ),
+        bstat AS (SELECT doc_id, count(*) AS n_big, count(DISTINCT bg) AS n_big_distinct
+                  FROM big GROUP BY doc_id),
+        staged AS (
+          SELECT d.doc_id, d.source, d.n_tokens, md5(d.text) AS h,
+                 CASE
+                   WHEN d.lang <> 'en' THEN 'lang_filtered'
+                   WHEN {sql_round_half_up(q, 4)} < {_CB_QUALITY_MIN} THEN 'low_quality'
+                   WHEN {sql_round_half_up("uni.top_c * 1.0 / uni.n_tok", 4)} > {_TOP_TOK_MAX}
+                     OR {sql_round_half_up("1.0 - bstat.n_big_distinct * 1.0 / bstat.n_big", 4)} > {_DUP_BIGRAM_MAX}
+                     THEN 'repetitive'
+                 END AS early_drop
+          FROM d JOIN uni USING (doc_id) JOIN bstat USING (doc_id)
+        ),
+        s3 AS (SELECT * FROM staged WHERE early_drop IS NULL),
+        exact_dup AS (
+          SELECT a.doc_id FROM s3 a JOIN s3 b ON a.h = b.h AND b.doc_id < a.doc_id
+          GROUP BY a.doc_id
+        ),
+        s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM exact_dup)),
+        sh AS (
+          SELECT doc_id AS doc, substr(text, CAST(i AS INTEGER), 5) AS s
+          FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+                FROM documents WHERE doc_id IN (SELECT doc_id FROM s4))
+        ),
+        sig AS (SELECT doc, {", ".join(sql_minhash_exprs("s", _XS_HASHES))} FROM sh GROUP BY doc),
+        banded AS ({" UNION ALL ".join(bands)}),
+        near_dup AS (
+          SELECT DISTINCT a.doc AS doc_id
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND b.doc < a.doc
+        ),
+        kept AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM near_dup)),
+        packed AS (
+          SELECT doc_id,
+                 CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             - n_tokens) / {_CB_PACK_BUDGET}) AS INTEGER) AS pack_id
+          FROM kept
+        )
+        SELECT st.doc_id, st.n_tokens,
+               CASE WHEN st.early_drop IS NOT NULL THEN st.early_drop
+                    WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS disposition,
+               p.pack_id
+        FROM staged st
+        LEFT JOIN exact_dup e ON st.doc_id = e.doc_id
+        LEFT JOIN near_dup nd ON st.doc_id = nd.doc_id
+        LEFT JOIN packed p ON st.doc_id = p.doc_id
+    """
+
+
+@query(
+    "corpus_build_pipeline",
+    family="TXT,DEDUP,QUALITY,S1",
+    doc="The pretraining corpus-build pipeline end-to-end as ONE plan — the "
+    "LLM-data analog of ingest_pipeline_composed: language filter -> "
+    "quality-score gate -> Gopher repetition gate -> exact content dedup "
+    "(lowest id wins) -> conservative minhash-band near-dup drop (a doc "
+    "drops if it band-collides with ANY lower-id exact-dedup survivor — "
+    "deterministic and recursion-free, unlike greedy sequential LSH dedup) "
+    "-> per-source sequential token packing of the kept set.  One row per "
+    "input doc with its disposition and (for kept docs) pack id.",
+    oracle=_cb_oracle(),
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import char_shingle_stream, quality_score
+
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id", "text", "lang", "source", F.size(toks).cast("long").alias("n_tokens"), F.md5("text").alias("h")
+    )
+    tok = d.select("doc_id", F.explode(toks).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    uni = tf.groupBy("doc_id").agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    bigram = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bstat = (
+        d.select("doc_id", F.explode(bigram).alias("bg"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_big"), F.countDistinct("bg").alias("n_big_distinct"))
+    )
+    staged = (
+        base.join(uni, "doc_id")
+        .join(bstat, "doc_id")
+        .withColumn(
+            "early_drop",
+            F.when(F.col("lang") != "en", "lang_filtered")
+            .when(round_half_up(quality_score(F.col("text")), 4) < _CB_QUALITY_MIN, "low_quality")
+            .when(
+                (round_half_up(F.col("top_c") * 1.0 / F.col("n_tok"), 4) > _TOP_TOK_MAX)
+                | (round_half_up(1.0 - F.col("n_big_distinct") * 1.0 / F.col("n_big"), 4) > _DUP_BIGRAM_MAX),
+                "repetitive",
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s3 = staged.filter(F.col("early_drop").isNull())
+    w_h = Window.partitionBy("h").orderBy("doc_id")
+    exact_dup = (
+        s3.withColumn("_rn", F.row_number().over(w_h)).filter(F.col("_rn") > 1).select("doc_id")
+    )
+    s4 = s3.join(exact_dup.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left_anti")
+
+    sh = char_shingle_stream(
+        d.join(s4.select("doc_id"), "doc_id", "left_semi"), "doc_id", "text", 5
+    )
+    sig = (
+        sh.groupBy("doc")
+        .agg(*minhash_signature_aggs("s", _XS_HASHES, portable=True))
+        .select("doc", *minhash_signature_longs(_XS_HASHES, portable=True))
+    )
+    rows_per_band = _XS_HASHES // _XS_BANDS
+    band_structs = []
+    for b in range(_XS_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("_b")).select(
+        "doc", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_hash").alias("band_hash")
+    ).localCheckpoint(eager=True)
+    near_dup = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("b.doc") < F.col("a.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_id"))
+        .distinct()
+    )
+    kept = s4.join(near_dup, "doc_id", "left_anti")
+    w_pack = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = kept.select(
+        "doc_id",
+        F.floor((F.sum("n_tokens").over(w_pack) - F.col("n_tokens")) / _CB_PACK_BUDGET)
+        .cast("int")
+        .alias("pack_id"),
+    )
+    return (
+        staged.join(exact_dup.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_dup.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("early_drop").isNotNull(), F.col("early_drop"))
+            .when(F.col("_e").isNotNull(), "exact_dup")
+            .when(F.col("_n").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("disposition"),
+            "pack_id",
+        )
+    )

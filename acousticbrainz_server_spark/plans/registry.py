@@ -123,7 +123,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "join_multiway_rollup",
     "anti_join_unprocessed",
     "semi_join_window",
-    "latest_per_group",
+    # latest_per_group dropped for the corpus_build_pipeline flagship:
+    # r3-green, and in-window topk_per_group re-exercises the W2 window
+    # top-k shape
     # submission_offset dropped to hold the window at 50: r3-green and its
     # semantics re-exercised in-window by ingest_pipeline_composed (W1
     # offsets) and by r4's streaming_offsets_stateful green
@@ -150,6 +152,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "bm25_retrieval",
     "rrf_hybrid_search",
+    "corpus_build_pipeline",
 )
 
 
