@@ -410,6 +410,12 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "repetitive",
             ),
         )
+        # drop the text column BEFORE checkpointing: the staged relation is
+        # re-scanned by every later stage, and materializing full document
+        # text in it would pin the corpus in executor storage — the gates
+        # above are the last consumers of text here (shingles re-read from
+        # the source scan)
+        .drop("text")
         .localCheckpoint(eager=True)
     )
     s3 = staged.filter(F.col("early_drop").isNull())
