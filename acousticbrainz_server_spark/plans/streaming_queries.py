@@ -24,6 +24,30 @@ from .registry import query
 
 _SINK = "streaming_daily_counts_sink"
 
+import contextlib
+
+# State-store partition count for the bounded gate/bench streams.  The
+# shuffle-partition conf is BAKED into a stream's state layout at first
+# start; every stateful operator then opens one state-store instance per
+# partition per micro-batch, and with trivial per-partition data that fixed
+# cost dominates (measured at sf0.1: the stream-stream interval join drops
+# 5.7-7.9 s -> ~2.7 s going 32 -> 8 partitions).  On an unbounded production
+# stream this would be sized to the cluster (and AQE does not apply to
+# stateful stages), so the knob lives HERE, scoped to the job, not in the
+# session defaults.
+_STREAM_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, n: int = _STREAM_STATE_PARTITIONS):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 
 @query(
     "streaming_daily_counts",
@@ -47,14 +71,15 @@ def streaming_daily_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.to_date("w.start").alias("day"), "event_type", "n_events")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_SINK)
 
 
@@ -83,14 +108,15 @@ def streaming_offsets_stateful_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events_stream(spark, sf_dir)
     assigned = assign_offsets_stateful(ev, key_col="user_id", order_col=["ts", "event_id"])
-    q = (
-        assigned.writeStream.format("memory")
-        .queryName(_OFFSET_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            assigned.writeStream.format("memory")
+            .queryName(_OFFSET_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_OFFSET_SINK).select("event_id", "user_id", "submission_offset")
 
 
@@ -139,14 +165,15 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("_tv"))
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(_SESSION_SINK)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SESSION_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(_SESSION_SINK)
     return out.select(
         "user_id",
@@ -181,14 +208,15 @@ def streaming_dedup_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(_DEDUP_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(_DEDUP_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_DEDUP_SINK)
 
 
@@ -247,14 +275,15 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("p_ts_us"),
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(_JOIN_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(_JOIN_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_JOIN_SINK)
 
 
@@ -286,12 +315,13 @@ def streaming_enrich_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_enrich(ev, dim, on="c_custkey", how="left").select(
         "event_id", "user_id", "c_mktsegment"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(_ENRICH_SINK)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(_ENRICH_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(_ENRICH_SINK)
