@@ -325,3 +325,81 @@ def streaming_enrich_dim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(_ENRICH_SINK)
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 + E3/V7 — foreachBatch incremental upsert (the production sink pattern)
+# --------------------------------------------------------------------------------------
+@query(
+    "streaming_upsert_foreachbatch",
+    family="§2.11,E3,V7",
+    doc="The foreachBatch MERGE sink — the production pattern for the "
+    "reference's eval-results/feedback upserts (db/dataset_eval.py set_job_result "
+    "semantics) on a stream: events pre-split into 4 files, streamed with "
+    "maxFilesPerTrigger=1 so FOUR real micro-batches each merge into a "
+    "persisted latest-row-per-user table (read current + union batch + "
+    "window top-1 + atomic swap — the non-Delta upsert).  The final table "
+    "must equal the batch latest-per-user query regardless of batch order, "
+    "which is what the hash certifies.",
+    oracle="""
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+)
+def streaming_upsert_foreachbatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..sources.tables import load_table
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_upsert", tag)
+    src_dir = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    # fresh state every run (the merge is idempotent over the same input,
+    # but a clean slate keeps the run self-describing); the 4-file source
+    # split is content-stable and reused across runs in this process
+    shutil.rmtree(state_dir, ignore_errors=True)
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        # pre-split the (ts-normalized) events into 4 files => 4 micro-batches
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+        ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def upsert(batch_df, batch_id):
+        # MERGE: current state + batch -> latest per user; write-then-swap so
+        # the read side never sees a half-written table.  This is the
+        # portable non-Delta upsert; with a Delta/Iceberg sink this body is
+        # one MERGE INTO statement.
+        s = batch_df.sparkSession
+        merged = batch_df
+        if os.path.exists(state_dir):
+            merged = s.read.parquet(state_dir).unionByName(batch_df)
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        latest = merged.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        nxt = os.path.join(base, "state_next")
+        latest.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(nxt, state_dir)
+
+    with _stream_state_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
+    )
