@@ -786,3 +786,143 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         codes, v.filter(F.col("vec_id") < 10), books, topk=5, id_col="vec_id", vec_col="v"
     )
+
+
+# --------------------------------------------------------------------------------------
+# V3/V4 scale path — the composed IVF-PQ index (probe cells, ADC within them)
+# --------------------------------------------------------------------------------------
+@query(
+    "ann_ivf_pq_topk",
+    family="V3,V4,SKETCH",
+    doc="The full FAISS-style IVF-PQ serving index composed from the two "
+    "committed artifacts: each query probes its nprobe=2 nearest k-means "
+    "cells (committed coarse quantizer), then ranks ONLY the probed cells' "
+    "vectors by PQ Asymmetric Distance (committed codebooks) — the plan "
+    "that scans codes for ~nprobe/k of the corpus and reads 4 bytes per "
+    "candidate instead of 512.  Spark side is fully native: the query "
+    "distance tables are a 1,280-row broadcast dimension and ADC is a "
+    "posexplode + join + sum — no UDF in the serving path.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        km AS (SELECT cell, centroid FROM read_parquet('{AB_FIXTURE_DIR}/kmeans_centroids.parquet')),
+        cb AS (SELECT s, c, o, w FROM read_parquet('{AB_FIXTURE_DIR}/pq_codebooks.parquet')),
+        -- coarse assignment under the committed quantizer
+        sc AS (
+          SELECT v.vec_id, km.cell,
+                 list_dot_product(v.v, km.centroid)
+                   - 0.5 * list_dot_product(km.centroid, km.centroid) AS score
+          FROM v, km
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ),
+        -- PQ codes under the committed codebooks
+        ve AS (
+          SELECT vec_id,
+                 CAST((generate_subscripts(v, 1) - 1) // {_PQ_SUB} AS INTEGER) AS s,
+                 CAST((generate_subscripts(v, 1) - 1) % {_PQ_SUB} AS INTEGER) AS o,
+                 unnest(v) AS x
+          FROM v
+        ),
+        dist AS (
+          SELECT ve.vec_id, ve.s, cb.c, sum((ve.x - cb.w) * (ve.x - cb.w)) AS d
+          FROM ve JOIN cb ON ve.s = cb.s AND ve.o = cb.o
+          GROUP BY ve.vec_id, ve.s, cb.c
+        ),
+        codes AS (
+          SELECT vec_id, s, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn FROM dist
+          ) WHERE rn = 1
+        ),
+        -- probe: top-2 cells per query by cosine to the committed centroid
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        qc AS (
+          SELECT query_id, km.cell,
+                 {sql_round_half_up('list_dot_product(q.qv, km.centroid) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(km.centroid, km.centroid)))', 4)} AS cell_cos
+          FROM q, km
+        ),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_cos DESC, cell) AS rn FROM qc
+          ) WHERE rn <= 2
+        ),
+        qtab AS (SELECT vec_id AS query_id, s, c, d FROM dist WHERE vec_id < 10),
+        adc AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {sql_round_half_up("sum(qt.d)", 4)} AS adc_dist
+          FROM probe p
+          JOIN asg a ON a.cell = p.cell
+          JOIN codes cd ON cd.vec_id = a.vec_id
+          JOIN qtab qt ON qt.query_id = p.query_id AND qt.s = cd.s AND qt.c = cd.c
+          WHERE a.vec_id <> p.query_id
+          GROUP BY p.query_id, a.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS neighbor_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+          FROM adc
+        ) WHERE rn <= 5
+    """,
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..similarity.kmeans import kmeans_assign, load_centroids
+    from ..similarity.pq import _dist_tables, load_codebooks, pq_assign
+
+    centroids = load_centroids(spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet"))
+    books = load_codebooks(
+        spark, os.path.join(AB_FIXTURE_DIR, "pq_codebooks.parquet"), _PQ_M, _PQ_K, _PQ_SUB
+    )
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    cells = kmeans_assign(v, centroids, id_col="vec_id", vec_col="v")
+    codes = pq_assign(v, books, id_col="vec_id", vec_col="v")
+
+    # query-side driver work is 10 rows: exact vectors -> (a) cell probes by
+    # cosine to the committed centroids, (b) the (q x M x K) ADC tables as a
+    # 1,280-row broadcast dimension
+    q_rows = v.filter(F.col("vec_id") < 10).collect()
+    qx = np.asarray([list(r["v"]) for r in q_rows], dtype=np.float64)
+    q_ids = [int(r["vec_id"]) for r in q_rows]
+    cent = np.asarray(centroids, dtype=np.float64)
+    cos = (qx @ cent.T) / (
+        np.linalg.norm(qx, axis=1)[:, None] * np.linalg.norm(cent, axis=1)[None, :]
+    )
+    probe_rows = []
+    for qi, qid in enumerate(q_ids):
+        # rank on the ROUNDED cosine with cell tie-break, like the oracle
+        order = sorted(
+            range(len(centroids)), key=lambda c: (-float(np.floor(cos[qi, c] * 1e4 + 0.5) / 1e4), c)
+        )[:2]
+        probe_rows.extend((qid, c) for c in order)
+    probe = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
+
+    qtab = _dist_tables(qx, books)  # q x m x k
+    qtab_rows = [
+        (qid, s, c, float(qtab[qi, s, c]))
+        for qi, qid in enumerate(q_ids)
+        for s in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    qtab_df = spark.createDataFrame(qtab_rows, "query_id LONG, s INT, c INT, d DOUBLE")
+
+    cand = (
+        cells.select("vec_id", "cell")
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+    )
+    adc = (
+        cand.select("query_id", "vec_id", F.posexplode("codes").alias("s", "c"))
+        .join(F.broadcast(qtab_df), ["query_id", "s", "c"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(round_half_up(F.sum("d"), 4).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("neighbor_rank", F.row_number().over(w))
+        .filter(F.col("neighbor_rank") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("neighbor_rank").cast("int").alias("neighbor_rank"))
+    )
