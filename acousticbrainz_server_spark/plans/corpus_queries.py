@@ -477,3 +477,172 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_id",
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# Unigram language-model quality score — the CCNet-style perplexity gate
+# (Wenzek et al. 2020, arXiv:1911.00359 §4.3) with the LM reduced to the
+# corpus's own unigram distribution (no external model in the container; the
+# join/agg shape is identical for a real KenLM table).
+# --------------------------------------------------------------------------------------
+@query(
+    "unigram_logprob_quality",
+    family="TXT,QUALITY",
+    doc="Per-document mean unigram log-probability under the corpus's own "
+    "unigram distribution, plus the perplexity-proxy exp(-meanlp) and a "
+    "low-quality flag (mean lp < -3.5) — the CCNet perplexity-filter shape. "
+    "Two shuffles: the vocab agg (map-side combined; Zipf keeps the vocab "
+    "tiny relative to the corpus so it BROADCASTS back onto the token "
+    "stream), then the per-doc agg on the uniform doc_id key.  With a "
+    "shipped KenLM/unigram table the first agg disappears entirely.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents
+        ),
+        freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        tot AS (SELECT sum(c) AS n FROM freq),
+        scored AS (
+          SELECT tok.doc_id,
+                 count(*) AS n_tok,
+                 avg(ln(freq.c) - ln(tot.n)) AS mean_lp
+          FROM tok JOIN freq USING (t), tot
+          GROUP BY tok.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tok,
+               {sql_round_half_up('mean_lp', 4)} AS mean_logprob,
+               {sql_round_half_up('exp(-mean_lp)', 2)} AS ppl_proxy,
+               mean_lp < -3.5 AS low_quality
+        FROM scored
+    """,
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    lp_table = freq.crossJoin(F.broadcast(tot)).select(
+        "t", (F.log("c") - F.log("n")).alias("lp")
+    )
+    scored = (
+        tok.join(F.broadcast(lp_table), "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.avg("lp").alias("mean_lp"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        round_half_up(F.col("mean_lp"), 4).alias("mean_logprob"),
+        round_half_up(F.exp(-F.col("mean_lp")), 2).alias("ppl_proxy"),
+        (F.col("mean_lp") < -3.5).alias("low_quality"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Deterministic mixture resampling — reweight the corpus to a target source
+# mixture under a global token budget (the DoReMi/The-Pile "mixture weights"
+# step, executed as hash sampling so membership is a pure function of the row).
+# --------------------------------------------------------------------------------------
+@query(
+    "mixture_resample",
+    family="E5,QUALITY",
+    doc="Resample the corpus to a TARGET source mixture under a 50% global "
+    "budget: per-source keep-rate = min(1, budget * weight_share / n_docs) "
+    "(even-numbered sources get weight 2, odd weight 1), membership decided "
+    "by the doc's md5-uniform — reruns and incremental batches agree with "
+    "no RNG state.  One tiny per-source agg (20 rows, broadcast back); the "
+    "keep decision is scan-side.  This is the mixture-weighting pass a "
+    "pretraining pipeline runs after quality filtering.",
+    oracle="""
+        WITH w AS (
+          SELECT source, count(*) AS n_s,
+                 CASE WHEN CAST(replace(source, 'src', '') AS INTEGER) % 2 = 0
+                      THEN 2.0 ELSE 1.0 END AS wt
+          FROM documents GROUP BY source
+        ),
+        tot AS (SELECT sum(n_s) AS n_total, sum(wt) AS w_total FROM w),
+        rates AS (
+          SELECT source, least(1.0, 0.5 * tot.n_total * w.wt / tot.w_total / w.n_s) AS rate
+          FROM w, tot
+        )
+        SELECT d.doc_id, d.source,
+               round(rates.rate, 4) AS keep_rate,
+               (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0)
+                 < rates.rate AS kept
+        FROM documents d JOIN rates USING (source)
+    """,
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).withColumn(
+        "wt",
+        F.when(F.regexp_replace("source", "src", "").cast("int") % 2 == 0, F.lit(2.0)).otherwise(
+            F.lit(1.0)
+        ),
+    )
+    tot = w.agg(F.sum("n_s").alias("n_total"), F.sum("wt").alias("w_total"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5) * F.col("n_total") * F.col("wt") / F.col("w_total") / F.col("n_s"),
+        ).alias("rate"),
+    )
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.round(F.col("rate"), 4).alias("keep_rate"),
+            (u < F.col("rate")).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Tokenizer induction: the first BPE merge round — corpus-global adjacent-pair
+# counts (Sennrich et al. 2016, arXiv:1508.07909).  On words instead of bytes
+# here, but the plan is the BPE trainer's inner loop: explode adjacent pairs,
+# one global count, top-k.
+# --------------------------------------------------------------------------------------
+@query(
+    "bpe_pair_merge",
+    family="TXT",
+    doc="Corpus-global adjacent-token-pair frequencies, top-20 by count — "
+    "one BPE merge-selection round.  zip_with(slice, slice) builds the "
+    "pair stream without a self-join; ONE map-side-combined agg on the pair "
+    "key; top-k via the count-desc/pair-asc total order.  The real trainer "
+    "iterates this plan with the chosen merge applied — each round is the "
+    "same shuffle shape.",
+    oracle="""
+        WITH big AS (
+          SELECT toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS pair
+          FROM (
+            SELECT regexp_split_to_array(trim(text), '\\s+') AS toks,
+                   unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')))) AS i
+            FROM documents
+          )
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM big GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 20
+    """,
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

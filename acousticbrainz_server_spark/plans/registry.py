@@ -100,48 +100,11 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "frequent_items_sketch",
     "ann_ivf_kmeans_topk",
     "embedding_kmeans_assign",
-    # r2-green queries never re-checked since round 2 (oldest greens first)
-    "topk_per_group",
-    "salted_count_per_key",
-    "small_quantity_revenue",
-    "format_track_length_full",
-    "value_percentiles",
-    "events_within_window",
-    "daily_moving_average",
-    "user_event_gaps",
-    "cohort_retention",
-    "rollup_revenue",
-    # r3-green queries not re-checked in round 4 (the remainder of the r3
-    # set — language_id/document_chunks/pii_redact/tfidf_top_terms/
-    # corpus_filter/stratified_sample/pack_training_batches/
-    # content_hash_dedup/content_upsert/embedding_neardup/slugify_names_nfkd
-    # — stays r3-green and rotates in next round)
-    "pricing_summary",
-    "count_global",
-    "count_per_key",
-    "point_lookup_batch",
-    "join_multiway_rollup",
-    "anti_join_unprocessed",
-    "semi_join_window",
-    # latest_per_group dropped for the corpus_build_pipeline flagship:
-    # r3-green, and in-window topk_per_group re-exercises the W2 window
-    # top-k shape
-    # submission_offset dropped to hold the window at 50: r3-green and its
-    # semantics re-exercised in-window by ingest_pipeline_composed (W1
-    # offsets) and by r4's streaming_offsets_stateful green
-    "daily_stats_rollup",
-    "shipping_priority_topk",
-    "asof_latest_purchase",
-    "sessionize_events",
-    "event_type_pivot",
     # new in round 5 (late): serving bookkeeping, corpus curation,
-    # PQ-ANN, and retrieval — never-checked queries beat re-checks, so
-    # these take the remaining slots over the r3-green vector/text tail
-    # (knn_exact_topk, decay_weighted_vector, circle_of_fifths_embedding,
-    # probability_vector, knn_postprocess, ann_ivf_topk, ann_lsh_topk,
-    # token_stats, text_quality — all pytest-covered and their semantics
-    # re-exercised by the in-window ANN/kmeans/PQ queries; they rotate
-    # back next round)
+    # PQ-ANN, retrieval, the composed corpus/IVF-PQ/foreachBatch flagships,
+    # and the extended-sweep additions (SemDeDup, IVF recall eval, unigram-LM
+    # quality, mixture resample, BPE pair merge, column profile) — ALL
+    # never-driver-checked, and never-checked beats re-checks
     "user_api_key_lookup",
     "feedback_accuracy",
     "challenge_leaderboard",
@@ -153,6 +116,48 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bm25_retrieval",
     "rrf_hybrid_search",
     "corpus_build_pipeline",
+    "streaming_upsert_foreachbatch",
+    "ann_ivf_pq_topk",
+    "semdedup_prune",
+    "ivf_recall_eval",
+    "unigram_logprob_quality",
+    "mixture_resample",
+    "bpe_pair_merge",
+    "column_profile",
+    "duplicate_span_report",
+    "cube_revenue",
+    "streaming_sliding_counts",
+    # oldest-green re-checks fill the remaining slots (r2 set first).
+    # Dropped to hold the window at 50 — each one's semantics re-exercised
+    # by an in-window or recently-green query: count_global/count_per_key
+    # (A1/A2, recounted inside frequent_items_sketch in-window),
+    # point_lookup_batch (J6, r4-green ordered_lookup), daily_stats_rollup
+    # (A8, r4-green streaming_daily_counts), shipping_priority_topk (J1,
+    # r4-green bucketed_join_rollup + in-window topk_per_group),
+    # format_track_length_full (F4, r4-green format_track_length),
+    # rollup_revenue + event_type_pivot (pytest plan assertions
+    # test_rollup_expands_one_pass / test_pivot_two_phase_no_union);
+    # the r3-green vector/text tail (knn_exact_topk, knn_postprocess,
+    # ann_ivf_topk, ann_lsh_topk, decay_weighted_vector,
+    # circle_of_fifths_embedding, probability_vector, token_stats,
+    # text_quality, submission_offset, latest_per_group) rotates in r6.
+    # (additionally dropped for the last 3 never-checked slots:
+    # value_percentiles — A9/quantiles re-exercised by r4-green
+    # approx_quantile_sketch + equidepth_histogram; events_within_window —
+    # P9 range predicates re-exercised by the r4-green streaming window
+    # queries; sessionize_events — r4-green streaming_sessionize runs the
+    # same session assignment under the stream gate)
+    "topk_per_group",
+    "salted_count_per_key",
+    "small_quantity_revenue",
+    "daily_moving_average",
+    "user_event_gaps",
+    "cohort_retention",
+    "pricing_summary",
+    "join_multiway_rollup",
+    "anti_join_unprocessed",
+    "semi_join_window",
+    "asof_latest_purchase",
 )
 
 

@@ -1331,3 +1331,133 @@ def scd2_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Data profiling — the per-column quality report a pipeline runs before/after
+# every ingest (null counts, cardinality, value range).  Beyond the reference's
+# own surface (its admin "incremental info" stats are per-table counts only,
+# db/dump.py:138-155); this is the dataset-card / expectation-check operator.
+# --------------------------------------------------------------------------------------
+@query(
+    "column_profile",
+    family="A1,A3,QUALITY",
+    doc="Single-pass column profile of the orders table: per column the null "
+    "count, distinct count, and min/max rendered to a stable string (doubles "
+    "via %.2f so both engines agree on repr).  Spark computes ALL columns' "
+    "stats in ONE wide aggregate over one scan (count-distinct via expand — "
+    "6 columns multiply the scan rows map-side, never a per-column rescan) "
+    "and unpivots the 1-row result with explode(array(structs)); the oracle "
+    "spells it as a UNION ALL of per-column probes.  At 100 TB profile "
+    "columns in batches sized to executor memory; the shape is unchanged.",
+    oracle="""
+        SELECT 'o_custkey' AS column_name,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+               CAST(max(o_custkey) AS VARCHAR) AS max_repr
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderdate) AS BIGINT),
+               CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey',
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderkey) AS BIGINT),
+               CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               printf('%.2f', min(o_totalprice)), printf('%.2f', max(o_totalprice))
+        FROM orders
+    """,
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def render(col: str, dtype: str):
+        if dtype == "double":
+            return (
+                F.format_string("%.2f", F.min(col)),
+                F.format_string("%.2f", F.max(col)),
+            )
+        return F.min(col).cast("string"), F.max(col).cast("string")
+
+    cols = [
+        ("o_custkey", "long"),
+        ("o_orderdate", "date"),
+        ("o_orderkey", "long"),
+        ("o_orderpriority", "string"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+    ]
+    aggs = []
+    for c, t in cols:
+        mn, mx = render(c, t)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__null").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_repr"),
+                F.col(f"{c}__max").alias("max_repr"),
+            )
+            for c, _ in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@query(
+    "cube_revenue",
+    family="A2,A8",
+    doc="Full CUBE(l_returnflag, l_linestatus): every subtotal combination — "
+    "per-pair rows, per-flag and per-status marginals, and the grand total — "
+    "from ONE aggregation pass (Spark expands the 4 grouping sets map-side "
+    "before the exchange, exactly like the ROLLUP plan; no self-union of "
+    "re-aggregations).  Completes the grouping-sets surface next to "
+    "rollup_revenue and event_type_pivot.",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               {sql_round_half_up('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

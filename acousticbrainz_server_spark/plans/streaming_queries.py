@@ -403,3 +403,45 @@ def streaming_upsert_foreachbatch_q(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(state_dir).select(
         "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "event_type"
     )
+
+
+_SLIDING_SINK = "streaming_sliding_counts_sink"
+
+
+@query(
+    "streaming_sliding_counts",
+    family="§2.11,A8,P9",
+    doc="SLIDING-window stream aggregation: 2-day windows sliding by 1 day "
+    "over the event stream (each event lands in two windows), 1-day "
+    "watermark, availableNow to completion — the overlapping-window variant "
+    "of streaming_daily_counts (trend smoothing / rate-over-window alerts). "
+    "The batch oracle materializes the two windows per event explicitly; "
+    "the hash match proves the stream's window assignment and state "
+    "eviction agree with the Dataflow-model batch semantics.",
+    oracle="""
+        WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+        x AS (
+          SELECT unnest([d - 1, d]) AS window_start, event_type FROM e
+        )
+        SELECT window_start, event_type, count(*) AS n_events
+        FROM x GROUP BY window_start, event_type
+    """,
+)
+def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.to_date("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SLIDING_SINK)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(_SLIDING_SINK)

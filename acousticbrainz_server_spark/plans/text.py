@@ -20,6 +20,7 @@ from ..functions.text import (
     stopword_count,
     token_count,
     char_shingles,
+    repartition_if_narrow,
 )
 from ..sources.tables import load_table
 from .registry import query
@@ -617,4 +618,55 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = q.withColumn("pr", F.percent_rank().over(w))
     return r.filter(F.col("pr") >= 1.0 - _QPR_KEEP).select(
         "doc_id", "lang", "quality", round_half_up(F.col("pr"), 6).alias("quality_rank")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Intra-corpus duplicate-span report — exact substring dedup at word n-gram
+# granularity (the measurement half of Lee et al. 2022's "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499: how much of
+# each document is verbatim-shared with the rest of the corpus).
+# --------------------------------------------------------------------------------------
+@query(
+    "duplicate_span_report",
+    family="DEDUP,TXT",
+    doc="Per document, the fraction of its distinct word 5-gram spans that "
+    "also occur in at least one OTHER document — the corpus-wide verbatim "
+    "duplication measure run before substring-level dedup.  The shingle "
+    "stream is built with the window-lead trick (stays in whole-stage "
+    "codegen), then ONE agg on the shingle key computes each span's "
+    "document frequency, joined back on the same key — two shuffles on the "
+    "uniform shingle hash, never an all-pairs doc join.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 list_aggregate(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_N} - 1 AS INTEGER)], 'string_agg', ' ') AS s
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CONTAM_N} + 2)) AS i FROM tok)
+        ),
+        df AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s)
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               {sql_round_half_up('sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)', 4)} AS shared_frac
+        FROM sh JOIN df USING (s)
+        GROUP BY sh.doc_id
+    """,
+)
+def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    sh = _contam_shingles(d)
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sh.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("int")).cast("long").alias("n_shared"),
+            round_half_up(
+                F.sum((F.col("n_docs") >= 2).cast("int")) * F.lit(1.0) / F.count(F.lit(1)), 4
+            ).alias("shared_frac"),
+        )
     )

@@ -926,3 +926,217 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_rank") <= 5)
         .select("query_id", "neighbor_id", "adc_dist", F.col("neighbor_rank").cast("int").alias("neighbor_rank"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# SemDeDup — semantic dedup within coarse-quantizer cells (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding corpus, then inside each cluster
+# drop every item whose cosine to an already-kept (earlier-id) item exceeds
+# the dedup threshold.  The reference has no semantic dedup; this is the
+# LLM-pipeline extension surface (task brief) built from the same committed
+# k-means model the IVF queries ship.
+# --------------------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.4
+
+
+@query(
+    "semdedup_prune",
+    family="V3,DEDUP",
+    doc="SemDeDup pruning pass: assign every embedding to its committed "
+    "k-means cell (one gemm per Arrow batch, shuffle-free), then ONE "
+    "normalized gemm per cluster (applyInPandas grouped on the cell key — "
+    "never a corpus cross product; the paper's own per-cluster pair matrix) "
+    "computes each item's max cosine to any LOWER-id item in the same "
+    "cell; items at or above tau=0.4 are dropped, cluster-firsts and "
+    "low-similarity items kept.  At 100 TB the cell count scales with the "
+    "corpus (k ~ n / target_cell_size) so the per-cell matrix stays "
+    "bounded and the single shuffle is on a uniform high-cardinality key; "
+    "rounding half-up to 4 before the max keeps cross-engine parity.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        km AS (SELECT cell, centroid FROM read_parquet('{AB_FIXTURE_DIR}/kmeans_centroids.parquet')),
+        sc AS (
+          SELECT v.vec_id, km.cell,
+                 list_dot_product(v.v, km.centroid)
+                   - 0.5 * list_dot_product(km.centroid, km.centroid) AS score
+          FROM v, km
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ),
+        cv AS (SELECT asg.cell, v.vec_id, v.v FROM asg JOIN v USING (vec_id)),
+        mx AS (
+          SELECT a.vec_id, max({sql_round_half_up(_COS, 4)}) AS max_prior_sim
+          FROM cv a JOIN cv b ON a.cell = b.cell AND b.vec_id < a.vec_id
+          GROUP BY a.vec_id
+        )
+        SELECT cv.vec_id, cv.cell, mx.max_prior_sim,
+               coalesce(mx.max_prior_sim < {_SEMDEDUP_TAU}, TRUE) AS kept
+        FROM cv LEFT JOIN mx USING (vec_id)
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..similarity.kmeans import kmeans_assign, load_centroids
+
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids = load_centroids(spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet"))
+    cells = kmeans_assign(v, centroids, id_col="vec_id", vec_col="v")
+
+    # SemDeDup's actual kernel: ONE normalized gemm per cluster (the paper
+    # computes the within-cluster pair matrix the same way), instead of a
+    # 3-fold-per-pair expression join — c x c work either way, but the gemm
+    # runs at BLAS speed.  Memory is c^2 doubles per cluster; at 100 TB the
+    # coarse k scales with the corpus (k ~ n / target_cell_size) precisely
+    # so c stays bounded, which caps both this matrix and the paper's.
+    # Rounding half-up to 4 happens per pair BEFORE the max, matching the
+    # oracle's max(round(cos, 4)).
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        unit = m / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+        cos = unit @ unit.T
+        cos[nrm == 0.0, :] = 0.0
+        cos[:, nrm == 0.0] = 0.0
+        cos = np.floor(cos * 1e4 + 0.5) / 1e4
+        # max over strictly-earlier ids = row-wise max of the strict lower
+        # triangle; the cluster-first row has no prior -> NULL
+        cos[np.triu_indices(len(ids))] = -np.inf
+        mx = cos.max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy()[order],
+                "max_prior_sim": np.where(np.isfinite(mx), mx, np.nan),
+            }
+        )
+
+    per = cells.groupBy("cell").applyInPandas(
+        per_cell, "vec_id LONG, cell INT, max_prior_sim DOUBLE"
+    )
+    return per.select(
+        "vec_id",
+        "cell",
+        "max_prior_sim",
+        F.coalesce(F.col("max_prior_sim") < F.lit(_SEMDEDUP_TAU), F.lit(True)).alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Index-quality evaluation: recall@k of the IVF probe against the exact top-k
+# — the measurement loop every ANN deployment runs (FAISS's own eval shape).
+# --------------------------------------------------------------------------------------
+@query(
+    "ivf_recall_eval",
+    family="V3,V4",
+    doc="Recall@5 of the committed-model IVF index (nprobe=2) vs the exact "
+    "brute-force top-5, per query — the index-quality measurement the "
+    "reference's Annoy wrapper exposes as its accuracy check "
+    "(similarity/index_model.py:149-224 n_trees/search_k trade-off).  Both "
+    "rankings use rounded-cosine + id tie-break so the sets are "
+    "deterministic; the join of the two 50-row result sets is trivial — the "
+    "cost profile is the two underlying scans, which share the corpus scan.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {sql_round_half_up('list_dot_product(q.qv, b.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v)))', 4)} DESC,
+                              b.vec_id
+                   ) AS rn
+            FROM q, v b WHERE b.vec_id <> q.query_id
+          ) WHERE rn <= 5
+        ),
+        km AS (SELECT cell, centroid FROM read_parquet('{AB_FIXTURE_DIR}/kmeans_centroids.parquet')),
+        sc AS (
+          SELECT v.vec_id, km.cell,
+                 list_dot_product(v.v, km.centroid)
+                   - 0.5 * list_dot_product(km.centroid, km.centroid) AS score
+          FROM v, km
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ),
+        e2 AS (SELECT a.cell, generate_subscripts(v.v, 1) AS d, unnest(v.v) AS x
+               FROM asg a JOIN v USING (vec_id)),
+        cd AS (SELECT cell, d, avg(x) AS m FROM e2 GROUP BY cell, d),
+        cent AS (SELECT cell, list(m ORDER BY d) AS c FROM cd GROUP BY cell),
+        qc AS (
+          SELECT query_id, cent.cell,
+                 {sql_round_half_up('list_dot_product(q.qv, cent.c) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.c, cent.c)))', 4)} AS cell_cos
+          FROM q, cent
+        ),
+        probe AS (
+          SELECT query_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cell_cos DESC, cell) AS rn FROM qc
+          ) WHERE rn <= 2
+        ),
+        ivf AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY {sql_round_half_up('list_dot_product(q.qv, v.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v)))', 4)} DESC,
+                              a.vec_id
+                   ) AS rn
+            FROM probe p
+            JOIN asg a ON a.cell = p.cell
+            JOIN v ON v.vec_id = a.vec_id
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+          ) WHERE rn <= 5
+        )
+        SELECT e.query_id,
+               CAST(count(i.neighbor_id) AS INTEGER) AS n_hits,
+               {sql_round_half_up('count(i.neighbor_id) / 5.0', 4)} AS recall_at_5
+        FROM exact e
+        LEFT JOIN ivf i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+)
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity.ann import ivf_topk
+    from ..similarity.kmeans import kmeans_assign, load_centroids
+
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    q = v.filter(F.col("vec_id") < 10)
+    # exact top-5: broadcast the 10-row query set against the corpus
+    pairs = (
+        F.broadcast(q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+        .join(v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")), on=F.expr("neighbor_id <> query_id"))
+        .select("query_id", "neighbor_id", round_half_up(cosine(F.col("qv"), F.col("nv")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    exact = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).select("query_id", "neighbor_id")
+
+    centroids = load_centroids(spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet"))
+    cells = kmeans_assign(v, centroids, id_col="vec_id", vec_col="v")
+    ivf = ivf_topk(cells, q, k=5, nprobe=2, id_col="vec_id", vec_col="v", cell_col="cell", dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.select(F.col("query_id").alias("h_qid"), F.col("neighbor_id").alias("hit_id"))
+    return (
+        exact.join(
+            hits,
+            (F.col("query_id") == F.col("h_qid")) & (F.col("neighbor_id") == F.col("hit_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit_id").cast("int").alias("n_hits"),
+            round_half_up(F.count("hit_id") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )

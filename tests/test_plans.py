@@ -400,3 +400,98 @@ def test_bm25_matches_pure_python_reference(spark):
         for r in tf.join(F.broadcast(dfc), "t").join(dl, "doc_id").groupBy("doc_id").agg(F.sum(score).alias("s")).collect()
     }
     assert got == expected
+
+
+def test_semdedup_within_cell_join_no_cross_product(spark):
+    df = QUERIES["semdedup_prune"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the pair join is an equi-join on the cell key
+    assert "cell" in plan
+
+
+def test_unigram_logprob_vocab_broadcasts(spark):
+    df = QUERIES["unigram_logprob_quality"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the Zipf-small vocab table must ride a broadcast back onto the token
+    # stream, never shuffle the exploded tokens for a sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_mixture_resample_rates_broadcast_scan_side_decision(spark):
+    df = QUERIES["mixture_resample"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_merge_topk_avoids_full_sort(spark):
+    df = QUERIES["bpe_pair_merge"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_profile_single_scan(spark):
+    df = QUERIES["column_profile"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # ONE wide aggregate over ONE scan — the count-distincts expand rows,
+    # they do not rescan the table per column
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_ivf_recall_bounded_and_exact_sides_share_no_cartesian(spark):
+    df = QUERIES["ivf_recall_eval"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall_at_5"] - r["n_hits"] / 5.0) < 1e-9
+
+
+def test_semdedup_kept_semantics(spark):
+    df = QUERIES["semdedup_prune"].spark_fn(spark, SF_SMOKE)
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r["max_prior_sim"] is None:
+            assert r["kept"] is True
+        else:
+            assert r["kept"] == (r["max_prior_sim"] < 0.4)
+
+
+def test_cube_expands_one_pass(spark):
+    df = QUERIES["cube_revenue"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # all 4 grouping sets from one Expand over one scan — no self-union
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_duplicate_span_report_no_doc_pair_join(spark):
+    df = QUERIES["duplicate_span_report"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        assert 0 <= r["n_shared"] <= r["n_spans"]
+
+
+def test_streaming_sliding_counts_matches_batch(spark):
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    df = QUERIES["streaming_sliding_counts"].spark_fn(spark, SF_SMOKE)
+    got = {(str(r["window_start"]), r["event_type"]): r["n_events"] for r in df.collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.to_date("w.start").alias("d"), "event_type", "n")
+    )
+    want = {(str(r["d"]), r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
