@@ -646,3 +646,59 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------------------
+# Source-distribution drift — KL(source || corpus) over the token unigram
+# distributions: the monitoring statistic a data pipeline tracks per incoming
+# source/snapshot to catch distribution shift before training on it.
+# --------------------------------------------------------------------------------------
+@query(
+    "kl_source_drift",
+    family="TXT,QUALITY",
+    doc="Per-source KL divergence of the source's unigram distribution from "
+    "the corpus-wide distribution — the drift statistic monitored per "
+    "source/snapshot.  One grouped count on (source, token), then the "
+    "corpus marginals derive from THAT aggregate (no second corpus scan); "
+    "the vocab-sized marginal table broadcasts back and the final agg is "
+    "per-source.  Zero-probability terms can't arise (every source token "
+    "is in the corpus by construction).",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM documents
+        ),
+        st AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        s_tot AS (SELECT source, sum(c) AS n_s FROM st GROUP BY source),
+        g AS (SELECT t, sum(c) AS cg FROM st GROUP BY t),
+        g_tot AS (SELECT sum(cg) AS n FROM g)
+        SELECT st.source,
+               CAST(s_tot.n_s AS BIGINT) AS n_tokens,
+               {sql_round_half_up('sum((st.c * 1.0 / s_tot.n_s) * ln((st.c * 1.0 / s_tot.n_s) / (g.cg * 1.0 / g_tot.n)))', 4)} AS kl_divergence
+        FROM st
+        JOIN s_tot USING (source)
+        JOIN g USING (t), g_tot
+        GROUP BY st.source, s_tot.n_s
+    """,
+)
+def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    # materialize the (source, token) counts ONCE — four downstream branches
+    # (marginals, totals, final agg) reuse this |sources| x |vocab| row table
+    # instead of re-scanning and re-exploding the corpus per branch
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    g = st.groupBy("t").agg(F.sum("c").alias("cg"))
+    g_tot = g.agg(F.sum("cg").alias("n"))
+    gm = g.crossJoin(F.broadcast(g_tot))
+    term = (F.col("c") * 1.0 / F.col("n_s")) * F.log(
+        (F.col("c") * 1.0 / F.col("n_s")) / (F.col("cg") * 1.0 / F.col("n"))
+    )
+    return (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(gm), "t")
+        .groupBy("source", "n_s")
+        .agg(round_half_up(F.sum(term), 4).alias("kl_divergence"))
+        .select("source", F.col("n_s").cast("long").alias("n_tokens"), "kl_divergence")
+    )

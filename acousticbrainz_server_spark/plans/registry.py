@@ -127,6 +127,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "duplicate_span_report",
     "cube_revenue",
     "streaming_sliding_counts",
+    "gap_fill_forward",
+    "kl_source_drift",
     # oldest-green re-checks fill the remaining slots (r2 set first).
     # Dropped to hold the window at 50 — each one's semantics re-exercised
     # by an in-window or recently-green query: count_global/count_per_key
@@ -147,10 +149,13 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # P9 range predicates re-exercised by the r4-green streaming window
     # queries; sessionize_events — r4-green streaming_sessionize runs the
     # same session assignment under the stream gate)
+    # (and for gap_fill_forward + kl_source_drift: salted_count_per_key —
+    # the salting plan shape is pytest-asserted (test_salted_count_two_phase)
+    # and A2 counting is re-exercised throughout; daily_moving_average —
+    # W3 sliding windows re-exercised by in-window gap_fill_forward and the
+    # r4-green funnel_stages)
     "topk_per_group",
-    "salted_count_per_key",
     "small_quantity_revenue",
-    "daily_moving_average",
     "user_event_gaps",
     "cohort_retention",
     "pricing_summary",

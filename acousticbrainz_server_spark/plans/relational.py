@@ -1461,3 +1461,65 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "gap_fill_forward",
+    family="W3,P9",
+    doc="Time-series gap filling: build each user's complete daily calendar "
+    "(sequence + explode — no driver-side date loop), left-join the daily "
+    "rollup, and forward-fill missing days with last(ignorenulls) over the "
+    "per-user ordered window.  The standard densify-then-fill operator for "
+    "downstream models that need a regular grid.  Shuffles: the daily "
+    "rollup and the window, both on the uniform user key; the calendar "
+    "explode multiplies rows only by each user's span.",
+    oracle=f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 {sql_round_half_up('sum(value)', 4)} AS day_value
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id),
+        cal AS (
+          SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds
+        ),
+        j AS (
+          SELECT cal.user_id, cal.day, daily.day_value
+          FROM cal LEFT JOIN daily USING (user_id, day)
+        )
+        SELECT user_id, day, day_value,
+               last_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+               day_value IS NULL AS is_gap
+        FROM j
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(round_half_up(F.sum("value"), 4).alias("day_value"))
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    )

@@ -495,3 +495,42 @@ def test_streaming_sliding_counts_matches_batch(spark):
     )
     want = {(str(r["d"]), r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_gap_fill_forward_fills_all_gaps(spark):
+    df = QUERIES["gap_fill_forward"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["day"])
+        # calendar is dense: consecutive days, no holes
+        days = [r["day"] for r in rs]
+        assert (days[-1] - days[0]).days + 1 == len(days)
+        # first day always has data (bounds come from observed days);
+        # afterwards filled_value is never NULL and carries the last value
+        assert rs[0]["day_value"] is not None
+        last = None
+        for r in rs:
+            expect = r["day_value"] if r["day_value"] is not None else last
+            assert r["filled_value"] == expect
+            assert r["is_gap"] == (r["day_value"] is None)
+            last = expect
+
+
+def test_kl_source_drift_nonnegative_single_scan(spark):
+    df = QUERIES["kl_source_drift"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the (source, token) aggregate is materialized once (localCheckpoint);
+    # all four marginal/total branches read the checkpointed table — the
+    # final plan contains NO parquet re-scan of the corpus
+    assert plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["kl_divergence"] >= 0.0  # Gibbs' inequality
