@@ -702,3 +702,50 @@ def kl_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(round_half_up(F.sum(term), 4).alias("kl_divergence"))
         .select("source", F.col("n_s").cast("long").alias("n_tokens"), "kl_divergence")
     )
+
+
+# --------------------------------------------------------------------------------------
+# Multimodal payload bookkeeping — the metadata pass every media pipeline
+# runs BEFORE any decode: size, content digest, sniffed type, chunk count.
+# The decode kernels themselves stay pytest-gated stubs (codec libraries are
+# not in the container — operators/multimodal.py); this query puts the
+# binary-column plumbing (typed bytes in, narrow typed metadata out, payload
+# never crossing a shuffle) under the driver's oracle gate.
+# --------------------------------------------------------------------------------------
+@query(
+    "binary_payload_stats",
+    family="MM,QUALITY",
+    doc="Opaque-binary payload statistics: byte length, md5 content digest, "
+    "a digest-derived type tag (stand-in for magic-byte sniffing — "
+    "deterministic in both engines), and the 4 KiB chunk count a "
+    "content-chunked store would produce.  Documents' text re-encoded as "
+    "UTF-8 bytes stands in for the media payload.  Pure scan-side "
+    "projection: the binary column never reaches a shuffle (the multimodal "
+    "rule — repartition on (id, meta) happens BEFORE payloads are decoded, "
+    "and only narrow typed features leave the kernel).",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5,
+               CASE CAST(('0x' || substr(md5(text), 1, 1)) AS INTEGER) % 3
+                    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS sniffed_mime,
+               CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_chunks
+        FROM documents
+    """,
+)
+def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    digest = F.md5(payload)
+    tag = F.conv(F.substring(digest, 1, 1), 16, 10).cast("int") % 3
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        digest.alias("payload_md5"),
+        F.when(tag == 0, F.lit("image/png"))
+        .when(tag == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("sniffed_mime"),
+        F.ceil(F.length(payload) / F.lit(4096.0)).cast("long").alias("n_chunks"),
+    )

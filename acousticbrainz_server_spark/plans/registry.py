@@ -129,6 +129,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_sliding_counts",
     "gap_fill_forward",
     "kl_source_drift",
+    "binary_payload_stats",
     # oldest-green re-checks fill the remaining slots (r2 set first).
     # Dropped to hold the window at 50 — each one's semantics re-exercised
     # by an in-window or recently-green query: count_global/count_per_key
@@ -154,9 +155,11 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # and A2 counting is re-exercised throughout; daily_moving_average —
     # W3 sliding windows re-exercised by in-window gap_fill_forward and the
     # r4-green funnel_stages)
+    # (and for binary_payload_stats: user_event_gaps — the lag/lead window
+    # shape is re-exercised in-window by scd2_value_history and
+    # gap_fill_forward)
     "topk_per_group",
     "small_quantity_revenue",
-    "user_event_gaps",
     "cohort_retention",
     "pricing_summary",
     "join_multiway_rollup",

@@ -534,3 +534,16 @@ def test_kl_source_drift_nonnegative_single_scan(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["kl_divergence"] >= 0.0  # Gibbs' inequality
+
+
+def test_binary_payload_stats_no_shuffle(spark):
+    df = QUERIES["binary_payload_stats"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # pure scan-side projection: the binary payload never crosses a shuffle
+    assert "Exchange" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_chunks"] == -(-r["n_bytes"] // 4096)
+        assert r["sniffed_mime"] in ("image/png", "audio/wav", "video/mp4")
+        assert len(r["payload_md5"]) == 32
