@@ -749,3 +749,54 @@ def binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sniffed_mime"),
         F.ceil(F.length(payload) / F.lit(4096.0)).cast("long").alias("n_chunks"),
     )
+
+
+# --------------------------------------------------------------------------------------
+_ES_U_SQL = (
+    "ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) + 1)"
+    " / 65537.0) / n_chars"
+)
+
+
+# Weighted sampling without replacement — Efraimidis-Spirakis (2006) order
+# sampling with deterministic hash uniforms: the data-selection pass that
+# picks k docs per stratum with probability proportional to weight.
+# --------------------------------------------------------------------------------------
+@query(
+    "weighted_sample_topk",
+    family="E5,QUALITY",
+    doc="Exact-size weighted sample per source: Efraimidis-Spirakis order "
+    "sampling, key = ln(u)/w (monotone in u^(1/w)) with u the doc's "
+    "md5-uniform and w = n_chars, top-5 keys per source.  Deterministic — "
+    "membership is a pure function of the row, so retries and incremental "
+    "runs agree (the same property stratified_sample/mixture_resample "
+    "build on, here with exact output size and weight-proportional "
+    "inclusion).  One window top-k per stratum (WindowGroupLimit pushes "
+    "the limit below the sort); rounding before ranking keeps cross-engine "
+    "rank parity.",
+    oracle=f"""
+        WITH k AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+                 {sql_round_half_up(_ES_U_SQL, 10)} AS es_key
+          FROM documents
+        )
+        SELECT doc_id, source, weight, CAST(rn AS INTEGER) AS sample_rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS rn
+          FROM k
+        ) WHERE rn <= 5
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("double") + 1) / F.lit(65537.0)
+    key = round_half_up(F.log(u) / F.col("n_chars"), 10)
+    k = d.select("doc_id", "source", F.col("n_chars").cast("long").alias("weight"), key.alias("es_key"))
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        k.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source", "weight", F.col("rn").cast("int").alias("sample_rank"))
+    )

@@ -130,6 +130,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "gap_fill_forward",
     "kl_source_drift",
     "binary_payload_stats",
+    "rolling_active_users",
+    "weighted_sample_topk",
     # oldest-green re-checks fill the remaining slots (r2 set first).
     # Dropped to hold the window at 50 — each one's semantics re-exercised
     # by an in-window or recently-green query: count_global/count_per_key
@@ -158,9 +160,11 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # (and for binary_payload_stats: user_event_gaps — the lag/lead window
     # shape is re-exercised in-window by scd2_value_history and
     # gap_fill_forward)
-    "topk_per_group",
+    # (and for rolling_active_users + weighted_sample_topk: topk_per_group —
+    # the W2 window-top-k plan is byte-for-byte the weighted_sample_topk
+    # shape, in-window; cohort_retention — day×distinct-user analytics
+    # re-exercised by in-window rolling_active_users)
     "small_quantity_revenue",
-    "cohort_retention",
     "pricing_summary",
     "join_multiway_rollup",
     "anti_join_unprocessed",

@@ -1523,3 +1523,42 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         F.col("day_value").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "rolling_active_users",
+    family="A3,W3,P9",
+    doc="Rolling 7-day distinct active users per observed day (the DAU/WAU "
+    "analytics shape): pre-distinct (day, user) pairs, fan each pair out to "
+    "the <=7 report days it supports (sequence + explode — bounded "
+    "multiply), keep observed report days via a broadcast semi-join, one "
+    "count-distinct per day.  Distinct-over-sliding-window is NOT "
+    "decomposable into per-day partials, so the fan-out + exact distinct is "
+    "the honest exact plan; the approximate path swaps in mergeable HLL "
+    "sketches per day (approx_distinct_sketch) with no fan-out at all.",
+    oracle="""
+        WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        days AS (SELECT DISTINCT d FROM e),
+        x AS (
+          SELECT CAST(unnest(generate_series(e.d, e.d + 6, INTERVAL 1 DAY)) AS DATE) AS rd,
+                 e.user_id
+          FROM e
+        )
+        SELECT x.rd AS day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS active_users_7d
+        FROM x JOIN days ON days.d = x.rd
+        GROUP BY x.rd
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = e.select("d").distinct().withColumnRenamed("d", "rd")
+    x = e.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6), F.expr("interval 1 day"))).alias("rd"),
+        "user_id",
+    )
+    return (
+        x.join(F.broadcast(days), "rd")
+        .groupBy(F.col("rd").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users_7d"))
+    )
