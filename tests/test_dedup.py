@@ -283,3 +283,73 @@ def test_fast_hash_family_contract(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_FAST_HASH")
     default = {r["doc"]: r["simhash"] for r in simhash(d).collect()}
     assert pinned == default
+
+
+def test_semdedup_gemm_matches_brute_force_reference(spark, tmp_path):
+    # the applyInPandas per-cluster gemm must reproduce a direct python
+    # reference (assign -> within-cell pairwise rounded cosine -> max over
+    # earlier ids) on a random corpus with planted near-duplicates
+    import math
+    import os
+    import random
+
+    import numpy as np
+
+    from acousticbrainz_server_spark.plans.metric_queries import AB_FIXTURE_DIR
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+    from acousticbrainz_server_spark.similarity.kmeans import load_centroids
+
+    _load_all()
+    rng = random.Random(7)
+    vecs = {}
+    for i in range(60):
+        vecs[i] = [rng.gauss(0, 1) for _ in range(64)]
+    # planted near-dups: tiny perturbations of earlier vectors (sigma small
+    # relative to the fixture centroids' ~0.005 assignment margins, so the
+    # copies stay in their base's cell)
+    for j, base in [(60, 3), (61, 17), (62, 3)]:
+        vecs[j] = [x + rng.gauss(0, 1e-4) for x in vecs[base]]
+    rows = [(i, [float(x) for x in v], "x") for i, v in sorted(vecs.items())]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r
+        for r in QUERIES["semdedup_prune"].spark_fn(spark, str(tmp_path)).collect()
+    }
+
+    cents = load_centroids(spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet"))
+
+    def assign(v):
+        scores = [
+            sum(a * b for a, b in zip(v, c)) - 0.5 * sum(b * b for b in c) for c in cents
+        ]
+        best = max(scores)
+        return min(i for i, s in enumerate(scores) if s == best)
+
+    def cos4(a, b):
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        c = sum(x * y for x, y in zip(a, b)) / den if den else 0.0
+        return np.floor(c * 1e4 + 0.5) / 1e4
+
+    cells = {i: assign(v) for i, v in vecs.items()}
+    for i, v in vecs.items():
+        earlier = [j for j in vecs if j < i and cells[j] == cells[i]]
+        want = max((cos4(v, vecs[j]) for j in earlier), default=None)
+        r = got[i]
+        assert r["cell"] == cells[i]
+        if want is None:
+            assert r["max_prior_sim"] is None and r["kept"] is True
+        else:
+            assert abs(r["max_prior_sim"] - want) < 1e-9
+            assert r["kept"] == (want < 0.4)
+    # the planted duplicates were caught (guard against the test going
+    # vacuous: each copy that shares its base's cell must be flagged, and
+    # at least two of the three must have been co-located)
+    caught = 0
+    for j, base in [(60, 3), (61, 17), (62, 3)]:
+        if cells[j] == cells[base]:
+            assert got[j]["kept"] is False and got[j]["max_prior_sim"] > 0.99
+            caught += 1
+    assert caught >= 2

@@ -164,3 +164,38 @@ def test_morton_spread_matches_bitwise_reference():
     a, b = 1234, 567
     got = con.execute(f"SELECT {_spread_sql(str(a))} | ({_spread_sql(str(b))} << 1)").fetchone()[0]
     assert got == py_spread(a) | (py_spread(b) << 1)
+
+
+def test_hll_union_mergeable_rolling_actives(spark):
+    # the approximate path for rolling_active_users: per-day HLL sketches,
+    # unioned over each trailing 7-day window — sketch MERGEABILITY is the
+    # scale property (no fan-out of raw user ids at all).  Estimates must
+    # land within the sketch's error band of the exact rolling distinct.
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    _load_all()
+    exact = {
+        str(r["day"]): r["active_users_7d"]
+        for r in QUERIES["rolling_active_users"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    fan = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6), F.expr("interval 1 day"))).alias("rd"),
+        "sk",
+    )
+    days = daily.select(F.col("d").alias("rd"))
+    est = (
+        fan.join(F.broadcast(days), "rd")
+        .groupBy("rd")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    got = {str(r["rd"]): r["approx"] for r in est.collect()}
+    assert set(got) == set(exact)
+    for day, ex in exact.items():
+        assert abs(got[day] - ex) <= max(3, 0.05 * ex), (day, got[day], ex)
