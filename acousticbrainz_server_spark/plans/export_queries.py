@@ -370,3 +370,41 @@ def ingest_pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reject_reason").alias("status"),
     )
     return accepted.unionByName(rejected)
+
+
+# --------------------------------------------------------------------------------------
+# Columnar interchange format parity — ORC round trip (source/sink breadth:
+# a consumer pipeline that standardizes on ORC gets the same typed rows;
+# Spark's ORC reader/writer is native, and the oracle never sees the ORC
+# bytes, so a hash match certifies the full encode/decode cycle including
+# timestamp and double fidelity).
+# --------------------------------------------------------------------------------------
+@query(
+    "orc_roundtrip",
+    family="S4,S8",
+    doc="events slice -> ORC write -> ORC read-back -> typed projection; the "
+    "oracle computes the identical projection from the source parquet, so "
+    "the hash certifies ORC type fidelity (timestamps to the microsecond, "
+    "doubles bit-exact) through Spark's native ORC codec.  Written "
+    "distributed (df.write.orc), no driver I/O.",
+    oracle=f"""
+        SELECT event_id, user_id, event_type,
+               {sql_round_half_up('value', 4)} AS value,
+               epoch_ns(ts) // 1000 AS ts_us
+        FROM events WHERE event_id < 2000
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    out = _scratch(sf_dir, "events_orc")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    slim = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        round_half_up(F.col("value"), 4).alias("value"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    slim.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

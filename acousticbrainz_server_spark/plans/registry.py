@@ -132,6 +132,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "binary_payload_stats",
     "rolling_active_users",
     "weighted_sample_topk",
+    "orc_roundtrip",
     # oldest-green re-checks fill the remaining slots (r2 set first).
     # Dropped to hold the window at 50 — each one's semantics re-exercised
     # by an in-window or recently-green query: count_global/count_per_key
@@ -164,11 +165,13 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # the W2 window-top-k plan is byte-for-byte the weighted_sample_topk
     # shape, in-window; cohort_retention — day×distinct-user analytics
     # re-exercised by in-window rolling_active_users)
+    # (and for orc_roundtrip: semi_join_window was dropped — it is r4-green,
+    # the most recently verified of the re-check set, and the semi-join
+    # shape is re-exercised by dump_incremental_window in-window)
     "small_quantity_revenue",
     "pricing_summary",
     "join_multiway_rollup",
     "anti_join_unprocessed",
-    "semi_join_window",
     "asof_latest_purchase",
 )
 
