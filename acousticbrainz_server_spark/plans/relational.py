@@ -1552,7 +1552,11 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    days = e.select("d").distinct().withColumnRenamed("d", "rd")
+    # derive observed days straight from the ts column, NOT from e: reusing e
+    # would run the big (day, user) distinct twice (no ReuseExchange — the
+    # extra distinct on top makes the subplans non-identical); this branch
+    # scans one column and its partial agg collapses to |days| rows map-side
+    days = ev.select(F.to_date("ts").alias("rd")).distinct()
     x = e.select(
         F.explode(F.sequence(F.col("d"), F.date_add("d", 6), F.expr("interval 1 day"))).alias("rd"),
         "user_id",
