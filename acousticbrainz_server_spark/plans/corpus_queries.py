@@ -520,7 +520,9 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the Zipf-small vocab counts ONCE — without this, the total
+    # and the per-token table each re-scan and re-explode the corpus
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     tot = freq.agg(F.sum("c").alias("n"))
     lp_table = freq.crossJoin(F.broadcast(tot)).select(
         "t", (F.log("c") - F.log("n")).alias("lp")

@@ -657,7 +657,12 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
-    sh = _contam_shingles(d)
+    # materialize the (doc, shingle) stream once — the document-frequency agg
+    # and the re-join both consume it, and without this the explode+window
+    # shingle build runs twice.  This IS the inverted-index build; at 100 TB
+    # it is written to parquet and reused by every dedup/contamination pass
+    # (localCheckpoint is the in-session equivalent).
+    sh = _contam_shingles(d).localCheckpoint(eager=True)
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         sh.join(df_counts, "s")
