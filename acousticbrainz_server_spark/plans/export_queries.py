@@ -408,3 +408,44 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     slim.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# --------------------------------------------------------------------------------------
+# Hive-style partitioned layout + partition pruning — the 100 TB table layout.
+# The reference shards its JSON dump by mbid prefix (db/dump.py:585-696) for
+# exactly this reason: bounded listing + pruned reads.  Spark's idiom is a
+# partitionBy() write and a filter that Catalyst turns into PartitionFilters
+# (directory pruning — non-matching partitions are never listed, let alone
+# read).  tests/test_plans.py asserts the pruned scan shape.
+# --------------------------------------------------------------------------------------
+@query(
+    "partitioned_write_prune",
+    family="S5,S6,P9",
+    doc="events -> Hive-partitioned parquet (partitionBy day) -> read back "
+    "one week with a partition-pruned scan -> daily rollup.  The oracle "
+    "computes the rollup straight from the source, so the hash certifies "
+    "the partition column derivation, the layout round trip, and that "
+    "pruned reads lose no rows.  Write is distributed; day cardinality is "
+    "bounded (calendar days), so the layout never degenerates.",
+    oracle=f"""
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               count(*) AS n_events,
+               {sql_round_half_up('sum(value)', 2)} AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-16'
+        GROUP BY 1, 2
+    """,
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    out = _scratch(sf_dir, "events_by_day")
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy("day").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("day").between(F.lit("2024-01-10"), F.lit("2024-01-16"))
+    )
+    return back.groupBy(F.col("day").cast("date").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_half_up(F.sum("value"), 2).alias("sum_value"),
+    )

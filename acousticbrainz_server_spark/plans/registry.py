@@ -60,6 +60,7 @@ def _load_all() -> None:
     from . import serving_queries  # noqa: F401
     from . import corpus_queries  # noqa: F401
     from . import retrieval_queries  # noqa: F401
+    from . import graph_queries  # noqa: F401
 
 
 # The external correctness gate samples a bounded prefix of the registry (50
@@ -168,11 +169,20 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # (and for orc_roundtrip: semi_join_window was dropped — it is r4-green,
     # the most recently verified of the re-check set, and the semi-join
     # shape is re-exercised by dump_incremental_window in-window)
-    "small_quantity_revenue",
-    "pricing_summary",
-    "join_multiway_rollup",
-    "anti_join_unprocessed",
-    "asof_latest_purchase",
+    # final continuation batch — never-checked beats re-checks, so these five
+    # displace the r2-green tail (small_quantity_revenue, pricing_summary,
+    # join_multiway_rollup, anti_join_unprocessed, asof_latest_purchase —
+    # all r2-driver-green, re-confirmed by every local full gate since; their
+    # shapes are re-exercised in-window by bucketed_join_rollup/
+    # dump_incremental_window/corpus_build_pipeline).  The batch's remaining
+    # two (unpivot_wide_metrics, range_frame_revenue — simple Expand/window
+    # shapes, judge-local green at sf0.01) rotate in r6 with the displaced
+    # r3 vector/text tail.
+    "pagerank_copurchase",
+    "partitioned_write_prune",
+    "bloom_semi_join",
+    "containment_neardup",
+    "event_range_join",
 )
 
 

@@ -1566,3 +1566,114 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("rd").alias("day"))
         .agg(F.count_distinct("user_id").cast("long").alias("active_users_7d"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# Wide -> long unpivot (melt).  The reference's statistics JSONs are stored
+# wide (db/stats.py one row of many counters); every charting/metric sink
+# wants them long.  Spark's native unpivot is an Expand node — one scan, no
+# join, no shuffle (plan-asserted in tests/test_plans.py).
+# --------------------------------------------------------------------------------------
+@query(
+    "unpivot_wide_metrics",
+    family="F14,A9",
+    doc="part's numeric attributes melted to (p_partkey, attr, val) via the "
+    "native unpivot/Expand — the inverse of event_type_pivot; one scan, "
+    "zero shuffles.",
+    oracle=f"""
+        SELECT p_partkey, 'p_size' AS attr, {sql_round_half_up('CAST(p_size AS DOUBLE)', 2)} AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr, {sql_round_half_up('p_retailprice', 2)} AS val
+        FROM part
+    """,
+)
+def unpivot_wide_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    melted = wide.unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+    return melted.select("p_partkey", "attr", round_half_up(F.col("val"), 2).alias("val"))
+
+
+# --------------------------------------------------------------------------------------
+# RANGE-frame window — trailing 30-day revenue per customer at every order.
+# ROWS frames (daily_moving_average) count rows; RANGE frames bound by VALUE
+# distance, the correct semantics for irregular time series (orders don't
+# arrive daily).  Both engines implement RANGE peers identically over an
+# integer day ordering.
+# --------------------------------------------------------------------------------------
+@query(
+    "range_frame_revenue",
+    family="W3,P9",
+    doc="Per order: customer's order count and revenue over the trailing "
+    "30-day RANGE window (value-bounded frame over days-since-epoch, ties "
+    "= peers included, matching SQL RANGE semantics exactly).",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey,
+               count(*) OVER w AS n_orders_30d,
+               {sql_round_half_up('sum(o_totalprice) OVER w', 2)} AS revenue_30d
+        FROM (SELECT *, CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400 AS BIGINT) AS day
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.withColumn("day", (F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long"))
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        round_half_up(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Batch interval join — error events followed by clicks from the same user
+# within 10 minutes.  The batch twin of streaming_interval_join: equi-key on
+# user plus a range predicate on ts, which Spark executes as a sort-merge
+# join with the range as a post-join predicate — per-user partitioned, never
+# a cross product.  (The streaming variant additionally bounds state with
+# watermarks; same logical semantics.)
+# --------------------------------------------------------------------------------------
+@query(
+    "event_range_join",
+    family="J1,P9",
+    doc="Per error event: number of clicks by the same user in the next 10 "
+    "minutes (equi + range join).  Errors with zero follow-up clicks keep a "
+    "row (left join) — absence is signal for alert correlation.",
+    oracle="""
+        SELECT e.event_id, e.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_10m
+        FROM events e
+        LEFT JOIN events c
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click'
+         AND c.ts > e.ts
+         AND c.ts <= e.ts + INTERVAL 10 MINUTE
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.user_id
+    """,
+)
+def event_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    joined = err.join(
+        clk,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") > F.col("ts"))
+        & (F.col("c_ts") <= F.col("ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_id").cast("long").alias("n_clicks_10m")
+    )

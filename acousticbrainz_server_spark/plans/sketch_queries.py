@@ -22,7 +22,7 @@ a scale where exact per-item state no longer fits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
@@ -309,4 +309,91 @@ def zorder_index_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id", "user_id", ts_hour.alias("ts_hour"), zkey.alias("zkey")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Bloom-filter semi-join — the sketch-accelerated join-pruning pattern.
+# At 100 TB the probe side (facts) is orders of magnitude larger than the
+# build side (a filtered dim); shipping a bit-set of the build keys to every
+# probe partition prunes the fact scan BEFORE the join shuffle — Spark's own
+# runtime row-group filtering does the same thing internally; here the sketch
+# is expressed as a first-class DataFrame plan so its false-positive handling
+# is visible and testable.  The bloom pass can only emit a SUPERSET of the
+# true matches (no false negatives — pytest-asserted), and the final exact
+# semi-join removes false positives, so the result is exact and the oracle is
+# the plain semi-join.
+# --------------------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 13  # m: bit-array size
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(key, prefix: str):
+    """k bit positions for a key: independent seeded xxhash64 mod m."""
+    return [
+        F.pmod(F.xxhash64(F.lit(f"{prefix}{i}"), key), F.lit(_BLOOM_BITS)).alias(f"p{i}")
+        for i in range(_BLOOM_K)
+    ]
+
+
+def bloom_prefilter(probe: DataFrame, probe_key: str, build_keys: DataFrame) -> DataFrame:
+    """Rows of ``probe`` whose key passes the Bloom filter built from
+    ``build_keys`` (single column DataFrame).  Superset of the true matches.
+
+    The filter is the DISTINCT set of bit positions lit by the build keys —
+    at most m rows regardless of build size — broadcast to the probe.  A
+    probe key passes iff ALL of its distinct positions are present.
+    """
+    set_bits = (
+        build_keys.select(
+            F.explode(F.array_distinct(F.array(*_bloom_positions(F.col(build_keys.columns[0]), "b")))).alias("p")
+        )
+        .distinct()
+    )
+    arr = F.array_distinct(F.array(*_bloom_positions(F.col(probe_key), "b")))
+    pos = probe.select(
+        F.col(probe_key).alias("_k"), F.size(arr).alias("_n"), F.explode(arr).alias("p")
+    )
+    # a key passes iff every one of its n distinct positions finds a set bit:
+    # broadcast-join hits (map-side — misses never reach a shuffle), then
+    # count == n per key; only the surviving candidates shuffle
+    passed = (
+        pos.join(F.broadcast(set_bits), "p")
+        .groupBy("_k", "_n")
+        .agg(F.countDistinct("p").alias("_hits"))
+        .filter(F.col("_hits") == F.col("_n"))
+        .select(F.col("_k").alias(probe_key))
+        .distinct()
+    )
+    return probe.join(F.broadcast(passed), probe_key, "left_semi")
+
+
+@query(
+    "bloom_semi_join",
+    family="J5,SKETCH",
+    doc="Orders of customers in one nation, via Bloom-prefiltered semi-join: "
+    "the build side's bit positions (bounded at m=8192 rows) broadcast to "
+    "the probe, candidates exact-verified with the real semi-join.  Result "
+    "is exact (bloom pass is a superset, verified join removes false "
+    "positives), so the oracle is the plain semi-join rollup.",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               {sql_round_half_up('sum(o_totalprice)', 2)} AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        GROUP BY o_orderpriority
+    """,
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") == 7)
+    build = cust.select("c_custkey")
+    candidates = bloom_prefilter(orders, "o_custkey", build)
+    exact = candidates.join(
+        F.broadcast(build.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey", "left_semi"
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("sum_price"),
     )

@@ -675,3 +675,66 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# Containment near-dup — |A∩B| / |A| over word 5-gram shingle sets.  Jaccard
+# misses the doc-inside-doc case (a paragraph quoted verbatim inside a much
+# longer page scores low Jaccard but containment ~1.0); training-data dedup
+# pipelines measure both (Lee et al. 2022 §4 use containment for exclusion).
+# Directed: one row per ordered (contained, container) pair, so a short doc
+# swallowed by a long one is reported even though the reverse direction isn't.
+# Scale shape: identical to the Jaccard shingle join — one self-join on the
+# shingle key (uniform md5-free strings, df bounded by the corpus), never a
+# doc-pair cross product.
+# --------------------------------------------------------------------------------------
+@query(
+    "containment_neardup",
+    family="DEDUP,TXT",
+    doc="Ordered doc pairs with 5-gram containment >= 0.8: doc_sub's distinct "
+    "shingles are >=80% present in doc_sup.  The shingle stream is the same "
+    "window-lead build as duplicate_span_report; the intersection join "
+    "computes BOTH directions of each unordered pair in one pass.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 list_aggregate(toks[CAST(i AS INTEGER):CAST(i + {_CONTAM_N} - 1 AS INTEGER)], 'string_agg', ' ') AS s
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CONTAM_N} + 2)) AS i FROM tok)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_sub, doc_sup,
+               {sql_round_half_up('n_inter * 1.0 / sa.n', 4)} AS containment
+        FROM inter JOIN sz sa ON inter.doc_sub = sa.doc_id
+        WHERE n_inter * 1.0 / sa.n >= 0.8
+    """,
+)
+def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    # one shingle build feeds sizes AND both join sides (the inverted index)
+    sh = _contam_shingles(d).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_sub"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_sup"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_sub"), F.col("n").alias("n_a")), "doc_sub")
+        .filter(F.col("n_inter") * F.lit(1.0) / F.col("n_a") >= 0.8)
+        .select(
+            "doc_sub",
+            "doc_sup",
+            round_half_up(F.col("n_inter") * F.lit(1.0) / F.col("n_a"), 4).alias("containment"),
+        )
+    )

@@ -577,3 +577,147 @@ def test_weighted_sample_topk_window_group_limit(spark):
     for src, ranks in per_source.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 5
+
+
+# ---- round-5 continuation batch: graph / layout / sketch-join / melt ----
+
+
+def test_pagerank_mass_conserved_and_constant_plan(spark):
+    # bidirectional graph: no dangling mass, so sum(pr) == |V| exactly (up to
+    # fp); ranks positive; the plan depth must NOT grow with iterations
+    # (localCheckpoint cuts lineage each round)
+    df = QUERIES["pagerank_copurchase"].spark_fn(spark, SF_SMOKE)
+    rows = df.collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - n) < 1e-3 * n
+    assert all(r["pr"] > 0 for r in rows)
+    plan = _plan(df)
+    # the checkpoint boundary: the executed plan sees an RDD scan, not a
+    # 6-iteration join tree
+    assert "Scan ExistingRDD" in plan
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    # on a k-regular symmetric graph PageRank's fixpoint is uniform = 1.0
+    from acousticbrainz_server_spark.operators.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [((i + 1) % 8, i) for i in range(8)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["pr"] for r in pagerank(ring, iterations=5).collect()}
+    assert len(got) == 8
+    for v in got.values():
+        assert abs(v - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # star with edges only INTO the center: leaves + center all dangle except
+    # the leaves' out-edges; total mass must still be conserved at |V|
+    from acousticbrainz_server_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame([(i, 99) for i in range(1, 6)], "src long, dst long")
+    rows = pagerank(star, iterations=4).collect()
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - len(rows)) < 1e-9
+    center = [r["pr"] for r in rows if r["node"] == 99][0]
+    assert center > 1.0  # in-flow concentrates on the center
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    df = QUERIES["partitioned_write_prune"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    # the day filter must prune at the DIRECTORY level, not post-scan
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters:", 1)[1][:200]
+    assert df.count() > 0
+
+
+def test_bloom_prefilter_superset_and_broadcast(spark):
+    from acousticbrainz_server_spark.plans.sketch_queries import bloom_prefilter
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    build = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_nationkey") == 7)
+        .select("c_custkey")
+    )
+    cand = bloom_prefilter(orders, "o_custkey", build)
+    true_keys = {r[0] for r in orders.join(
+        build.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    ).select("o_custkey").distinct().collect()}
+    cand_keys = {r[0] for r in cand.select("o_custkey").distinct().collect()}
+    # no false negatives, ever
+    assert true_keys <= cand_keys
+    # the bit-set side must broadcast (bounded at m rows)
+    assert "BroadcastExchange" in _plan(cand)
+
+
+def test_unpivot_single_scan_no_shuffle(spark):
+    df = QUERIES["unpivot_wide_metrics"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan.replace("BroadcastExchange", "")
+    assert "Union" not in plan
+
+
+def test_range_frame_counts_by_value_not_rows(spark):
+    # two orders 40 days apart must NOT see each other; same-day peers must
+    rows = spark.createDataFrame(
+        [(1, 10, "2020-01-01"), (2, 10, "2020-01-01"), (3, 10, "2020-02-15")],
+        "o_orderkey long, o_custkey long, d string",
+    ).select(
+        "o_orderkey", "o_custkey", F.to_timestamp("d").alias("o_orderdate"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(), "orders.parquet")
+    rows.write.parquet(out)
+    df = QUERIES["range_frame_revenue"].spark_fn(spark, os.path.dirname(out))
+    got = {r["o_orderkey"]: r["n_orders_30d"] for r in df.collect()}
+    assert got[1] == 2 and got[2] == 2  # same-day peers included (RANGE)
+    assert got[3] == 1  # 45 days later: outside the 30-day frame
+
+
+def test_event_range_join_no_cartesian_and_keeps_zero_rows(spark):
+    df = QUERIES["event_range_join"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert any(r["n_clicks_10m"] == 0 for r in rows)  # left-join keeps silent errors
+
+
+def test_containment_matches_bruteforce(spark):
+    # tiny corpus with a verbatim-substring doc: brute-force python containment
+    texts = [
+        (0, "a b c d e f g h i j"),
+        (1, "x x a b c d e f g h i j y y z z q r s t"),  # contains doc 0's grams
+        (2, "p q r s t u v w x y"),
+    ]
+    import tempfile, os
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    out = os.path.join(tempfile.mkdtemp(), "documents.parquet")
+    d.write.parquet(out)
+    df = QUERIES["containment_neardup"].spark_fn(spark, os.path.dirname(out))
+    got = {(r["doc_sub"], r["doc_sup"]): r["containment"] for r in df.collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+    g = {i: grams(t) for i, t in texts}
+    for a in g:
+        for b in g:
+            if a == b or not g[a]:
+                continue
+            c = len(g[a] & g[b]) / len(g[a])
+            if c >= 0.8:
+                assert (a, b) in got and abs(got[(a, b)] - c) < 1e-3
+            else:
+                assert (a, b) not in got
+    assert (0, 1) in got  # the substring pair is directed: 0 inside 1, not 1 inside 0
+    assert (1, 0) not in got
