@@ -36,6 +36,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = True,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -48,44 +49,65 @@ def pagerank(
     the standard correction; on graphs where every node has an out-edge the
     correction term is exactly 0.0 and the formula reduces to the plain
     update, so an oracle over such a graph can omit the term.
+
+    ``symmetric=True`` declares that every node appears as a source (true by
+    construction for any graph built with both edge directions): the node set
+    is then the out-degree keys and no dangling mass can exist, which skips
+    one distinct over the full edge list and the dangling probe — measured,
+    the one-time setup is the bulk of the wall clock (iterations are ~0.1 s
+    each at 1.2M edges), so trimming setup jobs matters more than the loop.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    n_nodes = nodes.count()
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    # decorate each edge with its source's out-degree ONCE; iterations reuse it
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=False)
+    if symmetric:
+        nodes = deg.select(F.col(src).alias("node"))
+        has_dangling = False
+        n_nodes = 0  # only the dangling term reads it
+    else:
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        dangling_nodes = nodes.join(
+            deg.select(F.col(src).alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=False)
+        # probe ONCE whether dangling mass exists: when none, the
+        # per-iteration correction is exactly 0.0 and skipping it removes an
+        # anti-join + a broadcast-build job per round
+        has_dangling = dangling_nodes.limit(1).count() > 0
+        n_nodes = nodes.count() if has_dangling else 0
+    # decorate each edge with its source's out-degree ONCE; iterations reuse
+    # it.  (pr/outdeg stays a division, NOT a precomputed 1/outdeg multiply:
+    # the oracle divides, and the two differ by double rounding.)
     ed = edges.join(deg, src).localCheckpoint(eager=False)
     ranks = nodes.withColumn("pr", F.lit(1.0))
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         r = maybe_bc(ranks)
-        contrib = (
-            ed.join(r, ed[src] == r["node"])
-            .select(F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+        contrib = ed.join(r, ed[src] == r["node"]).select(
+            F.col(dst).alias("node"), (F.col("pr") / F.col("outdeg")).alias("c")
+        )
+        # seed every node with a 0.0 contribution instead of left-joining the
+        # node list afterwards: one shuffle per iteration, no second join
+        # (x + 0.0 == x in IEEE754, so the seed never perturbs the sum)
+        total = (
+            contrib.unionByName(nodes.select("node", F.lit(0.0).alias("c")))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass: rank sitting on nodes with no out-edges is spread
-        # uniformly (1-row aggregate cross-joined, not collected)
-        dangling = (
-            ranks.join(deg.select(F.col(src).alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dm") / F.lit(float(n_nodes)))
-                ).alias("pr"),
+        if has_dangling:
+            # rank sitting on nodes with no out-edges is spread uniformly
+            # (1-row aggregate cross-joined, not collected)
+            dm = (
+                dangling_nodes.join(maybe_bc(ranks), "node")
+                .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
             )
-            .localCheckpoint(eager=False)
-        )
+            total = total.crossJoin(F.broadcast(dm)).withColumn(
+                "contrib", F.col("contrib") + F.col("dm") / F.lit(float(n_nodes))
+            )
+        ranks = total.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("contrib")).alias("pr"),
+        ).localCheckpoint(eager=False)
     return ranks

@@ -86,9 +86,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        # both union branches consume pairs — materialize the join+distinct
+        # once instead of running it per branch
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_D)
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_D, symmetric=True)
     return ranks.select("node", round_half_up(F.col("pr"), 5).alias("pr"))
