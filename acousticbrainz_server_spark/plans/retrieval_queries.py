@@ -36,6 +36,29 @@ _DENSE_QUERY_VEC = 0  # vec_id whose embedding is the dense query
 _TOPN = 50
 
 
+def _tf_dl(d: DataFrame, terms: list[str]) -> tuple[DataFrame, DataFrame]:
+    """(tf, dl) from ONE token explode and ONE shuffle.
+
+    Non-query terms are masked to NULL before the (doc, term) aggregate, so
+    the single grouped pass yields both the per-doc matched-term frequencies
+    (rows with a term) and the total document length (sum of all counts per
+    doc).  The previous shape ran the explode twice — once for dl, once
+    semi-join-filtered for tf — doubling the scan+explode cost that
+    dominates this query.  The masked literal IN stays in whole-stage
+    codegen (the query-term set is a handful of literals; no join needed).
+    """
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    masked = F.when(F.col("t").isin(terms), F.col("t"))
+    g = (
+        tok.groupBy("doc_id", masked.alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dl = g.groupBy("doc_id").agg(F.sum("n").cast("long").alias("dl"))
+    tf = g.filter(F.col("t").isNotNull()).select("doc_id", "t", F.col("n").alias("tf"))
+    return tf, dl
+
+
 @query(
     "bm25_retrieval",
     family="TXT,RETR,A2",
@@ -82,18 +105,10 @@ _TOPN = 50
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
     qt = spark.createDataFrame(_QUERY_TERMS, "qid INT, term STRING")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    # dl feeds the corpus stats AND the per-doc normalizer — one
-    # materialization (checkpoint blocks release with the result)
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=True)
+    tf, dl = _tf_dl(d, sorted({t for _, t in _QUERY_TERMS}))
     # corpus stats stay IN-PLAN as a broadcast 1-row dimension instead of a
     # driver collect: one job end-to-end, AQE pipelines the whole thing
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        tok.join(F.broadcast(qt.select(F.col("term").alias("t")).distinct()), "t", "left_semi")
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term_score = idf * F.col("tf") * (_K1 + 1) / (
@@ -182,15 +197,8 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexical list: the BM25 pipeline restricted to query 1's terms,
     # ranked to the fusion depth
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
-    qt = spark.createDataFrame([r for r in _QUERY_TERMS if r[0] == 1], "qid INT, term STRING")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint(eager=True)
+    tf, dl = _tf_dl(d, sorted({t for q, t in _QUERY_TERMS if q == 1}))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        tok.join(F.broadcast(qt.select(F.col("term").alias("t")).distinct()), "t", "left_semi")
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
     df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     term_score = idf * F.col("tf") * (_K1 + 1) / (

@@ -343,12 +343,23 @@ def test_pq_assign_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_bm25_prunes_posting_lists_before_aggregation(spark):
-    # the term semi-join (the posting-list prune) must sit BELOW the tf
-    # aggregation so non-matching tokens never reach a shuffle
-    plan = _optimized(QUERIES["bm25_retrieval"].spark_fn(spark, SF_SMOKE))
-    semi_pos = plan.find("LeftSemi")
-    assert semi_pos != -1, plan
+def test_bm25_single_pass_tf_dl(spark):
+    # the posting-list prune is a literal IN mask applied BEFORE the one
+    # (doc, term) aggregate: non-matching tokens collapse into the per-doc
+    # NULL group (still counted toward dl), so ONE explode and ONE shuffle
+    # feed both tf and dl.  The checkpoint hides the explode from the final
+    # plan, so assert the helper's semantics directly.
+    from acousticbrainz_server_spark.plans.retrieval_queries import _tf_dl
+
+    d = spark.createDataFrame(
+        [(1, "spark fast spark table"), (2, "slow slow slow")], "doc_id long, text string"
+    )
+    tf, dl = _tf_dl(d, ["spark", "table"])
+    assert {(r["doc_id"], r["t"]): r["tf"] for r in tf.collect()} == {
+        (1, "spark"): 2, (1, "table"): 1,
+    }
+    # dl counts ALL tokens, matched or not
+    assert {r["doc_id"]: r["dl"] for r in dl.collect()} == {1: 4, 2: 3}
     assert "CartesianProduct" not in _plan(QUERIES["bm25_retrieval"].spark_fn(spark, SF_SMOKE))
 
 
@@ -432,13 +443,19 @@ def test_bpe_pair_merge_topk_avoids_full_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_column_profile_single_scan(spark):
+def test_column_profile_pruned_scan_per_column(spark):
     df = QUERIES["column_profile"].spark_fn(spark, SF_SMOKE)
     plan = _plan(df)
-    # ONE wide aggregate over ONE scan — the count-distincts expand rows,
-    # they do not rescan the table per column
-    assert plan.count("Scan parquet") == 1
-    assert "Expand" in plan
+    # one COLUMN-PRUNED scan per profiled column (same total bytes as one
+    # full-width scan on a columnar store), hash aggregates per branch — the
+    # one-wide-agg alternative degrades to a SortAggregate over a 7-way
+    # Expand because min/max over STRING can't hash-aggregate (measured 40x)
+    assert plan.count("Scan parquet") == 6
+    for c in ("o_custkey", "o_orderdate", "o_orderpriority"):
+        assert f"ReadSchema: struct<{c}" in plan  # each branch reads ONLY its column
+    # string min/max branches may SortAggregate over their single column,
+    # but nothing expands or sorts the full-width rows
+    assert "Expand" not in plan
 
 
 def test_ivf_recall_bounded_and_exact_sides_share_no_cartesian(spark):
