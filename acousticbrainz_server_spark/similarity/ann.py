@@ -170,13 +170,16 @@ def knn_lsh(
     dist = angular_distance(F.col("raw_query_id"), F.col("raw_neighbor_id"))
     if round_digits is not None:
         dist = round_half_up(dist, round_digits)
+    # distance is computed BEFORE the (query, neighbor) dedup: a pair found in
+    # several hash tables recomputes the same scalar per copy, but the dedup
+    # shuffle then carries 3 scalars per row instead of two raw vectors —
+    # at 100 TB the wire bytes matter far more than the duplicate flops
     pairs = (
         F.broadcast(q_b)
         .join(d_b, ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "raw_query_id", "raw_neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", dist.alias("distance"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
     return pairs.withColumn("neighbor_rank", F.row_number().over(w)).filter(F.col("neighbor_rank") <= k)
