@@ -1,0 +1,498 @@
+"""Round-5 continuation: graph/sequence/diff/frontier/quality analytics.
+
+Seven operator families a training-data platform runs daily that the engine
+did not yet register, each expressed Spark-first with an exact DuckDB oracle:
+
+- ``triangle_count``: degree-oriented wedge join (the MR triangle-count plan)
+- ``markov_transitions``: per-user event-sequence transition matrix (lag window)
+- ``snapshot_diff``: keyed CDC diff between two as-of timestamps
+- ``skyline_pareto``: 2-D Pareto frontier via price-grouped cumulative max
+  (O(n log n)) against the oracle's quadratic NOT-EXISTS formulation
+- ``fk_integrity_audit``: orphan-row audit across every FK edge in the schema
+- ``audience_overlap``: pairwise audience intersection + exact Jaccard
+- ``inverted_index_postings``: capped posting-list build for the top-df terms
+
+Reference parity: the reference keeps pairwise similarity relations
+(db/similarity.py) and per-dataset integrity checks (db/dataset.py validation);
+these queries are the batch-analytics generalizations of that surface graded
+as first-class LLM-pipeline components by the task brief (SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import round_half_up, sql_round_half_up
+from ..sources.tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------------------------------
+# GRAPH — triangle counting with degree orientation
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count",
+    family="GRAPH",
+    doc="Per-node triangle participation over the part co-purchase graph "
+    "(parts co-occurring in one order are connected).  Spark enumerates "
+    "each triangle exactly once from its minimum-DEGREE-ORDER vertex: "
+    "edges are oriented low-(degree,id) -> high-(degree,id), wedges fan "
+    "out only from the low end (sum of C(outdeg,2) is minimized by this "
+    "orientation — Suri & Vassilvitskii 2011), and the closing edge is a "
+    "semi-join.  At 100 TB the wedge relation, not a cartesian product, "
+    "is the only super-linear term and it is provably bounded by "
+    "O(m^{3/2}).  The oracle counts the same triangles from the "
+    "id-ordered formulation (a<b<c), which yields the identical set.",
+    oracle=f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.v
+          JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        pernode AS (
+          SELECT node, count(*) AS triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+          ) GROUP BY node
+        )
+        SELECT node, triangles FROM pernode
+        ORDER BY triangles DESC, node LIMIT 100
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    edges = e.select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    ).distinct()
+    # undirected degree per node, then orient every edge from the endpoint
+    # with the smaller (degree, id) — the fan-out-minimizing orientation
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du")
+    dv = deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        # wedges + the closing-edge probe both consume this; materialize once
+        .localCheckpoint(eager=False)
+        # pre-partition on the wedge key, wide: AQE coalesces the self-join's
+        # shuffle by INPUT bytes (~10 MB -> 6 tasks) but the join fans out
+        # ~34x into the probe+explode+partial-agg pipeline of the same stage;
+        # an explicit width keeps that stage parallel (measured 2.5x)
+        .repartition(64, "lo")
+    )
+    # wedges from the low-order vertex; (x, y) ordered by id so the closing
+    # edge can be probed in its canonical undirected (min_id, max_id) form
+    # the closing edge is probed in packed-long form (hi << 32 | other) — a
+    # single 8-byte join key hashes measurably faster than a 2-column key on
+    # the 34x-fanned-out wedge stream (measured ~2x on the back half)
+    w = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.lo") == F.col("e2.lo"))
+        .filter(F.col("e1.hi") < F.col("e2.hi"))
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("x"),
+            F.col("e2.hi").alias("y"),
+            (F.shiftleft(F.col("e1.hi"), 32) + F.col("e2.hi")).alias("xy"),
+        )
+    )
+    canon = oriented.select(
+        (F.shiftleft(F.least("lo", "hi"), 32) + F.greatest("lo", "hi")).alias("xy")
+    )
+    # the wedge relation is the big side (sum of C(outdeg,2), ~34x the edge
+    # count here) — probe it against the edge set map-side rather than
+    # shuffling it: the edge list is 1 long/row (~10 MB at sf0.1) and stays
+    # broadcastable far beyond this scale; past that, drop the hint and the
+    # shuffled semi-join of scalar pairs is the fallback plan
+    tri = w.join(F.broadcast(canon), "xy", "left_semi")
+    # one explode pass, not a 3-branch union — a union would re-run the
+    # wedge join once per branch (measured 3x the whole query's cost)
+    pernode = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return pernode.orderBy(F.desc("triangles"), "node").limit(100)
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — Markov transition matrix over per-user event streams
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "markov_transitions",
+    family="SEQ,W3",
+    doc="First-order Markov transition matrix of user event sequences: lag "
+    "window per user (one shuffle on user_id), transition counts, and "
+    "row-normalized probabilities via a window sum over the source state "
+    "(25-row relation — no second scan).  The sequence order ties break "
+    "on event_id so the lag is deterministic cross-engine.",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ),
+        t AS (
+          SELECT prev_type, event_type AS next_type, count(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n,
+               {sql_round_half_up('n * 1.0 / sum(n) OVER (PARTITION BY prev_type)', 6)} AS prob
+        FROM t
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        round_half_up(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# CDC — keyed snapshot diff between two as-of timestamps
+# --------------------------------------------------------------------------------------
+
+_DIFF_T1 = "2024-01-15 00:00:00"
+_DIFF_T2 = "2024-01-29 00:00:00"
+
+
+@query(
+    "snapshot_diff",
+    family="CDC,J3",
+    doc="Change-data diff of per-user latest `value` between two as-of "
+    "cutoffs: each snapshot is a row_number()=1 latest-state reduction "
+    "(ties broken on event_id), full-outer-joined on the key and labeled "
+    "added/changed/unchanged.  Both snapshots derive from ONE events scan "
+    "(the T1 branch filters the T2 superset) and shuffle on the same "
+    "user_id key so the join is co-partitioned with the windows.",
+    oracle=f"""
+        WITH s2 AS (
+          SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts < TIMESTAMP '{_DIFF_T2}'
+          ) WHERE rn = 1
+        ),
+        s1 AS (
+          SELECT user_id, value FROM (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+            FROM events WHERE ts < TIMESTAMP '{_DIFF_T1}'
+          ) WHERE rn = 1
+        )
+        SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+               {sql_round_half_up('s1.value', 3)} AS v_old,
+               {sql_round_half_up('s2.value', 3)} AS v_new,
+               CASE WHEN s1.user_id IS NULL THEN 'added'
+                    WHEN s1.value = s2.value THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM s2 FULL OUTER JOIN s1 USING (user_id)
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts") < F.lit(_DIFF_T2))
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "value")
+        )
+
+    s2 = latest(ev)
+    s1 = latest(ev.filter(F.col("ts") < F.lit(_DIFF_T1)))
+    j = s2.withColumnRenamed("value", "v2").join(
+        s1.withColumnRenamed("value", "v1"), "user_id", "full_outer"
+    )
+    return j.select(
+        "user_id",
+        round_half_up(F.col("v1"), 3).alias("v_old"),
+        round_half_up(F.col("v2"), 3).alias("v_new"),
+        F.when(F.col("v1").isNull(), F.lit("added"))
+        .when(F.col("v1") == F.col("v2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# OLAP — 2-D Pareto frontier (skyline)
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "skyline_pareto",
+    family="OLAP",
+    doc="Pareto frontier of parts minimizing retail price while maximizing "
+    "size.  The oracle is the textbook quadratic NOT-EXISTS dominance "
+    "test; the Spark plan is the O(n log n) sweep — per-price max size "
+    "(one agg on the price key), running max over strictly-cheaper prices "
+    "(window with a ROWS -1 frame on the price-distinct relation, which "
+    "is the bounded-cardinality side), joined back to prune dominated "
+    "rows.  A row survives iff no strictly-cheaper price reaches its "
+    "size AND no same-price peer exceeds it — exactly the dominance "
+    "relation, with equal (price,size) duplicates all kept.",
+    oracle=f"""
+        SELECT p_partkey, {sql_round_half_up('p_retailprice', 2)} AS price, p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(F.max("p_size").alias("mx"))
+    # running max over STRICTLY cheaper prices: ROWS frame ending 1 before
+    # current on the per-price relation (one row per price, so row-offset
+    # equals strict price precedence)
+    wl = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    per_price = per_price.select(
+        "p_retailprice", "mx", F.max("mx").over(wl).alias("max_lt")
+    )
+    j = part.join(per_price, "p_retailprice")
+    keep = (F.col("max_lt").isNull() | (F.col("max_lt") < F.col("p_size"))) & (
+        F.col("mx") <= F.col("p_size")
+    )
+    return j.filter(keep).select(
+        "p_partkey",
+        round_half_up(F.col("p_retailprice"), 2).alias("price"),
+        "p_size",
+    )
+
+
+# --------------------------------------------------------------------------------------
+# DQ — referential-integrity audit across every FK edge
+# --------------------------------------------------------------------------------------
+
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    # (relation label, child table, child key, parent table, parent key)
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        parts.append(
+            f"""
+        SELECT '{label}' AS relation,
+               count(*) AS child_rows,
+               count(*) FILTER (WHERE p.k IS NULL) AS orphan_rows
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p ON p.k = c.{ckey}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "fk_integrity_audit",
+    family="DQ,J4",
+    doc="Referential-integrity audit: for every FK edge in the schema, total "
+    "child rows and orphan rows (child keys with no parent).  Each edge "
+    "is a left join against the DISTINCT parent-key set — dimension key "
+    "sets broadcast, the two fact-sized parents (orders at 1.5M/SF, part) "
+    "reduce to their key column before the join so the shuffle carries "
+    "8-byte keys, and the per-edge result is a single aggregate row.  "
+    "The audit is the batch generalization of the reference's dataset "
+    "validation (db/dataset.py check_recordings).",
+    oracle=_fk_oracle(),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
+        agg = (
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.count(F.when(F.col("present").isNull(), 1)).alias("orphan_rows"),
+            )
+            .select(F.lit(label).alias("relation"), "child_rows", "orphan_rows")
+        )
+        out = agg if out is None else out.unionAll(agg)
+    assert out is not None
+    return out
+
+
+# --------------------------------------------------------------------------------------
+# SEG — pairwise audience overlap with exact Jaccard
+# --------------------------------------------------------------------------------------
+
+_AUD_MIN_EVENTS = 14
+
+
+@query(
+    "audience_overlap",
+    family="SEG,A3",
+    doc=f"Pairwise overlap between behavioral audiences (users with >= "
+    f"{_AUD_MIN_EVENTS} events of a type): intersection size and exact "
+    "Jaccard for every unordered type pair.  The (type,user) membership "
+    "relation reduces to one row per member BEFORE the self-join, the "
+    "join shuffles on user_id (members co-locate), and per-type sizes "
+    "broadcast back onto the 10-row pair relation.  At 100 TB this is "
+    "the audience-overlap matrix plan: the only big shuffle carries "
+    "(type,user) pairs, never raw events.",
+    oracle=f"""
+        WITH aud AS (
+          SELECT event_type, user_id FROM events
+          GROUP BY event_type, user_id HAVING count(*) >= {_AUD_MIN_EVENTS}
+        ),
+        sizes AS (SELECT event_type, count(*) AS sz FROM aud GROUP BY event_type),
+        ov AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS overlap
+          FROM aud a JOIN aud b ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, overlap,
+               {sql_round_half_up('overlap * 1.0 / (sa.sz + sb.sz - overlap)', 6)} AS jaccard
+        FROM ov JOIN sizes sa ON sa.event_type = ov.type_a
+                JOIN sizes sb ON sb.event_type = ov.type_b
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aud = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _AUD_MIN_EVENTS)
+        .select("event_type", "user_id")
+    )
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = aud.withColumnRenamed("event_type", "type_a")
+    b = aud.withColumnRenamed("event_type", "type_b")
+    ov = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.withColumnRenamed("event_type", "type_a").withColumnRenamed("sz", "sa")
+    sb = sizes.withColumnRenamed("event_type", "type_b").withColumnRenamed("sz", "sb")
+    return (
+        ov.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "overlap",
+            round_half_up(
+                F.col("overlap") / (F.col("sa") + F.col("sb") - F.col("overlap")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# IDX — inverted-index posting lists for the top-df terms
+# --------------------------------------------------------------------------------------
+
+_IDX_TOP_TERMS = 50
+_IDX_POSTING_CAP = 20
+
+
+@query(
+    "inverted_index_postings",
+    family="IDX,A6",
+    doc=f"Inverted-index build: document frequency per term, the top "
+    f"{_IDX_TOP_TERMS} terms by (df desc, term), and each term's posting "
+    f"list CAPPED at the {_IDX_POSTING_CAP} lowest doc_ids serialized as "
+    "a comma-joined string.  The posting cap is applied with a rank "
+    "window BEFORE collect_list so the aggregation state is bounded per "
+    "term (a web-scale stopword's postings never materialize), and the "
+    "top-term filter is a broadcast semi-join that prunes the posting "
+    "shuffle to 50 keys.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents
+        ),
+        df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+        top AS (
+          SELECT term, df FROM df ORDER BY df DESC, term LIMIT {_IDX_TOP_TERMS}
+        ),
+        ranked AS (
+          SELECT t.term, t.doc_id,
+                 row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+          FROM tok t SEMI JOIN top ON top.term = t.term
+        )
+        SELECT top.term, top.df, p.postings
+        FROM top JOIN (
+          SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+          FROM ranked WHERE rn <= {_IDX_POSTING_CAP} GROUP BY term
+        ) p ON p.term = top.term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).distinct()
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = df.orderBy(F.desc("df"), "term").limit(_IDX_TOP_TERMS)
+    pruned = tok.join(F.broadcast(top.select("term")), "term", "left_semi")
+    wr = Window.partitionBy("term").orderBy("doc_id")
+    capped = pruned.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") <= _IDX_POSTING_CAP
+    )
+    postings = capped.groupBy("term").agg(
+        F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings")
+    )
+    return F.broadcast(top).join(postings, "term").select("term", "df", "postings")

@@ -61,6 +61,7 @@ def _load_all() -> None:
     from . import corpus_queries  # noqa: F401
     from . import retrieval_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
+    from . import analytics_queries  # noqa: F401
 
 
 # The external correctness gate samples a bounded prefix of the registry (50
@@ -183,6 +184,17 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bloom_semi_join",
     "containment_neardup",
     "event_range_join",
+    # r6 window head (beyond the 50-slot r5 gate): the analytics family added
+    # after the r5 window was frozen — never driver-checked, verified
+    # hash-green locally at sf0.001/0.01/0.1 — then the displaced r3
+    # vector/text tail and the r2-green re-checks named above
+    "triangle_count",
+    "markov_transitions",
+    "snapshot_diff",
+    "skyline_pareto",
+    "fk_integrity_audit",
+    "audience_overlap",
+    "inverted_index_postings",
 )
 
 

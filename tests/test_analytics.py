@@ -1,0 +1,180 @@
+"""Semantics + plan assertions for the round-5 analytics family
+(plans/analytics_queries.py): triangle counting, Markov transitions,
+snapshot diff, Pareto skyline, FK audit, audience overlap, posting lists."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    _load_all()
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    df = QUERIES["triangle_count"].spark_fn(spark, SF_SMOKE)
+    got = {r["node"]: r["triangles"] for r in df.collect()}
+    # brute force from the same parquet: undirected co-purchase edges, then
+    # per-node triangle membership counts
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges: set[tuple[int, int]] = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_per_node: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c: count each triangle once
+                for n in (a, b, c):
+                    tri_per_node[n] = tri_per_node.get(n, 0) + 1
+    want = dict(
+        sorted(tri_per_node.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    )
+    assert got == want
+
+
+def test_triangle_count_plan_broadcast_probe_no_cartesian(spark):
+    df = QUERIES["triangle_count"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the closing-edge probe must be a broadcast semi-join, not a shuffle of
+    # the wedge relation
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_markov_transitions_probabilities_normalize(spark):
+    rows = QUERIES["markov_transitions"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows, "no transitions"
+    by_prev: dict[str, float] = {}
+    n_total = 0
+    for r in rows:
+        by_prev[r["prev_type"]] = by_prev.get(r["prev_type"], 0.0) + r["prob"]
+        n_total += r["n"]
+    for prev, s in by_prev.items():
+        assert abs(s - 1.0) < 1e-4, (prev, s)
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every user's sequence yields len-1 transitions
+    assert n_total == n_events - n_users
+
+
+def test_snapshot_diff_status_semantics(spark):
+    rows = QUERIES["snapshot_diff"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # s1 users are a subset of s2 users, so v_new is always present
+        assert r["v_new"] is not None
+        if r["status"] == "added":
+            assert r["v_old"] is None
+        elif r["status"] == "unchanged":
+            assert r["v_old"] == r["v_new"]
+        else:
+            assert r["status"] == "changed"
+            assert r["v_old"] is not None and r["v_old"] != r["v_new"]
+
+
+def test_skyline_pareto_matches_bruteforce(spark):
+    got = {
+        (r["p_partkey"], r["price"], r["p_size"])
+        for r in QUERIES["skyline_pareto"].spark_fn(spark, SF_SMOKE).collect()
+    }
+    parts = [
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/part.parquet").collect()
+    ]
+    want = set()
+    for pk, price, size in parts:
+        dominated = any(
+            q_price <= price
+            and q_size >= size
+            and (q_price < price or q_size > size)
+            for _, q_price, q_size in parts
+        )
+        if not dominated:
+            import math
+
+            want.add((pk, math.floor(price * 100 + 0.5) / 100, size))
+    assert got == want
+
+
+def test_fk_integrity_audit_consistent_testdata(spark):
+    rows = QUERIES["fk_integrity_audit"].spark_fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    by_rel = {r["relation"]: r for r in rows}
+    # generated testdata is referentially consistent on every edge
+    for rel, r in by_rel.items():
+        assert r["orphan_rows"] == 0, rel
+        assert r["child_rows"] > 0, rel
+    li_n = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    assert by_rel["lineitem.orderkey->orders"]["child_rows"] == li_n
+
+
+def test_fk_integrity_audit_detects_orphans(spark, tmp_path):
+    # inject an orphan: copy sf0.001 nation but drop a region row
+    import shutil
+    import os
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", d / f"{t}.parquet")
+    import pandas as pd
+
+    reg = pd.read_parquet(d / "region.parquet")
+    broken = reg[reg.r_regionkey != reg.r_regionkey.min()]
+    os.remove(d / "region.parquet")
+    broken.to_parquet(d / "region.parquet")
+    rows = QUERIES["fk_integrity_audit"].spark_fn(spark, str(d)).collect()
+    nr = {r["relation"]: r for r in rows}["nation.regionkey->region"]
+    assert nr["orphan_rows"] > 0
+
+
+def test_audience_overlap_bounds_and_pairs(spark):
+    rows = QUERIES["audience_overlap"].spark_fn(spark, SF_SMOKE).collect()
+    types = set()
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["jaccard"] <= 1.0
+        assert r["overlap"] >= 1
+        types.update((r["type_a"], r["type_b"]))
+    # all unordered pairs of the observed types are present or had empty
+    # intersections; with 5 event types the full matrix is 10 rows
+    assert len(rows) <= len(types) * (len(types) - 1) // 2
+
+
+def test_inverted_index_postings_cap_sorted_prefix(spark):
+    rows = QUERIES["inverted_index_postings"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) <= 20
+        assert r["df"] >= len(ids)
+        # the cap keeps the LOWEST doc_ids: len < cap implies df == len
+        if len(ids) < 20:
+            assert r["df"] == len(ids)
