@@ -496,3 +496,145 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings")
     )
     return F.broadcast(top).join(postings, "term").select("term", "df", "postings")
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — last-touch marketing attribution
+# --------------------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # 24h lookback, integer µs
+
+
+@query(
+    "attribution_last_touch",
+    family="SEQ,W3",
+    doc="Last-touch attribution: every purchase is credited to the user's "
+    "most recent view/click within a 24h lookback.  One lag-style window "
+    "per user (ignore-nulls last_value over a running frame) — a single "
+    "shuffle on user_id, no self-join, no range join; the 24h bound and "
+    "the minutes-since are integer-µs exact in both engines.",
+    oracle=f"""
+        WITH w AS (
+          SELECT event_id, user_id, event_type, ts,
+                 last_value(CASE WHEN event_type IN ('view','click') THEN ts END IGNORE NULLS)
+                   OVER win AS mkt_ts,
+                 last_value(CASE WHEN event_type IN ('view','click') THEN event_id END IGNORE NULLS)
+                   OVER win AS mkt_id,
+                 last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+                   OVER win AS mkt_raw_type
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN mkt_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(mkt_ts) <= {_ATTR_WINDOW_US}
+                    THEN mkt_raw_type ELSE 'none' END AS mkt_type,
+               CASE WHEN mkt_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(mkt_ts) <= {_ATTR_WINDOW_US}
+                    THEN mkt_id END AS mkt_event_id,
+               CASE WHEN mkt_ts IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(mkt_ts) <= {_ATTR_WINDOW_US}
+                    THEN {sql_round_half_up('(epoch_us(ts) - epoch_us(mkt_ts)) / 60000000.0', 2)}
+               END AS mins_since
+        FROM w WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_mkt = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_mkt, F.col("ts")), ignorenulls=True).over(w).alias("mkt_ts"),
+        F.last(F.when(is_mkt, F.col("event_id")), ignorenulls=True).over(w).alias("mkt_id"),
+        F.last(F.when(is_mkt, F.col("event_type")), ignorenulls=True).over(w).alias("mkt_raw_type"),
+    ).filter(F.col("event_type") == "purchase")
+    delta_us = F.unix_micros("ts") - F.unix_micros("mkt_ts")
+    valid = F.col("mkt_ts").isNotNull() & (delta_us <= F.lit(_ATTR_WINDOW_US))
+    return enriched.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(valid, F.col("mkt_raw_type")).otherwise(F.lit("none")).alias("mkt_type"),
+        F.when(valid, F.col("mkt_id")).alias("mkt_event_id"),
+        F.when(valid, round_half_up(delta_us / F.lit(60000000.0), 2)).alias("mins_since"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# STAT — pointwise mutual information over co-purchased parts
+# --------------------------------------------------------------------------------------
+
+_PMI_MIN_SUPPORT = 3
+_PMI_TOP_K = 50
+
+
+@query(
+    "pmi_copurchase",
+    family="STAT,A2",
+    doc=f"Top-{_PMI_TOP_K} part pairs by pointwise mutual information over "
+    "order baskets: pair counts from the ordered self-join on the order "
+    "key, support-pruned (>= {_PMI_MIN_SUPPORT}) BEFORE the marginals "
+    "attach, per-part marginals broadcast onto the surviving pairs, "
+    "basket total folded in as a one-row cross join.  PMI = "
+    "ln(n_ab*N/(n_a*n_b)) on integer counts; ranking happens on the "
+    "ROUNDED value with (a,b) tiebreaks so the top-k boundary is "
+    "cross-engine stable.",
+    oracle=f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+        marg AS (SELECT l_partkey, count(*) AS n_part FROM op GROUP BY l_partkey),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, n_ab,
+               {sql_round_half_up('ln(n_ab * 1.0 * n_orders / (ma.n_part * mb.n_part))', 6)} AS pmi
+        FROM pairs JOIN marg ma ON ma.l_partkey = part_a
+                   JOIN marg mb ON mb.l_partkey = part_b
+                   CROSS JOIN n
+        ORDER BY pmi DESC, part_a, part_b LIMIT {_PMI_TOP_K}
+    """,
+)
+def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    pairs = (
+        op.alias("a")
+        .join(
+            op.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    scored = (
+        pairs.join(F.broadcast(ma), "part_a")
+        .join(F.broadcast(mb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            round_half_up(
+                F.log(F.col("n_ab") * F.col("n_orders") / (F.col("na") * F.col("nb"))), 6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "part_a", "part_b").limit(_PMI_TOP_K)

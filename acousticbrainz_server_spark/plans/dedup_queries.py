@@ -296,3 +296,115 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("est_jaccard") >= 0.5).select(
         "doc_a", "doc_b", round_half_up(F.col("est_jaccard"), 4).alias("est_jaccard")
     )
+
+
+# --------------------------------------------------------------------------------------
+# DEDUP — exact set-similarity join with prefix filtering (PPJoin-style)
+# --------------------------------------------------------------------------------------
+
+_PFX_T_NUM, _PFX_T_DEN = 6, 10  # Jaccard threshold 0.6 as an exact rational
+
+
+@query(
+    "prefix_filter_jaccard",
+    family="DEDUP",
+    doc="EXACT shingle-set Jaccard join (word 3-grams, threshold 0.6) with "
+    "prefix filtering (Chaudhuri et al. 2006 / PPJoin): shingles are "
+    "canonically ordered rarest-first by (document-frequency, shingle) — "
+    "no global index assignment, the (df, shingle) struct sort IS the "
+    "order — and only the first n - ceil(t*n) + 1 shingles of each set "
+    "are exploded as join keys.  Two sets meeting the threshold must "
+    "share a prefix shingle (pigeonhole), so the candidate join is "
+    "lossless while the explode carries ~(1-t) of each set; exact "
+    "intersection verification runs only on surviving candidates.  The "
+    "threshold test is integer-exact (10*i >= 6*u), never float.  The "
+    "oracle brute-forces all pairs, so any pruning bug surfaces as a "
+    "hash mismatch.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+          FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 2))) AS i FROM tok)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        -- lossless candidates: any qualifying pair shares >= 1 shingle, and
+        -- the equi-join's per-pair row count IS the intersection size
+        -- (independent of the engine's prefix-pruned plan)
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_sz
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b, inter_sz, sa.n + sb.n - inter_sz AS union_sz
+          FROM inter JOIN sizes sa ON sa.doc_id = inter.doc_a
+                     JOIN sizes sb ON sb.doc_id = inter.doc_b
+        )
+        SELECT doc_a, doc_b, inter_sz, union_sz,
+               {sql_round_half_up('inter_sz * 1.0 / union_sz', 6)} AS jaccard
+        FROM pairs
+        WHERE {_PFX_T_DEN} * inter_sz >= {_PFX_T_NUM} * union_sz
+    """,
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    # word 3-gram shingles; the HOF runs on one row per DOCUMENT (not per
+    # token), so interpreted-expression cost stays linear in doc count
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(toks) - 3, 0)), "
+                "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+            )
+        ).alias("s"),
+    ).distinct()
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first canonical order: lexicographic (df, shingle) struct sort
+    sets = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").alias(
+                "shingles"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # prefix length n - ceil(t*n) + 1, integer-exact ceil
+        .withColumn(
+            "prefix",
+            F.expr(
+                f"slice(shingles, 1, CAST(n - ((({_PFX_T_NUM} * n) + {_PFX_T_DEN - 1}) "
+                f"DIV {_PFX_T_DEN}) + 1 AS INT))"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pfx = sets.select("doc_id", F.explode("prefix").alias("s"))
+    cand = (
+        pfx.alias("a")
+        .join(pfx.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ta"), F.col("n").alias("na"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("tb"), F.col("n").alias("nb"))
+    v = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter_sz"))
+        .filter(F.lit(_PFX_T_DEN) * F.col("inter_sz") >= F.lit(_PFX_T_NUM) * F.col("union_sz"))
+    )
+    return v.select(
+        "doc_a",
+        "doc_b",
+        "inter_sz",
+        "union_sz",
+        round_half_up(F.col("inter_sz") / F.col("union_sz"), 6).alias("jaccard"),
+    )

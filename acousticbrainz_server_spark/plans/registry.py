@@ -195,6 +195,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "fk_integrity_audit",
     "audience_overlap",
     "inverted_index_postings",
+    "prefix_filter_jaccard",
+    "attribution_last_touch",
+    "pmi_copurchase",
 )
 
 

@@ -178,3 +178,90 @@ def test_inverted_index_postings_cap_sorted_prefix(spark):
         # the cap keeps the LOWEST doc_ids: len < cap implies df == len
         if len(ids) < 20:
             assert r["df"] == len(ids)
+
+
+def test_prefix_filter_jaccard_matches_bruteforce(spark):
+    rows = QUERIES["prefix_filter_jaccard"].spark_fn(spark, SF_SMOKE).collect()
+    got = {(r["doc_a"], r["doc_b"]): (r["inter_sz"], r["union_sz"]) for r in rows}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    sets = {}
+    for r in docs:
+        toks = r["text"].strip().split()
+        sets[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if 10 * inter >= 6 * union:
+                want[(a, b)] = (inter, union)
+    assert got == want
+    plan = QUERIES["prefix_filter_jaccard"].spark_fn(spark, SF_SMOKE)
+    assert "CartesianProduct" not in _plan(plan)
+
+
+def test_attribution_last_touch_semantics(spark):
+    rows = QUERIES["attribution_last_touch"].spark_fn(spark, SF_SMOKE).collect()
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    # brute force: walk each user's stream remembering the last view/click
+    last_mkt = {}
+    want = {}
+    for r in ev:
+        u = r["user_id"]
+        if r["event_type"] in ("view", "click"):
+            last_mkt[u] = r
+        elif r["event_type"] == "purchase":
+            m = last_mkt.get(u)
+            if m is not None and (r["ts"] - m["ts"]).total_seconds() <= 86400:
+                want[r["event_id"]] = (m["event_id"], m["event_type"])
+            else:
+                want[r["event_id"]] = (None, "none")
+    assert len(rows) == len(want)
+    for r in rows:
+        mid, mtype = want[r["purchase_id"]]
+        assert r["mkt_event_id"] == mid and r["mkt_type"] == mtype
+        if mid is None:
+            assert r["mins_since"] is None
+        else:
+            assert r["mins_since"] is not None and r["mins_since"] >= 0
+
+
+def test_pmi_copurchase_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    rows = QUERIES["pmi_copurchase"].spark_fn(spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    marg, pair_n = {}, {}
+    for parts in baskets.values():
+        for p in parts:
+            marg[p] = marg.get(p, 0) + 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    scored = [
+        (
+            math.floor(
+                math.log(n * n_orders / (marg[a] * marg[b])) * 1e6 + 0.5
+            )
+            / 1e6,
+            a,
+            b,
+            n,
+        )
+        for (a, b), n in pair_n.items()
+        if n >= 3
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, n, pmi) for pmi, a, b, n in scored[:50]]
+    got = [(r["part_a"], r["part_b"], r["n_ab"], r["pmi"]) for r in rows]
+    assert got == want
