@@ -111,3 +111,44 @@ def pagerank(
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("contrib")).alias("pr"),
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_labels: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over a directed
+    edge list that contains BOTH directions of each undirected edge.
+
+    Every node starts with its own id as label; each round, a node adopts
+    the most frequent label among its in-neighbors, ties broken by the
+    SMALLEST label — the (count desc, label asc) rank makes the whole
+    fixed-iteration run deterministic, which is what lets a SQL oracle
+    unroll it.  Same scale discipline as :func:`pagerank`: the O(|E|) edge
+    list never reshuffles, the O(|V|) label vector broadcasts each round
+    (or co-partitions when past the broadcast budget), and localCheckpoint
+    keeps the per-round plan constant-size.
+    """
+    labels = edges.select(F.col(src).alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        lbl = F.broadcast(labels) if broadcast_labels else labels
+        counts = (
+            edges.join(lbl, edges[src] == lbl["node"])
+            .groupBy(F.col(dst), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # (count desc, label asc) argmax fused into the aggregate as
+        # max(struct(cnt, -label)) — one shuffle per round instead of the
+        # agg + rank-window pair
+        labels = (
+            counts.groupBy(F.col(dst).alias("node"))
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

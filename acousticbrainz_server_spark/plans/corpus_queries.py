@@ -802,3 +802,157 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source", "weight", F.col("rn").cast("int").alias("sample_rank"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# CORPUS — quantile normalization of a per-source metric onto the global distribution
+# --------------------------------------------------------------------------------------
+@query(
+    "quantile_normalize_source",
+    family="CORPUS,V2",
+    doc="Quantile normalization (the microarray-normalization transform): "
+    "each document's n_chars is replaced by the GLOBAL n_chars value at "
+    "the same within-source quantile, aligning every source's length "
+    "distribution to the corpus-wide one.  Entirely integer-exact: "
+    "within-source rank r of n_s maps to global rank ceil(r*N/n_s) via "
+    "(r*N + n_s - 1) DIV n_s, then a join against the globally ranked "
+    "relation carries the value — no float interpolation anywhere.  The "
+    "global row_number is the one single-partition window; at 100 TB it "
+    "becomes a two-pass range-partitioned prefix-sum rank (sort by value, "
+    "per-partition counts, broadcast offsets), same semantics.",
+    oracle="""
+        WITH g AS (
+          SELECT n_chars AS gval,
+                 row_number() OVER (ORDER BY n_chars, doc_id) AS gidx
+          FROM documents
+        ),
+        n AS (SELECT count(*) AS total FROM documents),
+        r AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n_s
+          FROM documents
+        )
+        SELECT r.doc_id, r.source, r.n_chars,
+               g.gval AS normalized
+        FROM r CROSS JOIN n
+        JOIN g ON g.gidx = (r.rk * n.total + r.n_s - 1) // r.n_s
+    """,
+)
+def quantile_normalize_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = d.select(
+        F.col("n_chars").alias("gval"),
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gidx"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_s"),
+    )
+    target = (F.col("rk") * F.col("total") + F.col("n_s") - F.lit(1)) / F.col("n_s")
+    # integer division: Spark's / is float — use the SQL DIV operator
+    r = r.crossJoin(F.broadcast(n)).withColumn(
+        "gidx", F.expr("(rk * total + n_s - 1) DIV n_s")
+    )
+    return r.join(g, "gidx").select("doc_id", "source", "n_chars", F.col("gval").alias("normalized"))
+
+
+# --------------------------------------------------------------------------------------
+# CORPUS — distinctive terms per source (Dunning log-likelihood keyness)
+# --------------------------------------------------------------------------------------
+
+# the 2x2-contingency LLR as ONE SQL expression evaluated verbatim by BOTH
+# engines (identical parse -> identical float ops): cells (a = term-in-source,
+# b = term-elsewhere, c = other-terms-in-source, d = other-terms-elsewhere),
+# zero cells contribute 0 by the x*ln(x) -> 0 limit
+_LLR_EXPR = (
+    # CAST(...AS DOUBLE) everywhere, never `* 1.0`: Spark parses the 1.0
+    # literal as DECIMAL and the whole ratio silently truncates to 6-digit
+    # decimal scale (measured: llr off by 1e-2); DuckDB parses it as double.
+    # Explicit casts make both engines run the identical float pipeline.
+    "CAST(2 AS DOUBLE) * ("
+    "  CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * nn / (CAST(r1 AS DOUBLE) * c1)) ELSE CAST(0 AS DOUBLE) END"
+    "+ CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * nn / (CAST(r2 AS DOUBLE) * c1)) ELSE CAST(0 AS DOUBLE) END"
+    "+ CASE WHEN c > 0 THEN c * ln(CAST(c AS DOUBLE) * nn / (CAST(r1 AS DOUBLE) * c2)) ELSE CAST(0 AS DOUBLE) END"
+    "+ CASE WHEN d > 0 THEN d * ln(CAST(d AS DOUBLE) * nn / (CAST(r2 AS DOUBLE) * c2)) ELSE CAST(0 AS DOUBLE) END"
+    ")"
+)
+_KEYNESS_TOP = 5
+
+
+@query(
+    "source_keyness_llr",
+    family="CORPUS,TXT",
+    doc=f"Top-{_KEYNESS_TOP} distinctive terms per source by Dunning (1993) "
+    "log-likelihood keyness over the 2x2 term-by-source contingency "
+    "table.  One (source, term) count aggregate; term totals and source "
+    "totals broadcast back onto it; the LLR arithmetic is a single SQL "
+    "expression string evaluated verbatim by both engines so the float "
+    "path is identical.  Ranking on the ROUNDED score with term "
+    "tiebreak.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+          FROM documents
+        ),
+        st AS (SELECT source, term, count(*) AS a FROM tok GROUP BY source, term),
+        tt AS (SELECT term, count(*) AS c1 FROM tok GROUP BY term),
+        srct AS (SELECT source, count(*) AS r1 FROM tok GROUP BY source),
+        nn_t AS (SELECT count(*) AS nn FROM tok),
+        cells AS (
+          SELECT st.source, st.term, st.a, tt.c1, srct.r1, nn_t.nn,
+                 tt.c1 - st.a AS b, srct.r1 - st.a AS c,
+                 nn_t.nn - tt.c1 AS c2, nn_t.nn - srct.r1 AS r2,
+                 nn_t.nn - tt.c1 - srct.r1 + st.a AS d
+          FROM st JOIN tt USING (term) JOIN srct USING (source) CROSS JOIN nn_t
+        ),
+        scored AS (
+          SELECT source, term, a AS n_in_source,
+                 {sql_round_half_up(_LLR_EXPR, 4)} AS llr
+          FROM cells
+        )
+        SELECT source, term, n_in_source, llr, CAST(rn AS INTEGER) AS term_rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY source ORDER BY llr DESC, term) AS rn
+          FROM scored
+        ) WHERE rn <= {_KEYNESS_TOP}
+    """,
+)
+def source_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("a"))
+    tt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    srct = tok.groupBy("source").agg(F.count(F.lit(1)).alias("r1"))
+    nn = tok.agg(F.count(F.lit(1)).alias("nn"))
+    cells = (
+        st.join(tt, "term")
+        .join(F.broadcast(srct), "source")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("b", F.col("c1") - F.col("a"))
+        .withColumn("c", F.col("r1") - F.col("a"))
+        .withColumn("c2", F.col("nn") - F.col("c1"))
+        .withColumn("r2", F.col("nn") - F.col("r1"))
+        .withColumn("d", F.col("nn") - F.col("c1") - F.col("r1") + F.col("a"))
+    )
+    scored = cells.select(
+        "source",
+        "term",
+        F.col("a").alias("n_in_source"),
+        round_half_up(F.expr(_LLR_EXPR), 4).alias("llr"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("llr"), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= _KEYNESS_TOP)
+        .select("source", "term", "n_in_source", "llr", F.col("term_rank").cast("int"))
+    )

@@ -95,3 +95,75 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=_PR_ITERS, damping=_PR_D, symmetric=True)
     return ranks.select("node", round_half_up(F.col("pr"), 5).alias("pr"))
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(iters: int = _LPA_ITERS) -> str:
+    """Unrolled synchronous label-propagation iterations as chained CTEs
+    (deterministic: most-frequent neighbor label, ties to the smallest)."""
+    parts = [
+        """
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (
+          SELECT u AS src, v AS dst FROM pairs
+          UNION ALL
+          SELECT v AS src, u AS dst FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        l{i} AS (
+          SELECT dst AS node, label FROM (
+            SELECT e.dst, l.label,
+                   row_number() OVER (PARTITION BY e.dst
+                                      ORDER BY count(*) DESC, l.label) AS rn
+            FROM edges e JOIN l{i - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.label
+          ) WHERE rn = 1
+        )"""
+        )
+    parts.append(f"""
+        SELECT node, label FROM l{iters}""")
+    return "".join(parts)
+
+
+@query(
+    "label_propagation_communities",
+    family="GRAPH",
+    doc=f"Synchronous label propagation ({_LPA_ITERS} rounds, most-frequent "
+    "neighbor label, ties to the smallest) over the part co-purchase "
+    "graph — the deterministic fixed-iteration form of LPA community "
+    "detection.  Spark: the edge list is joined once per round against "
+    "the broadcast O(|V|) label vector (edges never reshuffle), the "
+    "adopt step is one (dst,label) aggregate + per-dst rank window, and "
+    "localCheckpoint caps plan growth.  The oracle unrolls the identical "
+    "rounds as chained CTEs, so every intermediate join/aggregate/rank "
+    "is certified, not just the fixed point.",
+    oracle=_lpa_oracle(),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    pairs = (
+        e.select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return label_propagation(edges, iterations=_LPA_ITERS)

@@ -198,6 +198,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "prefix_filter_jaccard",
     "attribution_last_touch",
     "pmi_copurchase",
+    "quantile_normalize_source",
+    "source_keyness_llr",
+    "label_propagation_communities",
 )
 
 

@@ -265,3 +265,74 @@ def test_pmi_copurchase_matches_bruteforce(spark):
     want = [(a, b, n, pmi) for pmi, a, b, n in scored[:50]]
     got = [(r["part_a"], r["part_b"], r["n_ab"], r["pmi"]) for r in rows]
     assert got == want
+
+
+def test_quantile_normalize_matches_bruteforce(spark):
+    rows = QUERIES["quantile_normalize_source"].spark_fn(spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    g = sorted((r["n_chars"], r["doc_id"]) for r in docs)
+    gvals = [v for v, _ in g]
+    N = len(g)
+    by_source = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    want = {}
+    for src, items in by_source.items():
+        items.sort()
+        n_s = len(items)
+        for rk, (v, did) in enumerate(items, start=1):
+            want[did] = gvals[(rk * N + n_s - 1) // n_s - 1]
+    got = {r["doc_id"]: r["normalized"] for r in rows}
+    assert got == want
+    # every source's max maps to the global max
+    gmax = max(gvals)
+    for src, items in by_source.items():
+        top_doc = items[-1][1]
+        assert got[top_doc] == gmax
+
+
+def test_source_keyness_llr_nonnegative_and_shape(spark):
+    rows = QUERIES["source_keyness_llr"].spark_fn(spark, SF_SMOKE).collect()
+    per_source = {}
+    for r in rows:
+        assert r["llr"] >= -1e-9  # LLR = 2*KL >= 0 (rounded)
+        per_source.setdefault(r["source"], []).append(r)
+    for src, rs in per_source.items():
+        assert len(rs) == 5
+        ranks = sorted(r["term_rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        # scores are non-increasing in rank order
+        by_rank = sorted(rs, key=lambda r: r["term_rank"])
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a["llr"] >= b["llr"]
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    rows = QUERIES["label_propagation_communities"].spark_fn(spark, SF_SMOKE).collect()
+    got = {r["node"]: r["label"] for r in rows}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    assert got == labels
