@@ -638,3 +638,141 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "part_a", "part_b").limit(_PMI_TOP_K)
+
+
+# --------------------------------------------------------------------------------------
+# STAT — robust per-group statistics: median/MAD outlier detection + winsorized mean
+# --------------------------------------------------------------------------------------
+
+_MAD_K = 3.0  # flag |x - median| > 3 * 1.4826 * MAD (the normal-consistent scale)
+
+
+@query(
+    "robust_stats_outliers",
+    family="STAT,V2",
+    doc="Robust per-type statistics: exact median, median absolute "
+    "deviation, the count of 3-sigma-equivalent MAD outliers, and the "
+    "p05/p95-winsorized mean.  Two grouped percentile aggregates (the "
+    "second over |x - median|, median broadcast back onto the scan) plus "
+    "one winsorizing pass — all exact sort-based aggregates that swap to "
+    "mergeable t-digest sketches at 100 TB (approx_percentile), as "
+    "value_percentiles documents.  Outlier comparison happens on RAW "
+    "doubles in both engines; only the report columns round.",
+    oracle=f"""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med,
+                 quantile_cont(value, 0.05) AS p05,
+                 quantile_cont(value, 0.95) AS p95
+          FROM events GROUP BY event_type
+        ),
+        mad_t AS (
+          SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               {sql_round_half_up('any_value(m.med)', 4)} AS median,
+               {sql_round_half_up('any_value(t.mad)', 4)} AS mad,
+               count(*) FILTER (
+                 WHERE abs(e.value - m.med) > {_MAD_K} * 1.4826 * t.mad
+               ) AS n_outliers,
+               {sql_round_half_up('avg(least(greatest(e.value, m.p05), m.p95))', 4)} AS winsorized_mean
+        FROM events e JOIN med m USING (event_type) JOIN mad_t t USING (event_type)
+        GROUP BY e.event_type
+    """,
+)
+def robust_stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    full = j.join(F.broadcast(mad), "event_type")
+    return full.groupBy("event_type").agg(
+        round_half_up(F.any_value("med"), 4).alias("median"),
+        round_half_up(F.any_value("mad"), 4).alias("mad"),
+        F.count(
+            F.when(
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(_MAD_K) * F.lit(1.4826) * F.col("mad"),
+                1,
+            )
+        ).alias("n_outliers"),
+        round_half_up(
+            F.avg(F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))), 4
+        ).alias("winsorized_mean"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# STAT — exponentially weighted moving average over a bounded trailing window
+# --------------------------------------------------------------------------------------
+
+_EWMA_ALPHA_NUM, _EWMA_ALPHA_DEN = 1, 2  # decay 1/2 per day, exact rational
+_EWMA_DAYS = 7  # truncated to a 7-day trailing window (exact, bounded state)
+
+
+@query(
+    "ewma_daily_value",
+    family="STAT,W3",
+    doc=f"Per-type daily mean value smoothed by a {_EWMA_DAYS}-day truncated "
+    "EWMA (decay 1/2 per day).  The weighted sum is a bounded fan-out "
+    "self-join on day distance (the rolling_active_users shape) — NOT an "
+    "unbounded recursive state — so it is exactly portable and its "
+    "shuffle is k-bounded at any history length.  Weights 2^-d stay "
+    "integer-rational: ewma = sum(x_d' * 2^(W-d)) / sum(2^(W-d)), all "
+    "integer powers, one float division at the end.",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+          FROM events GROUP BY 1, 2
+        )
+        SELECT a.event_type, a.day,
+               {sql_round_half_up('a.v', 4)} AS raw_value,
+               {sql_round_half_up(
+                   f"sum(b.v * (1 << ({_EWMA_DAYS} - 1 - (a.day - b.day)))) "
+                   f"/ sum(CAST(1 << ({_EWMA_DAYS} - 1 - (a.day - b.day)) AS DOUBLE))", 4)} AS ewma
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type
+         AND a.day - b.day BETWEEN 0 AND {_EWMA_DAYS - 1}
+        GROUP BY a.event_type, a.day, a.v
+    """,
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    # bounded fan-out: each day joins its <= 7 trailing days via an explicit
+    # offset explode, keeping the join an EQUI-join on (type, day) rather
+    # than a range predicate (no cartesian corner in the planner)
+    fan = daily.select(
+        "event_type",
+        F.col("day").alias("bday"),
+        F.col("v").alias("bv"),
+        F.explode(F.sequence(F.lit(0), F.lit(_EWMA_DAYS - 1))).alias("off"),
+    ).select(
+        "event_type", F.date_add(F.col("bday"), F.col("off")).alias("day"), "bv", "off"
+    )
+    # shiftleft needs a column shift amount -> SQL expr (the python API only
+    # accepts a literal int for numBits)
+    wexpr = f"shiftleft(1, {_EWMA_DAYS - 1} - off)"
+    agg = fan.groupBy("event_type", "day").agg(
+        (
+            F.sum(F.col("bv") * F.expr(wexpr))
+            / F.sum(F.expr(f"CAST({wexpr} AS DOUBLE)"))
+        ).alias("ewma_raw")
+    )
+    return (
+        daily.join(agg, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            round_half_up(F.col("v"), 4).alias("raw_value"),
+            round_half_up(F.col("ewma_raw"), 4).alias("ewma"),
+        )
+    )

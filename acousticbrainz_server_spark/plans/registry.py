@@ -201,6 +201,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "quantile_normalize_source",
     "source_keyness_llr",
     "label_propagation_communities",
+    "robust_stats_outliers",
+    "ewma_daily_value",
 )
 
 

@@ -336,3 +336,52 @@ def test_label_propagation_matches_bruteforce(spark):
             new[n] = min(counts, key=lambda l: (-counts[l], l))
         labels = new
     assert got == labels
+
+
+def test_robust_stats_outliers_semantics(spark):
+    rows = QUERIES["robust_stats_outliers"].spark_fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "value"
+    ).collect()
+    import statistics
+
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        med = statistics.median(vals)  # interpolated for even n, like both engines
+        mad = statistics.median(sorted(abs(v - med) for v in vals))
+        n_out = sum(1 for v in vals if abs(v - med) > 3.0 * 1.4826 * mad)
+        assert abs(r["median"] - med) < 1e-3
+        assert abs(r["mad"] - mad) < 1e-3
+        assert r["n_outliers"] == n_out
+        # winsorized mean is pulled toward the center vs raw mean when tails exist
+        assert min(vals) <= r["winsorized_mean"] <= max(vals)
+
+
+def test_ewma_daily_value_semantics(spark):
+    rows = QUERIES["ewma_daily_value"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    daily = {}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    agg = {}
+    for r in ev:
+        k = (r["event_type"], r["ts"].date())
+        agg.setdefault(k, []).append(r["value"])
+    for k, vs in agg.items():
+        daily[k] = sum(vs) / len(vs)
+    import datetime
+
+    for r in rows:
+        t, d = r["event_type"], r["day"]
+        num = den = 0.0
+        for off in range(7):
+            k = (t, d - datetime.timedelta(days=off))
+            if k in daily:
+                w = float(1 << (6 - off))
+                num += daily[k] * w
+                den += w
+        assert abs(r["ewma"] - num / den) < 1e-3, (t, d)
+        assert abs(r["raw_value"] - daily[(t, d)]) < 1e-3
