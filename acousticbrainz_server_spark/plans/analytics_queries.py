@@ -776,3 +776,106 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("ewma_raw"), 4).alias("ewma"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — top daily event-type paths (first-k sequence mining)
+# --------------------------------------------------------------------------------------
+
+_PATH_K = 3
+_PATH_TOP = 10
+
+
+@query(
+    "session_path_topk",
+    family="SEQ,A6",
+    doc=f"Top-{_PATH_TOP} most common daily event-type paths: each (user, "
+    f"day) stream's first {_PATH_K} events (ts, event_id order) joined "
+    "into a '>' path string, counted across all user-days.  The rank "
+    "window caps the per-key state BEFORE the path aggregation (the "
+    "inverted_index_postings discipline) and the path space is tiny, so "
+    "the final count is a near-broadcast aggregate.",
+    oracle=f"""
+        WITH r AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        paths AS (
+          SELECT user_id, day,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= {_PATH_K} GROUP BY user_id, day
+        )
+        SELECT path, count(*) AS n_user_days
+        FROM paths GROUP BY path
+        ORDER BY n_user_days DESC, path LIMIT {_PATH_TOP}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    r = (
+        ev.withColumn("day", F.col("ts").cast("date"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_K)
+    )
+    paths = r.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+# --------------------------------------------------------------------------------------
+# GRAPH — degree distribution of the co-purchase graph
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "degree_distribution",
+    family="GRAPH,A2",
+    doc="Degree distribution (count of nodes per degree) of the part "
+    "co-purchase graph — the first diagnostic run on any production "
+    "graph (power-law check, skew planning for the triangle/LPA jobs).  "
+    "A count-of-counts: one aggregate over the edge endpoints, one over "
+    "the degrees; both shuffles carry scalars.",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+          ) GROUP BY node
+        )
+        SELECT degree, count(*) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    pairs = e.select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    ).distinct()
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .union(pairs.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

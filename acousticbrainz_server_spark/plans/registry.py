@@ -203,6 +203,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "label_propagation_communities",
     "robust_stats_outliers",
     "ewma_daily_value",
+    "reciprocal_best_match",
+    "session_path_topk",
+    "degree_distribution",
 )
 
 

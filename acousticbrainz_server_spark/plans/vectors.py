@@ -1140,3 +1140,96 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.count("hit_id") / F.lit(5.0), 4).alias("recall_at_5"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# V4/DEDUP — reciprocal best match within quantizer cells
+# --------------------------------------------------------------------------------------
+@query(
+    "reciprocal_best_match",
+    family="V4,DEDUP",
+    doc="Mutual-nearest-neighbor pairs within committed k-means cells: each "
+    "vector's best cosine match inside its cell (rounded-cosine rank, id "
+    "tiebreak), kept only when the choice is RECIPROCAL — the classic "
+    "high-precision duplicate/alignment signal (mutual-NN is the "
+    "bitext-mining filter of Artetxe & Schwenk 2019).  The pair join is "
+    "an equi-join on the cell key (never all-pairs); the mutual check is "
+    "a self-join of the tiny (vec, best) relation on the reversed key.  "
+    "Cells come from the committed quantizer fixture, so the query is "
+    "sf-independent like ann_ivf_kmeans_topk.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        km AS (SELECT cell, centroid FROM read_parquet('{AB_FIXTURE_DIR}/kmeans_centroids.parquet')),
+        sc AS (
+          SELECT v.vec_id, km.cell,
+                 list_dot_product(v.v, km.centroid)
+                   - 0.5 * list_dot_product(km.centroid, km.centroid) AS score
+          FROM v, km
+        ),
+        asg AS (
+          SELECT vec_id, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        ),
+        vc AS (SELECT a.vec_id, a.cell, v.v FROM asg a JOIN v USING (vec_id)),
+        pairs AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 {sql_round_half_up(_COS, 4)} AS cos
+          FROM vc a JOIN vc b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ),
+        best AS (
+          SELECT src, dst, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+            FROM pairs
+          ) WHERE rn = 1
+        )
+        SELECT x.src AS vec_a, x.dst AS vec_b, x.cos AS cosine_sim
+        FROM best x JOIN best y ON y.src = x.dst AND y.dst = x.src
+        WHERE x.src < x.dst
+    """,
+)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..similarity.kmeans import kmeans_assign, load_centroids
+
+    v = _vectors(spark, sf_dir).select("vec_id", "v")
+    centroids = load_centroids(spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet"))
+    cells = kmeans_assign(v, centroids, id_col="vec_id", vec_col="v")
+
+    # the within-cell best match is ONE normalized gemm per cell (the
+    # semdedup_prune kernel shape) — a pair-expression join computed the
+    # same c^2 cosines through interpreted array HOFs at ~10x the cost
+    # (measured 25s -> 4s at sf0.1).  argmax over id-sorted columns
+    # reproduces the (cos desc, dst asc) tie-break exactly.
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        unit = m / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+        cos = unit @ unit.T
+        cos[nrm == 0.0, :] = 0.0
+        cos[:, nrm == 0.0] = 0.0
+        cos = np.floor(cos * 1e4 + 0.5) / 1e4
+        np.fill_diagonal(cos, -np.inf)
+        if len(ids) < 2:
+            return pd.DataFrame({"src": ids[:0], "dst": ids[:0], "cos": np.array([])})
+        best = cos.argmax(axis=1)  # first (= smallest id) among ties
+        return pd.DataFrame(
+            {"src": ids, "dst": ids[best], "cos": cos[np.arange(len(ids)), best]}
+        )
+
+    best = (
+        cells.groupBy("cell")
+        .applyInPandas(per_cell, "src LONG, dst LONG, cos DOUBLE")
+        .localCheckpoint(eager=False)
+    )
+    rev = best.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        best.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), F.col("cos").alias("cosine_sim"))
+    )

@@ -385,3 +385,89 @@ def test_ewma_daily_value_semantics(spark):
                 den += w
         assert abs(r["ewma"] - num / den) < 1e-3, (t, d)
         assert abs(r["raw_value"] - daily[(t, d)]) < 1e-3
+
+
+def test_reciprocal_best_match_bruteforce(spark):
+    import numpy as np
+
+    rows = QUERIES["reciprocal_best_match"].spark_fn(spark, SF_SMOKE).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert rows, "no mutual pairs"
+    # recompute within-cell best matches brute force
+    from acousticbrainz_server_spark.similarity.kmeans import (
+        kmeans_assign,
+        load_centroids,
+    )
+    from acousticbrainz_server_spark.plans.vectors import _vectors, AB_FIXTURE_DIR
+    import os
+    from pyspark.sql import functions as F
+
+    v = _vectors(spark, SF_SMOKE).select("vec_id", "v")
+    centroids = load_centroids(
+        spark, os.path.join(AB_FIXTURE_DIR, "kmeans_centroids.parquet")
+    )
+    cells = kmeans_assign(v, centroids, id_col="vec_id", vec_col="v").collect()
+    by_cell = {}
+    for r in cells:
+        by_cell.setdefault(r["cell"], []).append((r["vec_id"], np.array(r["v"])))
+    best = {}
+    for cell, items in by_cell.items():
+        items.sort()
+        for i, (ida, va) in enumerate(items):
+            cand = []
+            for j, (idb, vb) in enumerate(items):
+                if i == j:
+                    continue
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                cos = np.floor(cos * 1e4 + 0.5) / 1e4
+                cand.append((-cos, idb))
+            if cand:
+                best[ida] = min(cand)[1]
+    want = {
+        (a, b) for a, b in ((a, best[a]) for a in best) if best.get(b) == a and a < b
+    }
+    assert got == want
+
+
+def test_session_path_topk_recompute(spark):
+    rows = QUERIES["session_path_topk"].spark_fn(spark, SF_SMOKE).collect()
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"].date(), r["ts"], r["event_id"]),
+    )
+    firsts = {}
+    for r in ev:
+        k = (r["user_id"], r["ts"].date())
+        firsts.setdefault(k, [])
+        if len(firsts[k]) < 3:
+            firsts[k].append(r["event_type"])
+    counts = {}
+    for path in (">".join(v) for v in firsts.values()):
+        counts[path] = counts.get(path, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["path"], r["n_user_days"]) for r in rows]
+    assert got == want
+
+
+def test_degree_distribution_totals(spark):
+    rows = QUERIES["degree_distribution"].spark_fn(spark, SF_SMOKE).collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    want = {}
+    for d in deg.values():
+        want[d] = want.get(d, 0) + 1
+    assert {r["degree"]: r["n_nodes"] for r in rows} == want
+    # identity: sum over (degree * n_nodes) = 2|E|
+    assert sum(r["degree"] * r["n_nodes"] for r in rows) == 2 * len(edges)
