@@ -879,3 +879,77 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# --------------------------------------------------------------------------------------
+# STAT — frequent itemsets over order baskets (FP-growth)
+# --------------------------------------------------------------------------------------
+
+# minSupport = 1/4096 is BINARY-EXACT in a double, so Spark's internal
+# minCount = ceil(minSupport * n_baskets) equals the oracle's integer
+# (n + 4095) DIV 4096 at every scale — a fraction like 0.0002 would drift on
+# basket counts near its float boundary
+_FPG_SUPPORT_DEN = 4096
+_FPG_MAX_SIZE = 3
+
+
+@query(
+    "frequent_itemsets_fpgrowth",
+    family="STAT,A2",
+    doc=f"Frequent itemsets (sizes 1-{_FPG_MAX_SIZE}) over order baskets "
+    "via spark.ml FPGrowth — the library's parallel FP-growth (Li et "
+    "al. 2008, PFP): baskets group once, conditional FP-trees build per "
+    "partition on the shuffled prefix key, and counts are exact, so the "
+    "mining is deterministic and a SQL oracle can re-count every emitted "
+    "itemset by brute-force subset joins.  The support threshold "
+    f"1/{_FPG_SUPPORT_DEN} of baskets is binary-exact in a double so "
+    "both engines compute the identical minimum count.",
+    oracle=f"""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT (count(DISTINCT l_orderkey) + {_FPG_SUPPORT_DEN - 1}) // {_FPG_SUPPORT_DEN} AS minc FROM b),
+        s1 AS (
+          SELECT CAST(l_partkey AS VARCHAR) AS items, 1 AS set_size, count(*) AS freq
+          FROM b GROUP BY l_partkey
+          HAVING count(*) >= (SELECT minc FROM n)
+        ),
+        s2 AS (
+          SELECT CAST(x.l_partkey AS VARCHAR) || ',' || CAST(y.l_partkey AS VARCHAR) AS items,
+                 2 AS set_size, count(*) AS freq
+          FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY x.l_partkey, y.l_partkey
+          HAVING count(*) >= (SELECT minc FROM n)
+        ),
+        s3 AS (
+          SELECT CAST(x.l_partkey AS VARCHAR) || ',' || CAST(y.l_partkey AS VARCHAR)
+                   || ',' || CAST(z.l_partkey AS VARCHAR) AS items,
+                 3 AS set_size, count(*) AS freq
+          FROM b x
+          JOIN b y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          JOIN b z ON x.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+          GROUP BY x.l_partkey, y.l_partkey, z.l_partkey
+          HAVING count(*) >= (SELECT minc FROM n)
+        )
+        SELECT items, set_size, freq FROM s1
+        UNION ALL SELECT items, set_size, freq FROM s2
+        UNION ALL SELECT items, set_size, freq FROM s3
+    """,
+)
+def frequent_itemsets_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("items")
+    )
+    fp = FPGrowth(
+        itemsCol="items", minSupport=1.0 / _FPG_SUPPORT_DEN, minConfidence=0.5
+    )
+    model = fp.fit(baskets)
+    fi = model.freqItemsets  # (items array<long>, freq long)
+    return fi.filter(F.size("items") <= _FPG_MAX_SIZE).select(
+        F.array_join(
+            F.expr("transform(array_sort(items), x -> CAST(x AS STRING))"), ","
+        ).alias("items"),
+        F.size("items").alias("set_size"),
+        F.col("freq"),
+    )

@@ -206,6 +206,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "reciprocal_best_match",
     "session_path_topk",
     "degree_distribution",
+    "frequent_itemsets_fpgrowth",
 )
 
 

@@ -471,3 +471,29 @@ def test_degree_distribution_totals(spark):
     assert {r["degree"]: r["n_nodes"] for r in rows} == want
     # identity: sum over (degree * n_nodes) = 2|E|
     assert sum(r["degree"] * r["n_nodes"] for r in rows) == 2 * len(edges)
+
+
+def test_frequent_itemsets_monotone_and_exact_singletons(spark):
+    rows = QUERIES["frequent_itemsets_fpgrowth"].spark_fn(spark, SF_SMOKE).collect()
+    freq = {r["items"]: r["freq"] for r in rows}
+    assert rows
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    baskets = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    # exact singleton counts
+    single = {}
+    for parts in baskets.values():
+        for p in parts:
+            single[str(p)] = single.get(str(p), 0) + 1
+    for items, f in freq.items():
+        parts = items.split(",")
+        if len(parts) == 1:
+            assert single[items] == f
+        else:
+            # anti-monotonicity: an itemset is never more frequent than any
+            # of its members
+            for p in parts:
+                assert f <= single[p], (items, f, p)
