@@ -167,3 +167,83 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     return label_propagation(edges, iterations=_LPA_ITERS)
+
+
+_BFS_ROUNDS = 4
+_BFS_SOURCE = 0  # part 0 exists at every sf (partkeys are dense from 0)
+
+
+def _bfs_oracle(rounds: int = _BFS_ROUNDS, src: int = _BFS_SOURCE) -> str:
+    """Unrolled BFS frontier expansion: d{i} holds min-distance labels after
+    i rounds; each round relaxes one hop and keeps the minimum."""
+    parts = [
+        f"""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        edges AS (
+          SELECT u AS src, v AS dst FROM pairs
+          UNION ALL
+          SELECT v AS src, u AS dst FROM pairs
+        ),
+        d0 AS (SELECT {src} AS node, 0 AS dist)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+        d{i} AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM edges e JOIN d{i - 1} d ON d.node = e.src
+          ) GROUP BY node
+        )"""
+        )
+    parts.append(f"""
+        SELECT node, dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+@query(
+    "bfs_shortest_paths",
+    family="GRAPH",
+    doc=f"Single-source BFS over the part co-purchase graph: exact hop "
+    f"distance from part {_BFS_SOURCE} for every node within "
+    f"{_BFS_ROUNDS} hops.  Spark relaxes one hop per round — the O(|E|) "
+    "edge list joins against the broadcast frontier-so-far, the union "
+    "reduces by min(dist), localCheckpoint caps plan depth (the "
+    "pagerank/LPA discipline).  Unlike a visited-set BFS, the "
+    "min-relaxation form needs no anti-join and is idempotent per round, "
+    "which is what makes the unrolled-CTE oracle line up exactly.",
+    oracle=_bfs_oracle(),
+)
+def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    pairs = (
+        e.select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    dist = spark.createDataFrame([(_BFS_SOURCE, 0)], "node LONG, dist INT")
+    for _ in range(_BFS_ROUNDS):
+        relaxed = edges.join(
+            F.broadcast(dist), edges["src"] == dist["node"]
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -207,6 +207,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "session_path_topk",
     "degree_distribution",
     "frequent_itemsets_fpgrowth",
+    "bfs_shortest_paths",
+    "class_centroids",
 )
 
 

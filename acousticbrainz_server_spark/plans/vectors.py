@@ -1233,3 +1233,39 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), F.col("cos").alias("cosine_sim"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# V2/ML — per-class centroid prototypes
+# --------------------------------------------------------------------------------------
+@query(
+    "class_centroids",
+    family="V2,M5",
+    doc="Per-label centroid of the embedding space — the nearest-class-mean "
+    "prototype build (and the M-step of the committed k-means).  One "
+    "posexplode + (label, dim) aggregate: the explode multiplies rows by "
+    "the dimension count but partial aggregation reduces every partition "
+    "to |labels| x dim cells before the exchange, so the shuffle carries "
+    "only the centroid matrix.  Per-label support counts ride the same "
+    "aggregate.",
+    oracle=f"""
+        WITH e AS (
+          SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        )
+        SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
+               {sql_round_half_up('avg(x)', 6)} AS mean,
+               count(*) AS n
+        FROM e GROUP BY label, dim
+    """,
+)
+def class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return e.groupBy("label", "dim").agg(
+        round_half_up(F.avg("x"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -497,3 +497,47 @@ def test_frequent_itemsets_monotone_and_exact_singletons(spark):
             # of its members
             for p in parts:
                 assert f <= single[p], (items, f, p)
+
+
+def test_bfs_shortest_paths_bruteforce(spark):
+    rows = QUERIES["bfs_shortest_paths"].spark_fn(spark, SF_SMOKE).collect()
+    got = {r["node"]: r["dist"] for r in rows}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order = {}
+    for r in li:
+        by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    adj = {}
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    # python BFS to 4 hops from node 0
+    want = {0: 0}
+    frontier = [0]
+    for d in range(1, 5):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert got == want
+
+
+def test_class_centroids_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["class_centroids"].spark_fn(spark, SF_SMOKE).collect()
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for r in rows:
+        m = np.stack(by_label[r["label"]]).mean(axis=0)
+        assert abs(r["mean"] - m[r["dim"]]) < 1e-5
+        assert r["n"] == len(by_label[r["label"]])
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(64))
