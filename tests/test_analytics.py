@@ -541,3 +541,36 @@ def test_class_centroids_numpy(spark):
         assert r["n"] == len(by_label[r["label"]])
     dims = {r["dim"] for r in rows}
     assert dims == set(range(64))
+
+
+def test_label_propagation_random_graphs(spark):
+    """Seeded random graphs: the operator must equal the python reference
+    sync-LPA on shapes beyond the co-purchase corpus (chains, stars,
+    disconnected blobs all occur at p=0.12, n=24)."""
+    import random
+
+    from acousticbrainz_server_spark.operators.graph import label_propagation
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 24
+        und = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+        if not und:
+            continue
+        edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        got = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {v: v for v in adj}
+        for _ in range(3):
+            labels = {
+                v: min(
+                    (l for l in {labels[m] for m in adj[v]}),
+                    key=lambda l: (-sum(1 for m in adj[v] if labels[m] == l), l),
+                )
+                for v in adj
+            }
+        assert got == labels, f"seed {seed}"
