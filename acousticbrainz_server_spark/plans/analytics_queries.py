@@ -953,3 +953,52 @@ def frequent_itemsets_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("items").alias("set_size"),
         F.col("freq"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# SRC — custom Python Data Source scan (Spark 4 pyspark.sql.datasource API)
+# --------------------------------------------------------------------------------------
+
+_PYDS_N = 10000
+
+
+@query(
+    "python_datasource_scan",
+    family="SRC",
+    doc=f"Scan of the registered custom Python Data Source (Spark 4 "
+    "pyspark.sql.datasource): a deterministic {_PYDS_N}-row event "
+    "generator partitioned into 8 independent InputPartitions, "
+    "aggregated per type.  Every generated cell is a pure integer "
+    "function of the row index, so the oracle reproduces the ENTIRE "
+    "source scan from range() — certifying the connector end-to-end "
+    "(partition math, schema, values), not just the aggregation.",
+    oracle=f"""
+        WITH r AS (SELECT unnest(range(0, {_PYDS_N})) AS i),
+        g AS (
+          SELECT i AS event_id,
+                 (i * 2654435761) % 997 AS user_id,
+                 ['view','click','purchase','signup','error'][CAST((i * 7) % 5 AS INTEGER) + 1] AS event_type,
+                 CAST((i * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648 AS value
+          FROM r
+        )
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n_users,
+               {sql_round_half_up('sum(value)', 4)} AS sum_value
+        FROM g GROUP BY event_type
+    """,
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    g = (
+        spark.read.format("synthevents")
+        .option("n", _PYDS_N)
+        .option("partitions", 8)
+        .load()
+    )
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        round_half_up(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -209,6 +209,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "frequent_itemsets_fpgrowth",
     "bfs_shortest_paths",
     "class_centroids",
+    "python_datasource_scan",
 )
 
 

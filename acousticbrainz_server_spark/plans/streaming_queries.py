@@ -445,3 +445,4 @@ def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(_SLIDING_SINK)
+

@@ -1,0 +1,81 @@
+"""Custom Python Data Source (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference ingests submissions from external processes (POST bodies,
+dump files); a Spark-4-native engine additionally exposes the *pluggable
+source* surface so such feeds mount as first-class readable relations.
+``SynthEventsDataSource`` is the registered demonstration source: a
+deterministic event generator whose rows are a pure integer function of the
+row index, so a SQL oracle can reproduce the full scan exactly — the same
+trick the md5-portable hash family uses, applied to a source connector.
+
+Scale design: ``partitions()`` splits the row range into N independent
+``InputPartition``s, so the scan parallelizes like any file source; the
+generator math is branch-free integer arithmetic per row.  A production
+source would yield ``pyarrow.RecordBatch`` per partition (the API's
+vectorized path) — tuples keep the demonstration dependency-light.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+# deterministic row formulas (Knuth multiplicative + LCG constants);
+# all intermediates fit int64 for n < 2^31
+_USER_MULT = 2654435761
+_USER_MOD = 997
+_VAL_MULT = 1103515245
+_VAL_ADD = 12345
+_VAL_MOD = 2147483648  # 2^31
+
+
+def synth_row(i: int) -> tuple[int, int, str, float]:
+    return (
+        i,
+        (i * _USER_MULT) % _USER_MOD,
+        EVENT_TYPES[(i * 7) % 5],
+        ((i * _VAL_MULT + _VAL_ADD) % _VAL_MOD) / _VAL_MOD,
+    )
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def partitions(self):
+        step = -(-self.n // self.num_partitions)
+        return [
+            _RangePartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield synth_row(i)
+
+
+class SynthEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthevents"
+
+    def schema(self) -> str:
+        return "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+
+    def reader(self, schema) -> SynthEventsReader:
+        return SynthEventsReader(self.options)
+
+
+def register_synth_source(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(SynthEventsDataSource)

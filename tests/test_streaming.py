@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import pytest
 from datetime import datetime, timedelta
 
 import random
@@ -217,3 +219,48 @@ def test_streaming_enrich_broadcast(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["user_id"]: r["tier"] for r in spark.sql("SELECT * FROM enriched_out").collect()}
     assert got == {1: "gold", 2: "basic", 3: None}
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (state-server "
+    "protocol); broken in this container — operator is environment-limited "
+    "like the Essentia binary",
+)
+def test_offsets_tws_matches_batch(spark, sf_dir):
+    from acousticbrainz_server_spark.sources.tables import load_events_stream, load_table
+    from acousticbrainz_server_spark.streaming.ingest_stream import assign_offsets_tws
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_events_stream(spark, sf_dir)
+    assigned = assign_offsets_tws(ev, key_col="user_id", order_col=["ts", "event_id"])
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("tws_test_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"]): r["submission_offset"]
+        for r in spark.table("tws_test_sink").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        r["event_id"]: r["off"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", (F.row_number().over(w) - 1).alias("off"))
+        .collect()
+    }
+    assert got == want
