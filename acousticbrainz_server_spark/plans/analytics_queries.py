@@ -1002,3 +1002,51 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         round_half_up(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# SET — native INTERSECT / EXCEPT / UNION set operators
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_audience",
+    family="SET,A3",
+    doc="Audience algebra through the NATIVE set operators (INTERSECT / "
+    "EXCEPT / UNION DISTINCT physical plans, not hand-written joins): "
+    "viewers vs buyers membership counts.  Each operand pre-reduces to "
+    "its distinct user set; Catalyst plans INTERSECT/EXCEPT as "
+    "left-semi/anti aggregates over the co-partitioned sets.",
+    oracle="""
+        WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        SELECT 'view_intersect_purchase' AS set_op,
+               (SELECT count(*) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS n_users
+        UNION ALL
+        SELECT 'view_except_purchase',
+               (SELECT count(*) FROM (SELECT * FROM v EXCEPT SELECT * FROM p))
+        UNION ALL
+        SELECT 'purchase_except_view',
+               (SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM v))
+        UNION ALL
+        SELECT 'view_union_purchase',
+               (SELECT count(*) FROM (SELECT * FROM v UNION SELECT * FROM p))
+    """,
+)
+def set_ops_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    out = None
+    for label, df in (
+        ("view_intersect_purchase", v.intersect(p)),
+        ("view_except_purchase", v.exceptAll(p).distinct()),
+        ("purchase_except_view", p.exceptAll(v).distinct()),
+        ("view_union_purchase", v.union(p).distinct()),
+    ):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("set_op"), "n_users"
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out

@@ -210,6 +210,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bfs_shortest_paths",
     "class_centroids",
     "python_datasource_scan",
+    "set_ops_audience",
 )
 
 

@@ -597,3 +597,22 @@ def test_python_datasource_partition_invariance(spark):
     assert rows_one[42] == synth_row(42)
     # the reader parallelizes: distinct partition count reaches the option
     assert many.rdd.getNumPartitions() == 7
+
+
+def test_python_datasource_arrow_path_identical(spark):
+    from acousticbrainz_server_spark.sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    plain = (
+        spark.read.format("synthevents").option("n", 300).option("partitions", 3).load()
+    )
+    arrow = (
+        spark.read.format("synthevents")
+        .option("n", 300)
+        .option("partitions", 3)
+        .option("arrow", "true")
+        .load()
+    )
+    assert sorted(tuple(r) for r in plain.collect()) == sorted(
+        tuple(r) for r in arrow.collect()
+    )
