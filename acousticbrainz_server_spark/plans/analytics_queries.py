@@ -1050,3 +1050,31 @@ def set_ops_audience(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionAll(row)
     assert out is not None
     return out
+
+
+# --------------------------------------------------------------------------------------
+# RANK — two-pass global row numbering (no single-partition window)
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "global_rank_twopass",
+    family="RANK,O1",
+    doc="Global row_number over (n_chars, doc_id) computed WITHOUT a "
+    "single-partition window (functions/rank.py): range-repartition on "
+    "the sort key, per-partition counts prefix-summed into broadcast "
+    "offsets, parallel within-partition rank + offset.  Byte-identical "
+    "to the oracle's ordinary global window at any partition count — the "
+    "scalable form every 'single-partition window' caveat in the engine "
+    "defers to, here certified against the window it replaces.",
+    oracle="""
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+        FROM documents
+    """,
+)
+def global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_row_number(d, "n_chars", "doc_id", num_partitions=16)

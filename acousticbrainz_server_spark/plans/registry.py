@@ -211,6 +211,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "class_centroids",
     "python_datasource_scan",
     "set_ops_audience",
+    "global_rank_twopass",
 )
 
 

@@ -616,3 +616,26 @@ def test_python_datasource_arrow_path_identical(spark):
     assert sorted(tuple(r) for r in plain.collect()) == sorted(
         tuple(r) for r in arrow.collect()
     )
+
+
+def test_global_rank_twopass_no_single_partition_window(spark):
+    from acousticbrainz_server_spark.functions.rank import global_row_number
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "n_chars")
+    ranked = global_row_number(d, "n_chars", "doc_id", num_partitions=5)
+    plan = _plan(ranked)
+    # every Window node must partition on _pid — a bare global-order window
+    # would show an empty partition spec
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_pid" in m.group(1), plan
+    got = {r["doc_id"]: r["global_rank"] for r in ranked.collect()}
+    w = Window.orderBy("n_chars", "doc_id")
+    want = {
+        r["doc_id"]: r["rk"]
+        for r in d.withColumn("rk", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
