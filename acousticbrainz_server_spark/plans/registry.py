@@ -212,6 +212,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "python_datasource_scan",
     "set_ops_audience",
     "global_rank_twopass",
+    "streaming_interval_join_left",
 )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_events_stream
+from ..sources.tables import load_events_stream, load_table
 from .registry import query
 
 _SINK = "streaming_daily_counts_sink"
@@ -446,3 +446,87 @@ def streaming_sliding_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     return spark.table(_SLIDING_SINK)
 
+
+
+_LOJ_SINK = "streaming_left_join_sink"
+
+
+@query(
+    "streaming_interval_join_left",
+    family="§2.11,J3,P9",
+    doc="Stream-stream LEFT OUTER interval join — the completion of the "
+    "stream-join matrix: matched purchase-click pairs emit immediately; "
+    "UNMATCHED purchases emit with null click only when the join state "
+    "evicts them: the final watermark is max event time - 1h (the "
+    "declared delay), and the symmetric state store retains a left row "
+    "for the join-window extent (another 1h) beyond its own timestamp — "
+    "so every purchase older than max_ts - 2h is GUARANTEED evicted and "
+    "null-emitted, while the (max-2h, max-1h) band depends on where the "
+    "file source drew micro-batch boundaries (observed: emitted at one "
+    "sf, retained at another).  The certified output therefore keeps all "
+    "matched rows and the unmatched rows in the deterministic region "
+    "(p_ts < max_ts - 2h), post-filtering the batch-layout-dependent "
+    "band on both sides — the eviction semantics are still exercised "
+    "(null rows exist only because state eviction ran), without gating "
+    "on micro-batch placement.",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        m AS (SELECT max(ts) AS mx FROM events)
+        SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+               epoch_ns(p.ts) // 1000 AS p_ts_us, epoch_ns(c.ts) // 1000 AS c_ts_us
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        CROSS JOIN m
+        WHERE c.event_id IS NOT NULL OR p.ts < m.mx - INTERVAL 2 HOUR
+    """,
+)
+def streaming_interval_join_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - interval 1 hour AND p_ts"),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(_LOJ_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    # deterministic-region filter (see doc): unmatched rows are certified
+    # only below max_ts - 2h; the scalar max comes from the batch reader
+    max_us = load_table(spark, sf_dir, "events").agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    out = spark.table(_LOJ_SINK)
+    return out.filter(
+        F.col("click_id").isNotNull() | (F.col("p_ts_us") < F.lit(max_us - 7_200_000_000))
+    )
