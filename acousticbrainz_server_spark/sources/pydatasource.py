@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
@@ -98,3 +104,79 @@ class SynthEventsDataSource(DataSource):
 def register_synth_source(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+# --------------------------------------------------------------------------------------
+# Write path: a JSON-lines directory sink with a two-phase commit protocol
+# --------------------------------------------------------------------------------------
+
+
+class _JsonLinesCommit(WriterCommitMessage):
+    def __init__(self, temp_path: str, rows: int) -> None:
+        self.temp_path = temp_path
+        self.rows = rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """``DataSourceWriter`` demonstrating the exactly-once file-sink
+    protocol: each task writes to a ``.inprogress`` temp file and reports it
+    in its commit message; only the DRIVER's ``commit()`` renames the temp
+    files into place and stamps a ``_SUCCESS`` manifest listing them, so a
+    failed/speculative task's output is never visible and ``abort()`` can
+    delete stragglers.  This is the same temp-then-rename discipline
+    Spark's own FileCommitProtocol uses."""
+
+    def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlines_py sink requires option 'path'")
+        self.field_names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        temp = os.path.join(self.path, f".{uuid.uuid4().hex}.inprogress")
+        n = 0
+        with open(temp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.field_names, row))) + "\n")
+                n += 1
+        return _JsonLinesCommit(temp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        finals = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            finals.append({"file": os.path.basename(final), "rows": m.rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": finals}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.temp_path)
+            except OSError:
+                pass
+
+
+class JsonLinesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlines_py"
+
+    def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options, schema, overwrite)
+
+
+def register_jsonlines_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesDataSource)

@@ -639,3 +639,25 @@ def test_global_rank_twopass_no_single_partition_window(spark):
         for r in d.withColumn("rk", F.row_number().over(w).cast("long")).collect()
     }
     assert got == want
+
+
+def test_python_datasource_writer_roundtrip(spark, tmp_path):
+    import json
+    import os
+
+    from acousticbrainz_server_spark.sources.pydatasource import register_jsonlines_sink
+
+    register_jsonlines_sink(spark)
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = str(tmp_path / "jl")
+    src.write.format("jsonlines_py").option("path", out).mode("append").save()
+    # two-phase commit: manifest present, no in-progress stragglers
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["rows"] for f in manifest["files"]) == src.count()
+    assert not [f for f in os.listdir(out) if f.endswith(".inprogress")]
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    got = {(r["doc_id"], r["source"], r["n_chars"]) for r in back.collect()}
+    want = {(r["doc_id"], r["source"], r["n_chars"]) for r in src.collect()}
+    assert got == want
