@@ -46,17 +46,32 @@ def main() -> None:
     n_workers = spark.sparkContext.defaultParallelism
     spark.range(n_workers).repartition(n_workers).mapInPandas(lambda it: it, "id LONG").count()
 
-    # 3 timed runs by default (cold + best-of-2 warm): this VM shows burst
-    # contention windows where a single warm run can read 5-10x its
+    # adaptive runs (cold + 1 warm + conditional tiebreak): this VM shows
+    # burst contention windows where a single warm run can read 5-10x its
     # steady-state (observed: ngram_jaccard_neardup 31s contended vs 3.3s
-    # standalone) — min over two warm runs rejects one-off spikes
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # standalone).  A 3rd run fires only when the warm sample disagrees
+    # with the cold one by >40% — spike rejection without paying a full
+    # third pass over all queries (wall-clock guard: the driver runs this
+    # under a timeout).  SPARK_GRAFT_BENCH_RUNS forces a fixed count.
+    n_runs_env = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    fixed_runs = max(1, int(n_runs_env)) if n_runs_env else None
     times: dict[str, float] = {}
     times_cold: dict[str, float] = {}
     for name, spec in sorted(QUERIES.items()):
         cold = None
         best = None
-        for i in range(n_runs):
+        i = 0
+        while True:
+            if fixed_runs is not None:
+                if i >= fixed_runs:
+                    break
+            elif i >= 2 and not (
+                # a warm run slower than the cold run is the contention
+                # signature (warm <= cold is the normal codegen profile) —
+                # only then is a tiebreak worth its wall-clock
+                i == 2 and best is not None and cold > 0 and best > cold * 1.1
+            ):
+                break
             t0 = time.time()
             try:
                 spec.spark_fn(spark, sf_dir).toPandas()
@@ -72,6 +87,7 @@ def main() -> None:
                     cold = -1.0
                 break
             spark.catalog.clearCache()
+            i += 1
         times_cold[name] = round(cold, 3)
         # single-run mode (or an error after run 1): warm falls back to cold
         times[name] = round(best if best is not None else cold, 3)
