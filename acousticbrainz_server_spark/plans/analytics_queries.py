@@ -1078,3 +1078,80 @@ def global_rank_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return global_row_number(d, "n_chars", "doc_id", num_partitions=16)
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — composed event-analytics pipeline (sessionize -> session stats -> conversion)
+# --------------------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "event_analytics_pipeline",
+    family="SEQ,W3,A8",
+    doc="The composed product-analytics flagship in ONE plan over ONE "
+    "events scan: 30-min-gap sessionization (lag window + running sum of "
+    "boundary flags), per-session rollup (event count, distinct types, "
+    "duration), and conversion labeling (time from session start to "
+    "first purchase).  One user_id shuffle feeds the sessionizing "
+    "windows; the session rollup extends the same key.  Composition "
+    "certifies the pieces under interaction — session boundaries feeding "
+    "aggregation feeding conversion math — not in isolation.",
+    oracle=f"""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+                 lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events
+        ),
+        s AS (
+          SELECT *, sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_SESS_GAP_US}
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM o
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               min(ts_us) AS session_start_us,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+               {sql_round_half_up("(min(CASE WHEN event_type = 'purchase' THEN ts_us END) - min(ts_us)) / 60000000.0", 2)} AS mins_to_first_purchase
+        FROM s GROUP BY user_id, session_seq
+    """,
+)
+def event_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_us"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = o.withColumn(
+        "session_seq",
+        F.sum(
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > _SESS_GAP_US),
+                1,
+            ).otherwise(0)
+        ).over(ws),
+    )
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us")))
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+        round_half_up((first_purchase - F.min("ts_us")) / F.lit(60000000.0), 2).alias(
+            "mins_to_first_purchase"
+        ),
+    )

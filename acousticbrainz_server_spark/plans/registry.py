@@ -213,6 +213,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "set_ops_audience",
     "global_rank_twopass",
     "streaming_interval_join_left",
+    "event_analytics_pipeline",
 )
 
 

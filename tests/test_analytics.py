@@ -661,3 +661,64 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     got = {(r["doc_id"], r["source"], r["n_chars"]) for r in back.collect()}
     want = {(r["doc_id"], r["source"], r["n_chars"]) for r in src.collect()}
     assert got == want
+
+
+def test_new_query_plan_assertions(spark):
+    """Physical-plan spot checks for the session's additions: the broadcast
+    and no-cartesian properties the scale story claims."""
+    plans = {
+        name: _plan(QUERIES[name].spark_fn(spark, SF_SMOKE))
+        for name in (
+            "audience_overlap",
+            "pmi_copurchase",
+            "ewma_daily_value",
+            "markov_transitions",
+            "attribution_last_touch",
+        )
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+    # marginals/sizes ride broadcast joins, not shuffles
+    assert "BroadcastHashJoin" in plans["audience_overlap"]
+    assert "BroadcastHashJoin" in plans["pmi_copurchase"]
+    # the sequence queries are one-shuffle window plans: exactly one
+    # user_id exchange feeds the window
+    assert plans["markov_transitions"].count("Exchange hashpartitioning(user_id") == 1
+    assert plans["attribution_last_touch"].count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_dedup_stack_scales_10x(spark):
+    """Scale-stress: replicate the sf0.001 corpus 10x (distinct doc_ids,
+    perturbed text so replicas are near- but not exact dups) and assert the
+    MinHash+LSH pipeline still runs through its bucketed plan — no
+    cartesian product, candidate count far below the all-pairs bound, and
+    wall bounded.  This is the 'would it survive 100x' check run at 10x."""
+    import time
+
+    from acousticbrainz_server_spark.dedup.minhash import minhash_neardup_pairs
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    n0 = d.count()
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    big = (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            # perturb: prepend a replica marker token so copies are near-dups
+            F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+        )
+    )
+    assert big.count() == 10 * n0
+    t0 = time.time()
+    pairs = minhash_neardup_pairs(big, n_hashes=8, n_bands=4, portable=False)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    n_pairs = pairs.count()
+    wall = time.time() - t0
+    # all-pairs would be (10*n0)^2/2 ~ 12.5M; the corpus is heavily
+    # self-similar by construction (10 near-identical replicas per doc,
+    # plus template overlap), so candidates are legitimately dense — the
+    # structural claim is they stay an order below all-pairs
+    assert n_pairs < (10 * n0) ** 2 / 10, n_pairs
+    assert wall < 120, f"minhash 10x took {wall:.0f}s"
