@@ -1155,3 +1155,96 @@ def event_analytics_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mins_to_first_purchase"
         ),
     )
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — CEP-style sequence pattern matching over encoded event paths
+# --------------------------------------------------------------------------------------
+
+_SEQ_PATTERN = "VC*P"  # view, any clicks, purchase — contiguous, non-overlapping
+
+
+@query(
+    "sequence_pattern_match",
+    family="SEQ,TXT",
+    doc="MATCH_RECOGNIZE-lite: each (user, day) event stream is encoded as "
+    "a string of type initials in (ts, event_id) order and scanned for "
+    f"the pattern '{_SEQ_PATTERN}' (view, any clicks, then purchase — "
+    "contiguous), counting non-overlapping occurrences — regex engines "
+    "on both sides agree on leftmost non-overlapping scans for "
+    "backtracking-free patterns (verified on a divergence-prone case "
+    "set).  Per-day encoding bounds the string state per key; the path "
+    "build is the session_path_topk struct-sort shape.",
+    oracle=f"""
+        WITH r AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 upper(substr(event_type, 1, 1)) AS c, ts, event_id
+          FROM events
+        ),
+        paths AS (
+          SELECT user_id, day, string_agg(c, '' ORDER BY ts, event_id) AS path
+          FROM r GROUP BY user_id, day
+        )
+        SELECT user_id, day,
+               CAST(len(regexp_extract_all(path, '{_SEQ_PATTERN}')) AS INTEGER) AS n_matches
+        FROM paths
+        WHERE len(regexp_extract_all(path, '{_SEQ_PATTERN}')) > 0
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.upper(F.substring("event_type", 1, 1)).alias("c"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    paths = r.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(ts_us, event_id, c))), x -> x.c)"),
+            "",
+        ).alias("path")
+    )
+    n = F.size(F.expr(f"regexp_extract_all(path, '{_SEQ_PATTERN}', 0)"))
+    return paths.select("user_id", "day", n.alias("n_matches")).filter(
+        F.col("n_matches") > 0
+    )
+
+
+# --------------------------------------------------------------------------------------
+# STAT — Pearson correlation matrix of the lineitem numerics
+# --------------------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_oracle() -> str:
+    import itertools
+
+    pairs = ", ".join(
+        sql_round_half_up(f"corr({a}, {b})", 4) + f" AS corr_{a[2:]}_{b[2:]}"
+        for a, b in itertools.combinations(_CORR_COLS, 2)
+    )
+    return f"SELECT count(*) AS n, {pairs} FROM lineitem"
+
+
+@query(
+    "numeric_corr_matrix",
+    family="STAT,V2",
+    doc="Pairwise Pearson correlations among the four lineitem numeric "
+    "columns in ONE aggregate over ONE scan (6 corr cells + the row "
+    "count ride the same partial-aggregation pass; at 100 TB this is "
+    "one map-side-combined reduce, the profile-report shape of "
+    "column_profile applied to second moments).",
+    oracle=_corr_oracle(),
+)
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        round_half_up(F.corr(a, b), 4).alias(f"corr_{a[2:]}_{b[2:]}")
+        for a, b in itertools.combinations(_CORR_COLS, 2)
+    ]
+    return li.agg(*aggs)

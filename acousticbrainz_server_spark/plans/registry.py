@@ -214,6 +214,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "global_rank_twopass",
     "streaming_interval_join_left",
     "event_analytics_pipeline",
+    "sequence_pattern_match",
+    "numeric_corr_matrix",
 )
 
 

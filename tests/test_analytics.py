@@ -722,3 +722,35 @@ def test_dedup_stack_scales_10x(spark):
     # structural claim is they stay an order below all-pairs
     assert n_pairs < (10 * n0) ** 2 / 10, n_pairs
     assert wall < 120, f"minhash 10x took {wall:.0f}s"
+
+
+def test_sequence_pattern_match_bruteforce(spark):
+    import re
+
+    rows = QUERIES["sequence_pattern_match"].spark_fn(spark, SF_SMOKE).collect()
+    got = {(r["user_id"], r["day"]): r["n_matches"] for r in rows}
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"].date(), r["ts"], r["event_id"]),
+    )
+    paths = {}
+    for r in ev:
+        k = (r["user_id"], r["ts"].date())
+        paths[k] = paths.get(k, "") + r["event_type"][0].upper()
+    want = {
+        k: len(re.findall("VC*P", p)) for k, p in paths.items() if re.findall("VC*P", p)
+    }
+    assert got == want
+
+
+def test_numeric_corr_matrix_numpy(spark):
+    import numpy as np
+
+    row = QUERIES["numeric_corr_matrix"].spark_fn(spark, SF_SMOKE).collect()[0]
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).toPandas()
+    c = np.corrcoef(li.to_numpy().T)
+    assert row["n"] == len(li)
+    assert abs(row["corr_quantity_extendedprice"] - c[0, 1]) < 1e-3
+    assert abs(row["corr_discount_tax"] - c[2, 3]) < 1e-3
