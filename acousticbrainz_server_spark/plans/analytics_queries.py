@@ -1248,3 +1248,46 @@ def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in itertools.combinations(_CORR_COLS, 2)
     ]
     return li.agg(*aggs)
+
+
+# --------------------------------------------------------------------------------------
+# STAT — per-group linear regression (regr_* aggregate family)
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "regression_value_drift",
+    family="STAT,A8",
+    doc="Per-type OLS drift line of event value over time via the native "
+    "regr_slope / regr_intercept / regr_r2 aggregates (one combined "
+    "partial-agg pass — the drift-monitor companion to kl_source_drift "
+    "for numeric columns).  Time enters as fractional days since epoch "
+    "so slopes are per-day units; both engines run the same "
+    "second-moment formulas.",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type, value,
+                 CAST(epoch_ns(ts) // 1000 AS DOUBLE) / 86400000000.0 AS t_days
+          FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               {sql_round_half_up('regr_slope(value, t_days)', 6)} AS slope_per_day,
+               {sql_round_half_up('regr_intercept(value, t_days)', 4)} AS intercept,
+               {sql_round_half_up('regr_r2(value, t_days)', 6)} AS r2
+        FROM e GROUP BY event_type
+    """,
+)
+def regression_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts").cast("double") / F.lit(86400000000.0)).alias("t_days"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(F.regr_slope("value", "t_days"), 6).alias("slope_per_day"),
+        round_half_up(F.regr_intercept("value", "t_days"), 4).alias("intercept"),
+        round_half_up(F.regr_r2("value", "t_days"), 6).alias("r2"),
+    )

@@ -449,3 +449,53 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         round_half_up(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Schema evolution: two writer generations, one mergeSchema read
+# --------------------------------------------------------------------------------------
+@query(
+    "schema_evolution_merge",
+    family="S8,P1",
+    doc="Schema evolution parity: generation-1 files carry (event_id, "
+    "user_id, value), generation-2 files add an event_type column; a "
+    "mergeSchema read unions the physical schemas and back-fills the "
+    "missing column with NULL — exactly how a 100 TB table absorbs a "
+    "producer upgrade without rewriting history.  The oracle recomputes "
+    "the merged relation with an explicit NULL for gen-1 rows, so the "
+    "hash certifies the union schema, the NULL back-fill, and that no "
+    "generation's rows are lost.",
+    oracle=f"""
+        WITH merged AS (
+          SELECT event_id, user_id, {sql_round_half_up('value', 4)} AS value,
+                 CAST(NULL AS VARCHAR) AS event_type
+          FROM events WHERE event_id < 1000
+          UNION ALL
+          SELECT event_id, user_id, {sql_round_half_up('value', 4)} AS value, event_type
+          FROM events WHERE event_id >= 1000 AND event_id < 2000
+        )
+        SELECT user_id, event_type,
+               count(*) AS n, {sql_round_half_up('sum(value)', 3)} AS sum_value
+        FROM merged GROUP BY user_id, event_type
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    out = _scratch(sf_dir, "schema_evo")
+    ev = load_table(spark, sf_dir, "events")
+    gen1 = ev.filter(F.col("event_id") < 1000).select(
+        "event_id", "user_id", round_half_up(F.col("value"), 4).alias("value")
+    )
+    gen2 = ev.filter((F.col("event_id") >= 1000) & (F.col("event_id") < 2000)).select(
+        "event_id", "user_id", round_half_up(F.col("value"), 4).alias("value"), "event_type"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=1"), os.path.join(out, "gen=2")
+    )
+    return merged.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(F.sum("value"), 3).alias("sum_value"),
+    )

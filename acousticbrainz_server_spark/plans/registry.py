@@ -216,6 +216,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "event_analytics_pipeline",
     "sequence_pattern_match",
     "numeric_corr_matrix",
+    "schema_evolution_merge",
+    "regression_value_drift",
 )
 
 

@@ -754,3 +754,18 @@ def test_numeric_corr_matrix_numpy(spark):
     assert row["n"] == len(li)
     assert abs(row["corr_quantity_extendedprice"] - c[0, 1]) < 1e-3
     assert abs(row["corr_discount_tax"] - c[2, 3]) < 1e-3
+
+
+def test_regression_value_drift_numpy(spark):
+    import numpy as np
+
+    rows = QUERIES["regression_value_drift"].spark_fn(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["t_days"] = ev["ts"].astype("int64") / 1e3 / 86400e6
+    for r in rows:
+        g = ev[ev.event_type == r["event_type"]]
+        slope, intercept = np.polyfit(g["t_days"], g["value"], 1)
+        assert abs(r["slope_per_day"] - slope) < 1e-3
+        assert abs(r["intercept"] - intercept) < 1e-1
+        assert 0.0 <= r["r2"] <= 1.0
+        assert r["n"] == len(g)
