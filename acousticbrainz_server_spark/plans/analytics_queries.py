@@ -1291,3 +1291,47 @@ def regression_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.regr_intercept("value", "t_days"), 4).alias("intercept"),
         round_half_up(F.regr_r2("value", "t_days"), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# SEG — behavior bitmap segmentation (bit_or aggregate)
+# --------------------------------------------------------------------------------------
+
+_BITMAP_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "behavior_bitmap_segments",
+    family="SEG,A2",
+    doc="Bitmap segmentation: each user's behavior compresses to one "
+    "integer via bit_or(1 << type_index) — the roaring-bitmap-index idea "
+    "in aggregate form — then users are counted per distinct bitmap.  "
+    "Two scalar-only aggregates; the per-user bitmap is 8 bytes of state "
+    "regardless of event volume, which is why bitmap indexes are the "
+    "segmentation structure at 100 TB.  Scoped to the first 48h of "
+    "activity — over the full month every user reaches the all-ones "
+    "bitmap and the segmentation collapses to one segment.",
+    oracle=f"""
+        WITH coded AS (
+          SELECT user_id,
+                 CASE event_type
+                   WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 4
+                   WHEN 'signup' THEN 8 WHEN 'error' THEN 16 END AS bit
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+        ),
+        u AS (SELECT user_id, bit_or(bit) AS bitmap FROM coded GROUP BY user_id)
+        SELECT bitmap, count(*) AS n_users FROM u GROUP BY bitmap
+    """,
+)
+def behavior_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00")
+    )
+    bit = F.when(F.col("event_type") == "view", 1)
+    for i, t in enumerate(_BITMAP_TYPES[1:], start=1):
+        bit = bit.when(F.col("event_type") == t, 1 << i)
+    u = ev.select("user_id", bit.alias("bit")).groupBy("user_id").agg(
+        F.bit_or("bit").alias("bitmap")
+    )
+    return u.groupBy("bitmap").agg(F.count(F.lit(1)).alias("n_users"))

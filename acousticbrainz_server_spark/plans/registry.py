@@ -218,6 +218,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "numeric_corr_matrix",
     "schema_evolution_merge",
     "regression_value_drift",
+    "behavior_bitmap_segments",
+    "arrow_vector_norms",
 )
 
 

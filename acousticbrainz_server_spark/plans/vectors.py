@@ -1269,3 +1269,50 @@ def class_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.avg("x"), 6).alias("mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# V2/SRC — Arrow-native batch kernel (mapInArrow)
+# --------------------------------------------------------------------------------------
+@query(
+    "arrow_vector_norms",
+    family="V2",
+    doc="L2 norm + first unit-vector component per embedding via "
+    "``mapInArrow`` — the Arrow-NATIVE batch API: the kernel receives "
+    "pyarrow RecordBatches and reshapes the list column to a (rows, dim) "
+    "float matrix with zero pandas materialization, one numpy pass per "
+    "batch.  The engine's third python-kernel tier after pandas UDFs and "
+    "applyInPandas — for kernels that are pure array math, Arrow in/out "
+    "skips the pandas conversion entirely.  Rounding inside the kernel "
+    "uses the shared floor(x*1e6+0.5) form.",
+    oracle="""
+        SELECT vec_id,
+               floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS l2_norm,
+               floor(CAST(embedding[1] AS DOUBLE) / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000 AS unit_first
+        FROM embeddings
+    """,
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column("vec_id").to_numpy()
+            lists = b.column("embedding")
+            dim = len(lists[0])
+            m = lists.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = m.reshape(len(ids), dim)
+            norm = np.sqrt((m * m).sum(axis=1))
+            unit_first = m[:, 0] / norm
+            rnd = lambda x: np.floor(x * 1e6 + 0.5) / 1e6
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids), pa.array(rnd(norm)), pa.array(rnd(unit_first))],
+                names=["vec_id", "l2_norm", "unit_first"],
+            )
+
+    return emb.mapInArrow(kernel, "vec_id LONG, l2_norm DOUBLE, unit_first DOUBLE")
