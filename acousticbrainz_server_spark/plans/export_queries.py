@@ -499,3 +499,39 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         round_half_up(F.sum("value"), 3).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Integrity: order-insensitive table checksum (dump verification companion)
+# --------------------------------------------------------------------------------------
+@query(
+    "table_checksum",
+    family="S8,DQ",
+    doc="Order-insensitive whole-table fingerprint: every row serializes "
+    "canonically (concat_ws over int/string columns), hashes through the "
+    "engine-portable md5-prefix trick (the simhash family's hash), and "
+    "the table's checksum is the overflow-wrapping SUM of row hashes "
+    "plus the row count — the integrity check a dump/restore cycle "
+    "compares on both ends (reference: db/dump.py writes and re-imports "
+    "full-table COPY output; this is its verification step as one "
+    "aggregate).  The combiner is bit_xor: commutative/associative "
+    "(partition-order independent), overflow-free at any row count, and "
+    "8 bytes of map-side state per partition.",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               bit_xor(CAST(('0x' || substr(md5(concat_ws('|', c_custkey, c_name, c_mktsegment)), 1, 15)) AS BIGINT)) AS checksum
+        FROM customer
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "c_custkey", "c_name", "c_mktsegment")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.bit_xor(row_hash).alias("checksum")
+    )

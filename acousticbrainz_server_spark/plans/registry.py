@@ -220,6 +220,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "regression_value_drift",
     "behavior_bitmap_segments",
     "arrow_vector_norms",
+    "table_checksum",
 )
 
 
