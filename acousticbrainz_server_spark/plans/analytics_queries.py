@@ -1335,3 +1335,40 @@ def behavior_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("bit").alias("bitmap")
     )
     return u.groupBy("bitmap").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# --------------------------------------------------------------------------------------
+# OLAP — custom GROUPING SETS with grouping_id
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "grouping_sets_report",
+    family="OLAP,A8",
+    doc="Custom GROUPING SETS — (type, day), (type), (day), () — with the "
+    "grouping_id bitmask distinguishing aggregation levels in one Expand "
+    "pass (the CUBE/ROLLUP machinery under explicit control; a reporting "
+    "layer reads all four levels from one scan).  grouping_id bit order "
+    "is (event_type, day) in both engines by column position.",
+    oracle=f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE)) AS BIGINT) AS gid,
+               count(*) AS n, {sql_round_half_up('sum(value)', 2)} AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    out = spark.sql(
+        """
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(grouping(event_type) * 2 + grouping(CAST(ts AS DATE)) AS BIGINT) AS gid,
+               count(*) AS n,
+               floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)), ())
+        """
+    )
+    return out

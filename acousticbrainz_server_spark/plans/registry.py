@@ -184,10 +184,16 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bloom_semi_join",
     "containment_neardup",
     "event_range_join",
-    # r6 window head (beyond the 50-slot r5 gate): the analytics family added
-    # after the r5 window was frozen — never driver-checked, verified
-    # hash-green locally at sf0.001/0.01/0.1 — then the displaced r3
-    # vector/text tail and the r2-green re-checks named above
+    # -- r6 window head (positions 51+; beyond this round's 50-slot gate) --
+    # the 33 session-2 queries in registration order, ALL never
+    # driver-checked but verified hash-green locally at sf0.001/0.01/0.1
+    # and individually re-verified after every plan rewrite.  r6 should
+    # gate these 33 first, then the displaced r3 vector/text tail
+    # (knn_exact_topk, knn_postprocess, ann_ivf_topk, ann_lsh_topk,
+    # decay_weighted_vector, circle_of_fifths_embedding,
+    # probability_vector, token_stats, text_quality, submission_offset,
+    # latest_per_group) and the r2-green re-checks named above — that
+    # covers the 50 slots with 17 re-checks of the oldest greens.
     "triangle_count",
     "markov_transitions",
     "snapshot_diff",
@@ -221,6 +227,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "behavior_bitmap_segments",
     "arrow_vector_norms",
     "table_checksum",
+    "grouping_sets_report",
 )
 
 
