@@ -1372,3 +1372,85 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return out
+
+
+# --------------------------------------------------------------------------------------
+# OLAP — non-equi broadcast band join (BroadcastNestedLoopJoin path)
+# --------------------------------------------------------------------------------------
+
+_BANDS = ((0.0, 20.0, "low"), (20.0, 60.0, "mid"), (60.0, 90.0, "high"), (90.0, 1e18, "extreme"))
+
+
+@query(
+    "band_join_boundaries",
+    family="OLAP,J1",
+    doc="Non-equi banding: every event joins a 4-row boundary table on "
+    "value >= lo AND value < hi — the inequality-only join Catalyst "
+    "plans as BroadcastNestedLoopJoin (there is no equi key to hash "
+    "on), the physical operator this query certifies.  The nested loop "
+    "is the RIGHT plan here: the broadcast side is O(bands), so the "
+    "'loop' is 4 comparisons per row, cheaper than materializing a "
+    "CASE ladder per band count.",
+    oracle="""
+        WITH bands(lo, hi, band) AS (VALUES
+          (0.0, 20.0, 'low'), (20.0, 60.0, 'mid'),
+          (60.0, 90.0, 'high'), (90.0, 1e18, 'extreme'))
+        SELECT b.band, count(*) AS n,
+               floor(avg(e.value) * 10000 + 0.5) / 10000 AS avg_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+    """,
+)
+def band_join_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(list(_BANDS), "lo DOUBLE, hi DOUBLE, band STRING")
+    j = ev.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_half_up(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# STAT — grouped-aggregate pandas UDF (the UDAF API tier)
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "geomean_grouped_udaf",
+    family="STAT,§2.12",
+    doc="Geometric mean of value per event type via a GROUPED_AGG pandas "
+    "UDF — the Arrow-batched user-defined AGGREGATE tier (scalar pandas "
+    "UDFs and applyInPandas cover the map tiers; this is the reduce "
+    "tier).  The oracle is the exp(avg(ln)) identity, so the UDAF's "
+    "whole series->scalar contract is certified.  Production note: a "
+    "native exp(avg(ln(x))) expression is the faster form — the UDAF "
+    "exists to certify the API for aggregations without native "
+    "equivalents.",
+    oracle="""
+        SELECT event_type,
+               floor(exp(avg(ln(value))) * 10000 + 0.5) / 10000 AS geomean
+        FROM events WHERE value > 0 GROUP BY event_type
+    """,
+)
+def geomean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: this module has `from __future__ import annotations`, which turns
+    # hints into strings pandas_udf cannot resolve for locally-imported
+    # names — declare the aggregate signature explicitly instead
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        round_half_up(geomean("value"), 4).alias("geomean")
+    )

@@ -228,6 +228,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "arrow_vector_norms",
     "table_checksum",
     "grouping_sets_report",
+    "band_join_boundaries",
+    "geomean_grouped_udaf",
 )
 
 

@@ -769,3 +769,41 @@ def test_regression_value_drift_numpy(spark):
         assert abs(r["intercept"] - intercept) < 1e-1
         assert 0.0 <= r["r2"] <= 1.0
         assert r["n"] == len(g)
+
+
+def test_band_join_uses_broadcast_nested_loop(spark):
+    df = QUERIES["band_join_boundaries"].spark_fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    rows = {r["band"]: r["n"] for r in df.collect()}
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    import collections
+
+    want = collections.Counter()
+    for r in ev:
+        v = r["value"]
+        if v < 20: want["low"] += 1
+        elif v < 60: want["mid"] += 1
+        elif v < 90: want["high"] += 1
+        else: want["extreme"] += 1
+    assert rows == dict(want)
+
+
+def test_observation_api_metrics(spark):
+    """df.observe(): collect side metrics during a real query without a
+    second pass — the instrumented-pipeline API."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    obs = Observation("ingest_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("value") > 90, 1).otherwise(0)).alias("n_extreme"),
+    )
+    out = observed.groupBy("event_type").count().collect()
+    assert len(out) == 5
+    m = obs.get
+    assert m["rows_seen"] == ev.count()
+    assert m["n_extreme"] == ev.filter(F.col("value") > 90).count()
