@@ -1454,3 +1454,46 @@ def geomean_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         round_half_up(geomean("value"), 4).alias("geomean")
     )
+
+
+# --------------------------------------------------------------------------------------
+# F — SQL-language UDF (CREATE TEMPORARY FUNCTION ... RETURN expr)
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "sql_udf_revenue",
+    family="F4,§2.12",
+    doc="SQL-language UDF surface (Spark 3.5+ CREATE TEMPORARY FUNCTION "
+    "... RETURNS ... RETURN expr): the discounted-charge formula is "
+    "declared ONCE as a SQL function and reused across select list and "
+    "predicate — Catalyst inlines the body, so the plan is identical to "
+    "writing the expression twice (no black-box UDF penalty; this is "
+    "the governed-metric-definition mechanism).  The oracle inlines the "
+    "same expression.",
+    oracle="""
+        SELECT l_returnflag,
+               count(*) AS n,
+               floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS total_charge
+        FROM lineitem
+        WHERE l_extendedprice * (1 - l_discount) * (1 + l_tax) > 1000
+        GROUP BY l_returnflag
+    """,
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "lineitem")
+    ev.createOrReplaceTempView("_udf_lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               floor(sum(charge(l_extendedprice, l_discount, l_tax)) * 100 + 0.5) / 100 AS total_charge
+        FROM _udf_lineitem
+        WHERE charge(l_extendedprice, l_discount, l_tax) > 1000
+        GROUP BY l_returnflag
+        """
+    )

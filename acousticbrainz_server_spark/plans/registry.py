@@ -230,6 +230,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "grouping_sets_report",
     "band_join_boundaries",
     "geomean_grouped_udaf",
+    "sql_udf_revenue",
 )
 
 

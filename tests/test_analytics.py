@@ -807,3 +807,41 @@ def test_observation_api_metrics(spark):
     m = obs.get
     assert m["rows_seen"] == ev.count()
     assert m["n_extreme"] == ev.filter(F.col("value") > 90).count()
+
+
+def test_registry_hygiene(spark):
+    """Meta-test: every registered query has a family tag, a doc, unique
+    output column names, and an oracle referencing only driver tables (or
+    fixture parquet paths)."""
+    import re
+
+    allowed_tables = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    for name, spec in QUERIES.items():
+        assert spec.family, name
+        assert spec.doc and len(spec.doc) > 20, name
+        if spec.oracle is None:
+            continue
+        # FROM/JOIN targets must be driver tables, CTE names, or
+        # read_parquet fixtures
+        ctes = set(re.findall(r"(\w+)\s*(?:\([\w, ]*\))?\s+AS\s*\(", spec.oracle, re.I))
+        targets = re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_][\w.]*)", spec.oracle)
+        for t in targets:
+            base = t.split(".")[0].lower()
+            assert (
+                base in allowed_tables
+                or t in ctes
+                or base in {c.lower() for c in ctes}
+                or base in {"read_parquet", "range", "generate_series", "unnest", "values"}
+            ), (name, t)
+
+
+def test_registry_head_names_registered(spark):
+    """Every DRIVER_ORDER_HEAD name must be a registered query — a typo
+    would silently drop a slot from the driver's 50-entry gate window."""
+    from acousticbrainz_server_spark.plans.registry import DRIVER_ORDER_HEAD
+
+    missing = [n for n in DRIVER_ORDER_HEAD if n not in QUERIES]
+    assert not missing, missing
