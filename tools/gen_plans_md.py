@@ -1,0 +1,59 @@
+"""Regenerate PLANS.md — formatted physical plans of the headline queries.
+
+Usage: python tools/gen_plans_md.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+from acousticbrainz_server_spark.session import get_spark
+
+PICKS = {
+    "pricing_summary": "partial agg before one exchange; filter pushed to the scan",
+    "minhash_lsh_neardup": "banded bucket join — no cross product; signatures ride the join",
+    "triangle_count": "degree-oriented wedges; packed-long broadcast semi probe",
+    "global_rank_twopass": "every Window partitions on _pid — no single-partition funnel",
+    "bm25_retrieval": "posting-list prune; doc-length stats broadcast",
+    "band_join_boundaries": "inequality-only join correctly planned as BroadcastNestedLoopJoin",
+    "bucketed_join_rollup": "co-bucketed tables join with zero Exchange",
+    "skyline_pareto": "O(n log n) sweep replaces the quadratic dominance NOT-EXISTS",
+}
+
+HEADER = """# PLANS — physical-plan audit of headline queries
+
+`df.explain("formatted")` captures at sf0.01, trimmed to the operator tree
+(the `(n)` node details sections are elided).  Each plan is the shape the
+SCALE.md entry for that query claims — this file is the evidence.  Regenerate
+with `python tools/gen_plans_md.py` after any plan-affecting change.
+"""
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    _load_all()
+    spark = get_spark("plans", cpus=8)
+    out = [HEADER]
+    for name, note in PICKS.items():
+        df = QUERIES[name].spark_fn(spark, sf)
+        formatted = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        tree = formatted.split("\n\n")[0]
+        lines = tree.splitlines()
+        if len(lines) > 45:
+            n_elided = len(lines) - 45
+            lines = lines[:45] + [f"   ... ({n_elided} more nodes elided)"]
+        out.append(f"## {name}\n\n*{note}*\n\n```\n" + "\n".join(lines) + "\n```\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
