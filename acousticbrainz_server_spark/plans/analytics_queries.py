@@ -1497,3 +1497,72 @@ def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP — A/B experiment readout with CUPED variance reduction
+# --------------------------------------------------------------------------------------
+
+_CUPED_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+@query(
+    "cuped_adjusted_metric",
+    family="EXP,STAT",
+    doc="Experimentation readout: users hash-split into two arms (md5 "
+    "parity — the deterministic assignment mixture_resample uses), "
+    "per-user pre-period and post-period value sums, and the CUPED "
+    "variance-reduced mean (Deng et al. 2013): theta = cov(post, pre) / "
+    "var(pre) fitted on ALL users, adjusted = post - theta * (pre - "
+    "mean(pre)).  Two grouped aggregates + a broadcast of three global "
+    "scalars; the per-arm readout is 2 rows.  Second-moment aggregates "
+    "round before hashing (fp order differs across engines).",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+                 sum(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT_TS}' THEN value ELSE 0 END) AS pre,
+                 sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT_TS}' THEN value ELSE 0 END) AS post
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT covar_samp(post, pre) / var_samp(pre) AS theta, avg(pre) AS mean_pre
+          FROM per_user
+        )
+        SELECT arm, count(*) AS n_users,
+               floor(avg(post) * 10000 + 0.5) / 10000 AS raw_mean,
+               floor(avg(post - g.theta * (pre - g.mean_pre)) * 10000 + 0.5) / 10000 AS cuped_mean
+        FROM per_user CROSS JOIN g
+        GROUP BY arm
+    """,
+)
+def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT_TS)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("post"),
+    ).withColumn(
+        "arm",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 2
+        ),
+    )
+    g = per_user.agg(
+        (F.covar_samp("post", "pre") / F.var_samp("pre")).alias("theta"),
+        F.avg("pre").alias("mean_pre"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(g))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            round_half_up(F.avg("post"), 4).alias("raw_mean"),
+            round_half_up(
+                F.avg(F.col("post") - F.col("theta") * (F.col("pre") - F.col("mean_pre"))), 4
+            ).alias("cuped_mean"),
+        )
+    )

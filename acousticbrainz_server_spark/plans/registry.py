@@ -231,6 +231,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "band_join_boundaries",
     "geomean_grouped_udaf",
     "sql_udf_revenue",
+    "cuped_adjusted_metric",
 )
 
 
