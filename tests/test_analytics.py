@@ -876,3 +876,20 @@ def test_cuped_reduces_variance(spark):
         sel = [u for u in users if arm[u] == r["arm"]]
         want = adj[sel].mean()
         assert abs(r["cuped_mean"] - want) < 1e-3
+
+
+def test_join_strategy_hints_control_physical_operator(spark):
+    """Join-strategy hints are the engine's physical-strategy control
+    surface: the same logical join planned three ways on demand."""
+    a = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    b = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    j_default = a.join(b, a.o_custkey == b.c_custkey)
+    j_shuffle_hash = a.join(b.hint("shuffle_hash"), a.o_custkey == b.c_custkey)
+    j_merge = a.join(b.hint("merge"), a.o_custkey == b.c_custkey)
+    p_hash = _plan(j_shuffle_hash)
+    p_merge = _plan(j_merge)
+    assert "ShuffledHashJoin" in p_hash
+    assert "SortMergeJoin" in p_merge
+    # all three agree on the result
+    n = j_default.count()
+    assert j_shuffle_hash.count() == n and j_merge.count() == n
