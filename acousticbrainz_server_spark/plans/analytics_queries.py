@@ -1566,3 +1566,78 @@ def cuped_adjusted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cuped_mean"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# STAT — entropy / mutual information profiling (one contingency pass)
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "categorical_mi_entropy",
+    family="STAT,DQ",
+    doc="Information-theoretic column profiling: Shannon entropies of "
+    "event_type, day-of-week, their joint, and the mutual information "
+    "MI = H(a) + H(b) - H(a,b) — all derived from ONE (type, dow) "
+    "contingency aggregate (marginals are sums over the tiny joint "
+    "table, never a second scan).  MI is the dependence screen a "
+    "feature-selection pass runs over every categorical pair at 100 TB; "
+    "entropies are exact from integer counts, with the float ln work on "
+    "a 35-row relation.",
+    oracle="""
+        WITH joint AS (
+          SELECT event_type AS a, dayofweek(ts) AS b, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT sum(n) AS nn FROM joint),
+        h AS (
+          SELECT
+            -sum((ma.na / tot.nn) * ln(ma.na / tot.nn)) AS ha
+          FROM (SELECT a, CAST(sum(n) AS DOUBLE) AS na FROM joint GROUP BY a) ma CROSS JOIN tot
+        ),
+        h2 AS (
+          SELECT
+            -sum((mb.nb / tot.nn) * ln(mb.nb / tot.nn)) AS hb
+          FROM (SELECT b, CAST(sum(n) AS DOUBLE) AS nb FROM joint GROUP BY b) mb CROSS JOIN tot
+        ),
+        h12 AS (
+          SELECT -sum((CAST(n AS DOUBLE) / tot.nn) * ln(CAST(n AS DOUBLE) / tot.nn)) AS hab
+          FROM joint CROSS JOIN tot
+        )
+        SELECT floor(ha * 1000000 + 0.5) / 1000000 AS h_type,
+               floor(hb * 1000000 + 0.5) / 1000000 AS h_dow,
+               floor(hab * 1000000 + 0.5) / 1000000 AS h_joint,
+               floor((ha + hb - hab) * 1000000 + 0.5) / 1000000 AS mutual_info
+        FROM h CROSS JOIN h2 CROSS JOIN h12
+    """,
+)
+def categorical_mi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    joint = (
+        ev.groupBy(
+            F.col("event_type").alias("a"), F.dayofweek("ts").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = joint.agg(F.sum("n").cast("double").alias("nn"))
+
+    def entropy(df: DataFrame, cnt_col: str) -> DataFrame:
+        p = F.col(cnt_col) / F.col("nn")
+        return df.crossJoin(F.broadcast(tot)).agg((-F.sum(p * F.log(p))).alias("h"))
+
+    ma = joint.groupBy("a").agg(F.sum("n").cast("double").alias("na"))
+    mb = joint.groupBy("b").agg(F.sum("n").cast("double").alias("nb"))
+    ha = entropy(ma, "na").withColumnRenamed("h", "ha")
+    hb = entropy(mb, "nb").withColumnRenamed("h", "hb")
+    hab = entropy(joint.withColumn("n", F.col("n").cast("double")), "n").withColumnRenamed("h", "hab")
+    return (
+        ha.crossJoin(hb)
+        .crossJoin(hab)
+        .select(
+            round_half_up(F.col("ha"), 6).alias("h_type"),
+            round_half_up(F.col("hb"), 6).alias("h_dow"),
+            round_half_up(F.col("hab"), 6).alias("h_joint"),
+            round_half_up(F.col("ha") + F.col("hb") - F.col("hab"), 6).alias("mutual_info"),
+        )
+    )

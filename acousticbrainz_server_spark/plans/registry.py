@@ -232,6 +232,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "geomean_grouped_udaf",
     "sql_udf_revenue",
     "cuped_adjusted_metric",
+    "categorical_mi_entropy",
 )
 
 

@@ -893,3 +893,30 @@ def test_join_strategy_hints_control_physical_operator(spark):
     # all three agree on the result
     n = j_default.count()
     assert j_shuffle_hash.count() == n and j_merge.count() == n
+
+
+def test_categorical_mi_entropy_information_inequalities(spark):
+    import collections
+    import math
+
+    row = QUERIES["categorical_mi_entropy"].spark_fn(spark, SF_SMOKE).collect()[0]
+    # information inequalities
+    assert row["mutual_info"] >= -1e-9
+    assert row["mutual_info"] <= min(row["h_type"], row["h_dow"]) + 1e-9
+    assert row["h_joint"] <= row["h_type"] + row["h_dow"] + 1e-9
+    # python recompute
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    joint = collections.Counter(
+        (r["event_type"], r["ts"].weekday()) for r in ev
+    )
+    n = sum(joint.values())
+
+    def H(counts):
+        return -sum(c / n * math.log(c / n) for c in counts)
+
+    ha = H(collections.Counter(k[0] for k in joint.elements()).values())
+    hb = H(collections.Counter(k[1] for k in joint.elements()).values())
+    hab = H(joint.values())
+    assert abs(row["h_type"] - ha) < 1e-4
+    assert abs(row["h_dow"] - hb) < 1e-4
+    assert abs(row["mutual_info"] - (ha + hb - hab)) < 1e-4
