@@ -1641,3 +1641,90 @@ def categorical_mi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("ha") + F.col("hb") - F.col("hab"), 6).alias("mutual_info"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP/ML — decile lift & gains table (model-evaluation artifact)
+# --------------------------------------------------------------------------------------
+
+_LIFT_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+@query(
+    "decile_lift_table",
+    family="EXP,M5,W3",
+    doc="The model-eval lift/gains table: users ranked by a score (here "
+    "pre-period spend standing in for a model score), cut into deciles "
+    "(ntile with deterministic user_id tie-break), and each decile "
+    "reports its size, mean score, response rate (any post-period "
+    "purchase), lift vs the base rate, and the cumulative-gains share — "
+    "the curve every targeting model is accepted on.  Per-user reduce, "
+    "one ntile window, 10-row windowed cumulative: the eval costs one "
+    "pass over the scores at any scale.",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 sum(CASE WHEN ts < TIMESTAMP '{_LIFT_SPLIT_TS}' THEN value ELSE 0 END) AS score,
+                 max(CASE WHEN ts >= TIMESTAMP '{_LIFT_SPLIT_TS}'
+                          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS responded
+          FROM events GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile FROM per_user
+        ),
+        base AS (SELECT CAST(sum(responded) AS DOUBLE) AS total_resp, count(*) AS total_n FROM ranked),
+        d AS (
+          SELECT decile, count(*) AS n_users,
+                 floor(avg(score) * 10000 + 0.5) / 10000 AS avg_score,
+                 CAST(sum(responded) AS DOUBLE) AS resp
+          FROM ranked GROUP BY decile
+        )
+        SELECT CAST(decile AS INTEGER) AS decile, n_users, avg_score,
+               floor(resp / n_users * 1000000 + 0.5) / 1000000 AS response_rate,
+               floor((resp / n_users) / (base.total_resp / base.total_n) * 10000 + 0.5) / 10000 AS lift,
+               floor(sum(resp) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                     / base.total_resp * 1000000 + 0.5) / 1000000 AS cum_gain
+        FROM d CROSS JOIN base
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_LIFT_SPLIT_TS)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("ts") >= split) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("responded"),
+    )
+    ranked = per_user.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy(F.desc("score"), "user_id"))
+    )
+    base = ranked.agg(
+        F.sum("responded").cast("double").alias("total_resp"),
+        F.count(F.lit(1)).alias("total_n"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        round_half_up(F.avg("score"), 4).alias("avg_score"),
+        F.sum("responded").cast("double").alias("resp"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            "n_users",
+            "avg_score",
+            round_half_up(F.col("resp") / F.col("n_users"), 6).alias("response_rate"),
+            round_half_up(
+                (F.col("resp") / F.col("n_users"))
+                / (F.col("total_resp") / F.col("total_n")),
+                4,
+            ).alias("lift"),
+            round_half_up(
+                F.sum("resp").over(wcum) / F.col("total_resp"), 6
+            ).alias("cum_gain"),
+        )
+    )

@@ -233,6 +233,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "sql_udf_revenue",
     "cuped_adjusted_metric",
     "categorical_mi_entropy",
+    "decile_lift_table",
 )
 
 

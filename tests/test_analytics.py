@@ -920,3 +920,20 @@ def test_categorical_mi_entropy_information_inequalities(spark):
     assert abs(row["h_type"] - ha) < 1e-4
     assert abs(row["h_dow"] - hb) < 1e-4
     assert abs(row["mutual_info"] - (ha + hb - hab)) < 1e-4
+
+
+def test_decile_lift_table_invariants(spark):
+    rows = sorted(
+        QUERIES["decile_lift_table"].spark_fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # scores non-increasing across deciles (decile 1 = best-scored users)
+    for a, b in zip(rows, rows[1:]):
+        assert a["avg_score"] >= b["avg_score"]
+    # gains monotone to 1.0; rates within [0,1]; sizes cover all users
+    assert abs(rows[-1]["cum_gain"] - 1.0) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_gain"] <= b["cum_gain"] + 1e-9
+    n_users = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
