@@ -791,10 +791,16 @@ def test_band_join_uses_broadcast_nested_loop(spark):
 
 def test_observation_api_metrics(spark):
     """df.observe(): collect side metrics during a real query without a
-    second pass — the instrumented-pipeline API."""
+    second pass — the instrumented-pipeline API.  Runs on a newSession():
+    a session that has ever registered an Observation carries a
+    non-serializable ObservationManager that later MLlib evaluator
+    closures trip over (found the hard way: the shared-session form made
+    the SVM tests fail with NotSerializableException when run after
+    this one)."""
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    spark = spark.newSession()
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     obs = Observation("ingest_metrics")
     observed = ev.observe(
