@@ -1728,3 +1728,117 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_gain"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP/STAT — Kaplan-Meier time-to-conversion curve with right censoring
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier_conversion",
+    family="EXP,STAT,W3",
+    doc="Kaplan-Meier estimator of time-to-first-purchase: each user "
+    "contributes a duration from their first event to their first "
+    "purchase (event) or to end-of-observation (right-censored).  At "
+    "each distinct event time t: d = conversions at t, n = users still "
+    "at risk (duration >= t), and S(t) = prod(1 - d/n) over times <= t "
+    "— computed as exp(running-sum(ln(1 - d/n))), turning the product "
+    "into the one window primitive engines share.  The at-risk counts "
+    "come from a cumulative window over the per-time aggregate (a "
+    "|distinct times|-sized relation), never a second scan of users.",
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id,
+                 min(ts) AS first_ev,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+          FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT max(ts) AS maxts FROM events),
+        durs AS (
+          SELECT user_id,
+                 CASE WHEN first_buy IS NOT NULL
+                      THEN epoch_us(first_buy) - epoch_us(first_ev)
+                      ELSE epoch_us(mx.maxts) - epoch_us(first_ev) END AS dur_us,
+                 CASE WHEN first_buy IS NOT NULL THEN 1 ELSE 0 END AS converted
+          FROM per_user CROSS JOIN mx
+        ),
+        tot AS (SELECT count(*) AS n_total FROM durs),
+        ev_times AS (
+          SELECT dur_us, count(*) AS d,
+                 sum(count(*)) OVER (ORDER BY dur_us
+                                     ROWS UNBOUNDED PRECEDING) AS cum_events
+          FROM durs WHERE converted = 1 GROUP BY dur_us
+        ),
+        risk AS (
+          SELECT e.dur_us, e.d,
+                 tot.n_total
+                   - (SELECT count(*) FROM durs x WHERE x.dur_us < e.dur_us) AS n_risk
+          FROM ev_times e CROSS JOIN tot
+        )
+        SELECT dur_us, CAST(d AS BIGINT) AS d, CAST(n_risk AS BIGINT) AS n_risk,
+               CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY dur_us ROWS UNBOUNDED PRECEDING) = 1
+                    THEN 0.0
+                    ELSE floor(exp(sum(CASE WHEN d < n_risk
+                                            THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+                               OVER (ORDER BY dur_us ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5)
+                           / 1000000 END AS survival
+        FROM risk
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ev"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_buy"),
+    )
+    mx = ev.agg(F.max("ts").alias("maxts"))
+    durs = per_user.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("first_buy").isNotNull(),
+            F.unix_micros("first_buy") - F.unix_micros("first_ev"),
+        )
+        .otherwise(F.unix_micros("maxts") - F.unix_micros("first_ev"))
+        .alias("dur_us"),
+        F.col("first_buy").isNotNull().cast("int").alias("converted"),
+    ).localCheckpoint(eager=False)
+    tot = durs.agg(F.count(F.lit(1)).alias("n_total"))
+    ev_times = (
+        durs.filter(F.col("converted") == 1)
+        .groupBy("dur_us")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # at-risk = total - users whose (any-outcome) duration ended strictly
+    # earlier; computed from the duration histogram, not a per-user join
+    all_times = durs.groupBy("dur_us").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, -1)
+    ended_before = all_times.select(
+        "dur_us", F.coalesce(F.sum("cnt").over(w_all), F.lit(0)).alias("n_ended")
+    )
+    risk = (
+        ev_times.join(ended_before, "dur_us")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dur_us",
+            F.col("d").cast("long").alias("d"),
+            (F.col("n_total") - F.col("n_ended")).cast("long").alias("n_risk"),
+        )
+    )
+    w_surv = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # once some event time has d == n_risk the curve is exactly 0 from
+    # there on (ln would blow up); SUM skips the NULL term identically in
+    # both engines
+    hit_zero = F.max(F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)).over(w_surv)
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    )
+    return risk.select(
+        "dur_us",
+        "d",
+        "n_risk",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(round_half_up(F.exp(F.sum(log_term).over(w_surv)), 6))
+        .alias("survival"),
+    )

@@ -234,6 +234,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "cuped_adjusted_metric",
     "categorical_mi_entropy",
     "decile_lift_table",
+    "kaplan_meier_conversion",
 )
 
 

@@ -943,3 +943,43 @@ def test_decile_lift_table_invariants(spark):
         assert a["cum_gain"] <= b["cum_gain"] + 1e-9
     n_users = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id").distinct().count()
     assert sum(r["n_users"] for r in rows) == n_users
+
+
+def test_kaplan_meier_matches_lifelines_style_reference(spark):
+    """Brute-force KM recompute (the lifelines algorithm) on sf0.001."""
+    rows = sorted(
+        QUERIES["kaplan_meier_conversion"].spark_fn(spark, SF_SMOKE).collect(),
+        key=lambda r: r["dur_us"],
+    )
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    first_ev, first_buy, mx = {}, {}, max(r["ts"] for r in ev)
+    for r in ev:
+        u = r["user_id"]
+        if u not in first_ev or r["ts"] < first_ev[u]:
+            first_ev[u] = r["ts"]
+        if r["event_type"] == "purchase" and (u not in first_buy or r["ts"] < first_buy[u]):
+            first_buy[u] = r["ts"]
+    def us(td):
+        return (td.days * 86400 + td.seconds) * 10**6 + td.microseconds
+
+    durs = []
+    for u, fe in first_ev.items():
+        if u in first_buy:
+            durs.append((us(first_buy[u] - fe), 1))
+        else:
+            durs.append((us(mx - fe), 0))
+    import collections
+
+    d_at = collections.Counter(int(t) for t, c in durs if c == 1)
+    surv, prev = {}, 1.0
+    for t in sorted(d_at):
+        n_risk = sum(1 for x, _ in durs if x >= t)
+        prev *= 1.0 - d_at[t] / n_risk
+        surv[t] = prev
+    assert len(rows) == len(surv)
+    for r in rows:
+        assert abs(r["survival"] - surv[r["dur_us"]]) < 1e-5, r
+    # survival is non-increasing and in [0, 1]
+    vals = [r["survival"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
