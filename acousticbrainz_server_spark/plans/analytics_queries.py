@@ -1842,3 +1842,82 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(round_half_up(F.exp(F.sum(log_term).over(w_surv)), 6))
         .alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP/ML — ROC AUC via the Mann-Whitney rank statistic
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "model_auc_mannwhitney",
+    family="EXP,M5",
+    doc="Exact ROC AUC of the pre-period-spend 'model score' against a "
+    "post-period high-severity-error label (conversion is degenerate "
+    "here — every user converts, n_neg = 0; the error label stays "
+    "two-class at every sf because per-user event rates are "
+    "sf-invariant), via the Mann-Whitney identity: AUC = "
+    "(sum of positives' tie-averaged ranks - np(np+1)/2) / (np*nn).  "
+    "Tie groups (e.g. the zero-score mass) get the average rank "
+    "rank() + (c-1)/2 — the trapezoidal ROC's tie handling — so no "
+    "per-pair comparison ever materializes: one rank window + one "
+    "aggregate, the O(n log n) AUC any eval pipeline should use instead "
+    "of the O(n^2) pair count.",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 sum(CASE WHEN ts < TIMESTAMP '{_LIFT_SPLIT_TS}' THEN value ELSE 0 END) AS score,
+                 max(CASE WHEN ts >= TIMESTAMP '{_LIFT_SPLIT_TS}'
+                          AND event_type = 'error' AND value > 90 THEN 1 ELSE 0 END) AS label
+          FROM events GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT label,
+                 rank() OVER (ORDER BY score)
+                   + (count(*) OVER (PARTITION BY score) - 1) / 2.0 AS avg_rank
+          FROM per_user
+        )
+        SELECT CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+               floor((sum(CASE WHEN label = 1 THEN avg_rank ELSE 0 END)
+                      - sum(label) * (sum(label) + 1) / 2.0)
+                     / (sum(label) * (count(*) - sum(label))) * 1000000 + 0.5)
+                 / 1000000 AS auc
+        FROM ranked
+    """,
+)
+def model_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_LIFT_SPLIT_TS)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("ts") >= split)
+                & (F.col("event_type") == "error")
+                & (F.col("value") > 90),
+                1,
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    ranked = per_user.select(
+        "label",
+        (
+            F.rank().over(Window.orderBy("score"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    npos = F.sum("label")
+    ntot = F.count(F.lit(1))
+    return ranked.agg(
+        npos.cast("long").alias("n_pos"),
+        (ntot - npos).cast("long").alias("n_neg"),
+        round_half_up(
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0))
+                - npos * (npos + 1) / 2.0
+            )
+            / (npos * (ntot - npos)),
+            6,
+        ).alias("auc"),
+    )

@@ -235,6 +235,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "categorical_mi_entropy",
     "decile_lift_table",
     "kaplan_meier_conversion",
+    "model_auc_mannwhitney",
 )
 
 

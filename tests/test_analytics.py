@@ -983,3 +983,24 @@ def test_kaplan_meier_matches_lifelines_style_reference(spark):
     vals = [r["survival"] for r in rows]
     assert all(0.0 <= v <= 1.0 for v in vals)
     assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_model_auc_matches_sklearn_style_reference(spark):
+    """Brute-force AUC recompute: fraction of (pos, neg) pairs the score
+    orders correctly, ties counting half — the textbook definition the
+    Mann-Whitney rank form must equal exactly."""
+    import pandas as pd
+
+    row = QUERIES["model_auc_mannwhitney"].spark_fn(spark, SF_SMOKE).collect()[0]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    split = pd.Timestamp("2024-01-16")
+    pre = ev[ev.ts < split].groupby("user_id")["value"].sum()
+    post = ev[(ev.ts >= split) & (ev.event_type == "error") & (ev.value > 90)]
+    users = sorted(set(ev.user_id))
+    score = pre.reindex(users, fill_value=0.0)
+    label = {u: 1 if u in set(post.user_id) else 0 for u in users}
+    pos = [score[u] for u in users if label[u] == 1]
+    neg = [score[u] for u in users if label[u] == 0]
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-5
