@@ -1921,3 +1921,72 @@ def model_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# STAT — trailing-baseline z-score anomaly scores per day
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "anomaly_zscore_days",
+    family="STAT,W3",
+    doc="Per-type daily anomaly score: each day's mean value standardized "
+    "against its OWN trailing 7-day baseline (mean/stddev over offsets "
+    "1..7 — the current day is excluded so anomalies don't dilute their "
+    "own baseline).  The bounded offset-explode equi-join shape of "
+    "ewma_daily_value; days with fewer than 2 baseline points emit NULL "
+    "(stddev_samp undefined) identically in both engines.  The score "
+    "stays continuous — thresholding is the caller's policy decision, "
+    "and a boundary comparison would be float-fragile across engines.",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        base AS (
+          SELECT a.event_type, a.day, a.v,
+                 avg(b.v) AS mu, stddev_samp(b.v) AS sigma, count(*) AS n_base
+          FROM daily a JOIN daily b
+            ON b.event_type = a.event_type
+           AND a.day - b.day BETWEEN 1 AND 7
+          GROUP BY a.event_type, a.day, a.v
+        )
+        SELECT event_type, day,
+               {sql_round_half_up('v', 4)} AS day_value,
+               CAST(n_base AS BIGINT) AS n_base,
+               CASE WHEN sigma > 0 THEN {sql_round_half_up('(v - mu) / sigma', 4)} END AS zscore
+        FROM base
+    """,
+)
+def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("v")).localCheckpoint(eager=False)
+    fan = daily.select(
+        "event_type",
+        F.col("day").alias("bday"),
+        F.col("v").alias("bv"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("off"),
+    ).select(
+        "event_type", F.date_add(F.col("bday"), F.col("off")).alias("day"), "bv"
+    )
+    base = fan.groupBy("event_type", "day").agg(
+        F.avg("bv").alias("mu"),
+        F.stddev_samp("bv").alias("sigma"),
+        F.count(F.lit(1)).alias("n_base"),
+    )
+    return (
+        daily.join(base, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            round_half_up(F.col("v"), 4).alias("day_value"),
+            F.col("n_base").cast("long").alias("n_base"),
+            F.when(
+                F.col("sigma") > 0,
+                round_half_up((F.col("v") - F.col("mu")) / F.col("sigma"), 4),
+            ).alias("zscore"),
+        )
+    )

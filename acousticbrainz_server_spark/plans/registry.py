@@ -236,6 +236,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "decile_lift_table",
     "kaplan_meier_conversion",
     "model_auc_mannwhitney",
+    "anomaly_zscore_days",
 )
 
 

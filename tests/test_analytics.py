@@ -1004,3 +1004,30 @@ def test_model_auc_matches_sklearn_style_reference(spark):
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
     wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
     assert abs(row["auc"] - wins / (len(pos) * len(neg))) < 1e-5
+
+
+def test_anomaly_zscore_days_recompute(spark):
+    import statistics
+
+    rows = QUERIES["anomaly_zscore_days"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    daily = {}
+    for r in ev:
+        k = (r["event_type"], r["ts"].date())
+        daily.setdefault(k, []).append(r["value"])
+    daily = {k: sum(v) / len(v) for k, v in daily.items()}
+    import datetime
+
+    for r in rows[:50]:
+        base = [
+            daily[(r["event_type"], r["day"] - datetime.timedelta(days=o))]
+            for o in range(1, 8)
+            if (r["event_type"], r["day"] - datetime.timedelta(days=o)) in daily
+        ]
+        assert r["n_base"] == len(base)
+        if len(base) >= 2:
+            mu = sum(base) / len(base)
+            sigma = statistics.stdev(base)
+            want = (daily[(r["event_type"], r["day"])] - mu) / sigma
+            assert abs(r["zscore"] - want) < 1e-3
