@@ -1990,3 +1990,64 @@ def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zscore"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# OLAP — ABC (Pareto) revenue classification
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "abc_analysis",
+    family="OLAP,W3",
+    doc="ABC inventory classification: parts ranked by revenue, cumulative "
+    "revenue share computed by a running window, class A/B/C assigned at "
+    "the 80%/95% Pareto cuts.  The classification compares the ROUNDED "
+    "cumulative share (both engines compute the identical rounded value "
+    "first), so the class boundary cannot flip on a last-ulp float "
+    "difference — the same discipline every rank-on-rounded query in "
+    "the registry follows.",
+    oracle="""
+        WITH rev AS (
+          SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+          FROM lineitem GROUP BY l_partkey
+        ),
+        tot AS (SELECT sum(revenue) AS t FROM rev),
+        ranked AS (
+          SELECT l_partkey,
+                 floor(revenue * 100 + 0.5) / 100 AS revenue,
+                 floor(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                          ROWS UNBOUNDED PRECEDING) / tot.t * 1000000 + 0.5)
+                   / 1000000 AS cum_share
+          FROM rev CROSS JOIN tot
+        )
+        SELECT l_partkey, revenue, cum_share,
+               CASE WHEN cum_share <= 0.80 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+)
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        round_half_up(F.col("revenue"), 2).alias("revenue"),
+        round_half_up(F.sum("revenue").over(w) / F.col("t"), 6).alias("cum_share"),
+    )
+    return ranked.select(
+        "l_partkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

@@ -237,6 +237,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "kaplan_meier_conversion",
     "model_auc_mannwhitney",
     "anomaly_zscore_days",
+    "abc_analysis",
 )
 
 

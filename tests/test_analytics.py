@@ -1031,3 +1031,21 @@ def test_anomaly_zscore_days_recompute(spark):
             sigma = statistics.stdev(base)
             want = (daily[(r["event_type"], r["day"])] - mu) / sigma
             assert abs(r["zscore"] - want) < 1e-3
+
+
+def test_abc_analysis_pareto_structure(spark):
+    rows = QUERIES["abc_analysis"].spark_fn(spark, SF_SMOKE).collect()
+    by_class = {}
+    for r in rows:
+        by_class.setdefault(r["abc_class"], []).append(r)
+    assert set(by_class) == {"A", "B", "C"}
+    # A-parts are few but carry ~80% of revenue; C-parts are many but light
+    rev = lambda c: sum(r["revenue"] for r in by_class[c])
+    total = sum(rev(c) for c in "ABC")
+    assert rev("A") / total >= 0.5
+    assert len(by_class["A"]) < len(by_class["C"])
+    # class order respects the revenue order
+    max_share = {c: max(r["cum_share"] for r in by_class[c]) for c in "ABC"}
+    assert max_share["A"] <= 0.80 + 1e-9
+    assert max_share["B"] <= 0.95 + 1e-9
+    assert abs(max_share["C"] - 1.0) < 1e-6
