@@ -2051,3 +2051,79 @@ def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP — conversion rate by first-touch channel with Wilson 95% CI
+# --------------------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963985  # 97.5th normal quantile, fixed constant both engines
+
+
+@query(
+    "conversion_wilson_ci",
+    family="EXP,STAT",
+    doc="Daily conversion rate by first-touch channel (the day's first "
+    "event type) with the Wilson 95% score interval — the binomial CI "
+    "that behaves at small n and rate 0/1, which the naive normal "
+    "interval does not.  One rank window for the first touch, one "
+    "per-(user,day) reduce, one per-channel aggregate; the Wilson "
+    "algebra is closed-form float math on two integers, rounded before "
+    "hashing.",
+    oracle=f"""
+        WITH r AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        days AS (
+          SELECT user_id, day,
+                 max(CASE WHEN rn = 1 THEN event_type END) AS channel,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+          FROM r GROUP BY user_id, day
+        ),
+        agg AS (
+          SELECT channel, count(*) AS n, CAST(sum(converted) AS DOUBLE) AS k
+          FROM days GROUP BY channel
+        )
+        SELECT channel, n, CAST(k AS BIGINT) AS conversions,
+               floor(k / n * 1000000 + 0.5) / 1000000 AS rate,
+               floor((k / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                      - {_WILSON_Z} * sqrt((k / n) * (1 - k / n) / n
+                                           + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                     / (1 + {_WILSON_Z} * {_WILSON_Z} / n) * 1000000 + 0.5) / 1000000 AS ci_low,
+               floor((k / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                      + {_WILSON_Z} * sqrt((k / n) * (1 - k / n) / n
+                                           + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                     / (1 + {_WILSON_Z} * {_WILSON_Z} / n) * 1000000 + 0.5) / 1000000 AS ci_high
+        FROM agg
+    """,
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    r = ev.withColumn("day", F.col("ts").cast("date")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    days = r.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("channel"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    agg = days.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("double").alias("k")
+    )
+    z = F.lit(_WILSON_Z)
+    p = F.col("k") / F.col("n")
+    n = F.col("n")
+    center = p + z * z / (2 * n)
+    margin = z * F.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+    denom = 1 + z * z / n
+    return agg.select(
+        "channel",
+        "n",
+        F.col("k").cast("long").alias("conversions"),
+        round_half_up(p, 6).alias("rate"),
+        round_half_up((center - margin) / denom, 6).alias("ci_low"),
+        round_half_up((center + margin) / denom, 6).alias("ci_high"),
+    )

@@ -238,6 +238,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "model_auc_mannwhitney",
     "anomaly_zscore_days",
     "abc_analysis",
+    "conversion_wilson_ci",
 )
 
 

@@ -1050,3 +1050,20 @@ def test_abc_analysis_pareto_structure(spark):
     assert max_share["A"] <= 0.80 + 1e-9
     assert max_share["B"] <= 0.95 + 1e-9
     assert abs(max_share["C"] - 1.0) < 1e-6
+
+
+def test_conversion_wilson_ci_properties(spark):
+    rows = QUERIES["conversion_wilson_ci"].spark_fn(spark, SF_SMOKE).collect()
+    assert rows
+    import math
+
+    z = 1.959963985
+    for r in rows:
+        assert 0.0 <= r["ci_low"] <= r["rate"] <= r["ci_high"] <= 1.0
+        # recompute the Wilson bounds
+        p, n = r["conversions"] / r["n"], r["n"]
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        margin = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert abs(r["ci_low"] - (center - margin) / denom) < 1e-5
+        assert abs(r["ci_high"] - (center + margin) / denom) < 1e-5
