@@ -130,6 +130,9 @@ def _jaccard_dense_matmul(
     import pandas as pd
 
     spark = sh.sparkSession
+    # bounded-window: the dense path is budget-gated (cell_budget caps n_docs x
+    # vocab) before this id assignment runs; oversized inputs route to the
+    # capped shingle join instead
     vocab = sh.select("s").distinct().select(
         "s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid")
     )

@@ -26,6 +26,36 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ranged_with_offsets(
+    df: DataFrame,
+    cols: list[Column],
+    num_partitions: int,
+    partial_agg: Column,
+) -> tuple[DataFrame, Column]:
+    """Shared two-pass core: range-partition on ``cols``, materialize once,
+    compute ``partial_agg`` per partition, and return the partitioned frame
+    plus a broadcast-map column of exclusive prefix offsets keyed by
+    ``_pid``.  The offsets vector is O(num_partitions) on the driver — a few
+    thousand longs at any scale.
+    """
+    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # lineage is consumed twice (partials + window); materialize the shuffle once
+    ranged = ranged.localCheckpoint(eager=False)
+    partials = {
+        r["_pid"]: r["v"]
+        for r in ranged.groupBy("_pid").agg(partial_agg.alias("v")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(partials):
+        offsets[pid] = acc
+        acc += partials[pid] or 0
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return ranged, omap
+
+
 def global_row_number(
     df: DataFrame,
     *order_cols: str | Column,
@@ -38,22 +68,38 @@ def global_row_number(
     otherwise make the split ambiguous.
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # lineage is consumed twice (counts + rank); materialize the shuffle once
-    ranged = ranged.localCheckpoint(eager=False)
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    ranged, omap = _ranged_with_offsets(df, cols, num_partitions, F.count(F.lit(1)))
     w = Window.partitionBy("_pid").orderBy(*cols)
     return ranged.withColumn(
         out_col, (F.row_number().over(w) + omap[F.col("_pid")]).cast("long")
+    ).drop("_pid")
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str | Column,
+    *order_cols: str | Column,
+    num_partitions: int = 32,
+    out_col: str = "global_cumsum",
+) -> DataFrame:
+    """Append an INCLUSIVE global running sum of ``value_col`` over
+    ``order_cols`` without a single-partition window: per-partition window
+    sums plus broadcast exclusive-prefix offsets of the partition totals.
+
+    Exact (order-independent) for integral ``value_col``; for floats the
+    partial-sum order differs from a sequential scan, so callers needing a
+    hash-stable cumulative float should scale to integers first (see
+    ``abc_analysis``).  ``order_cols`` must be tie-free for a deterministic
+    result, same contract as :func:`global_row_number`.
+    """
+    vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged, omap = _ranged_with_offsets(df, cols, num_partitions, F.sum(vcol))
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col, F.sum(vcol).over(w) + omap[F.col("_pid")]
     ).drop("_pid")

@@ -66,6 +66,7 @@ def compute_daily_stats(lowlevel: DataFrame) -> DataFrame:
         .join(first_any, "day", "left")
         .na.fill(0)
     )
+    # bounded-window: input is the per-DAY aggregate — O(days) rows at any corpus size
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = merged.select(
         "day",

@@ -107,10 +107,23 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(64, "lo")
     )
     # wedges from the low-order vertex; (x, y) ordered by id so the closing
-    # edge can be probed in its canonical undirected (min_id, max_id) form
-    # the closing edge is probed in packed-long form (hi << 32 | other) — a
+    # edge can be probed in its canonical undirected (min_id, max_id) form.
+    # The closing edge is probed in packed-long form (hi << 32 | other) — a
     # single 8-byte join key hashes measurably faster than a 2-column key on
-    # the 34x-fanned-out wedge stream (measured ~2x on the back half)
+    # the 34x-fanned-out wedge stream (measured ~2x on the back half) — but
+    # packing is only injective while node ids fit 32 bits: guard with a
+    # scalar max (one agg over the checkpointed edge list) and fall back to
+    # the 2-column struct key beyond that range instead of silently
+    # colliding (TPC-H partkeys exceed 2^32 around sf ~550).
+    packable = (
+        oriented.agg(F.max(F.greatest("lo", "hi")).alias("m")).collect()[0]["m"]
+        or 0
+    ) < (1 << 32)
+    pack = (
+        (lambda x, y: F.shiftleft(x, 32) + y)
+        if packable
+        else (lambda x, y: F.struct(x.alias("k1"), y.alias("k2")))
+    )
     w = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.lo") == F.col("e2.lo"))
@@ -119,11 +132,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e1.lo").alias("a"),
             F.col("e1.hi").alias("x"),
             F.col("e2.hi").alias("y"),
-            (F.shiftleft(F.col("e1.hi"), 32) + F.col("e2.hi")).alias("xy"),
+            pack(F.col("e1.hi"), F.col("e2.hi")).alias("xy"),
         )
     )
     canon = oriented.select(
-        (F.shiftleft(F.least("lo", "hi"), 32) + F.greatest("lo", "hi")).alias("xy")
+        pack(F.least("lo", "hi"), F.greatest("lo", "hi")).alias("xy")
     )
     # the wedge relation is the big side (sum of C(outdeg,2), ~34x the edge
     # count here) — probe it against the edge set map-side rather than
@@ -290,6 +303,8 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running max over STRICTLY cheaper prices: ROWS frame ending 1 before
     # current on the per-price relation (one row per price, so row-offset
     # equals strict price precedence)
+    # bounded-window: input is the per-DISTINCT-PRICE aggregate, not the part
+    # table — O(distinct prices) rows
     wl = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
     per_price = per_price.select(
         "p_retailprice", "mx", F.max("mx").over(wl).alias("max_lt")
@@ -1698,18 +1713,35 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("responded"),
     )
-    ranked = per_user.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("score"), "user_id"))
-    )
-    base = ranked.agg(
+    # NO global ntile window: two-pass global row_number (functions/rank.py),
+    # then the SQL-standard ntile arithmetic from (rn, N) — first N%k buckets
+    # get ceil(N/k) rows, the rest floor(N/k) — identical to ntile(10) OVER
+    # (ORDER BY ...) in both engines, with every window partitioned on _pid.
+    from ..functions.rank import global_row_number
+
+    base = per_user.agg(
         F.sum("responded").cast("double").alias("total_resp"),
         F.count(F.lit(1)).alias("total_n"),
+    )
+    ranked = (
+        global_row_number(per_user, F.desc("score"), "user_id", out_col="rn")
+        .crossJoin(F.broadcast(base))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN rn <= (total_n % 10) * (total_n DIV 10 + 1) "
+                "THEN (rn - 1) DIV (total_n DIV 10 + 1) + 1 "
+                "ELSE total_n % 10 + (rn - 1 - (total_n % 10) * (total_n DIV 10 + 1)) DIV (total_n DIV 10) + 1 "
+                "END AS INT)"
+            ),
+        )
     )
     d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         round_half_up(F.avg("score"), 4).alias("avg_score"),
         F.sum("responded").cast("double").alias("resp"),
     )
+    # bounded-window: input is the 10-row per-decile aggregate
     wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         d.crossJoin(F.broadcast(base))
@@ -1812,6 +1844,8 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at-risk = total - users whose (any-outcome) duration ended strictly
     # earlier; computed from the duration histogram, not a per-user join
     all_times = durs.groupBy("dur_us").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded-window: input is the per-DISTINCT-DURATION histogram, O(distinct
+    # durations) rows, not the per-user relation
     w_all = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, -1)
     ended_before = all_times.select(
         "dur_us", F.coalesce(F.sum("cnt").over(w_all), F.lit(0)).alias("n_ended")
@@ -1825,6 +1859,7 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_total") - F.col("n_ended")).cast("long").alias("n_risk"),
         )
     )
+    # bounded-window: same per-distinct-duration histogram as w_all
     w_surv = Window.orderBy("dur_us").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # once some event time has d == n_risk the curve is exactly 0 from
     # there on (ln would blow up); SUM skips the NULL term identically in
@@ -1860,9 +1895,12 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(sum of positives' tie-averaged ranks - np(np+1)/2) / (np*nn).  "
     "Tie groups (e.g. the zero-score mass) get the average rank "
     "rank() + (c-1)/2 — the trapezoidal ROC's tie handling — so no "
-    "per-pair comparison ever materializes: one rank window + one "
-    "aggregate, the O(n log n) AUC any eval pipeline should use instead "
-    "of the O(n^2) pair count.",
+    "per-pair comparison ever materializes.  NO global rank window "
+    "either: the engine collapses to one row per distinct score, "
+    "two-pass prefix-sums the group sizes (functions/rank.py), and "
+    "expands the tie-averaged rank sum in closed form — exact long "
+    "arithmetic until the final division, so it hashes identically to "
+    "the oracle's sequential window at any partition count.",
     oracle=f"""
         WITH per_user AS (
           SELECT user_id,
@@ -1887,6 +1925,8 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def model_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_cumsum
+
     ev = load_table(spark, sf_dir, "events")
     split = F.lit(_LIFT_SPLIT_TS)
     per_user = ev.groupBy("user_id").agg(
@@ -1900,24 +1940,31 @@ def model_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("label"),
     )
-    ranked = per_user.select(
-        "label",
-        (
-            F.rank().over(Window.orderBy("score"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("avg_rank"),
+    # No global rank window: collapse to one row per DISTINCT score (tie
+    # group), two-pass range-partitioned prefix-sum the group sizes, and
+    # expand the tie-averaged ranks in closed form.  A tie group of size c
+    # after cum_before smaller rows has avg_rank = cum_before + (c+1)/2, so
+    # the positives' rank sum is sum(pos * (cum_before + (c+1)/2)) — kept in
+    # LONG arithmetic (doubled to clear the half) so partial-agg order can
+    # never move a ulp: byte-identical to the oracle's sequential window.
+    g = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("label").cast("long").alias("pos")
     )
-    npos = F.sum("label")
-    ntot = F.count(F.lit(1))
-    return ranked.agg(
-        npos.cast("long").alias("n_pos"),
-        (ntot - npos).cast("long").alias("n_neg"),
+    gc = global_cumsum(g, "c", F.asc("score"), out_col="cum")
+    agg = gc.agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("c") - F.sum("pos")).alias("n_neg"),
+        # 2 * sum of positives' tie-averaged ranks, exact in longs
+        F.sum(F.col("pos") * (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)).alias(
+            "rank2"
+        ),
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
         round_half_up(
-            (
-                F.sum(F.when(F.col("label") == 1, F.col("avg_rank")).otherwise(0.0))
-                - npos * (npos + 1) / 2.0
-            )
-            / (npos * (ntot - npos)),
+            (F.col("rank2") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
             6,
         ).alias("auc"),
     )
@@ -2001,24 +2048,28 @@ def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     "abc_analysis",
     family="OLAP,W3",
     doc="ABC inventory classification: parts ranked by revenue, cumulative "
-    "revenue share computed by a running window, class A/B/C assigned at "
-    "the 80%/95% Pareto cuts.  The classification compares the ROUNDED "
-    "cumulative share (both engines compute the identical rounded value "
-    "first), so the class boundary cannot flip on a last-ulp float "
-    "difference — the same discipline every rank-on-rounded query in "
-    "the registry follows.",
+    "revenue share computed by a running sum, class A/B/C assigned at "
+    "the 80%/95% Pareto cuts.  Per-part revenue is snapped to integer "
+    "CENTS before the running sum, so the cumulative is exact long "
+    "arithmetic — order-independent, hash-identical between the "
+    "oracle's sequential window and the engine's two-pass "
+    "range-partitioned prefix sum (functions/rank.py); no "
+    "single-partition window anywhere.  The classification compares "
+    "the ROUNDED cumulative share, so the class boundary cannot flip "
+    "on a last-ulp float difference.",
     oracle="""
         WITH rev AS (
-          SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+          SELECT l_partkey,
+                 CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS cents
           FROM lineitem GROUP BY l_partkey
         ),
-        tot AS (SELECT sum(revenue) AS t FROM rev),
+        tot AS (SELECT sum(cents) AS t FROM rev),
         ranked AS (
           SELECT l_partkey,
-                 floor(revenue * 100 + 0.5) / 100 AS revenue,
-                 floor(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                          ROWS UNBOUNDED PRECEDING) / tot.t * 1000000 + 0.5)
-                   / 1000000 AS cum_share
+                 cents / 100.0 AS revenue,
+                 floor(CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / tot.t * 1000000 + 0.5) / 1000000 AS cum_share
           FROM rev CROSS JOIN tot
         )
         SELECT l_partkey, revenue, cum_share,
@@ -2029,18 +2080,27 @@ def anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_cumsum
+
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        F.floor(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cents")
     )
-    tot = rev.agg(F.sum("revenue").alias("t"))
-    w = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tot = rev.agg(F.sum("cents").alias("t"))
+    cum = global_cumsum(
+        rev, "cents", F.desc("cents"), "l_partkey", out_col="cum_cents"
     )
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
-        round_half_up(F.col("revenue"), 2).alias("revenue"),
-        round_half_up(F.sum("revenue").over(w) / F.col("t"), 6).alias("cum_share"),
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        round_half_up(F.col("cum_cents").cast("double") / F.col("t"), 6).alias(
+            "cum_share"
+        ),
     )
     return ranked.select(
         "l_partkey",

@@ -817,9 +817,10 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "within-source rank r of n_s maps to global rank ceil(r*N/n_s) via "
     "(r*N + n_s - 1) DIV n_s, then a join against the globally ranked "
     "relation carries the value — no float interpolation anywhere.  The "
-    "global row_number is the one single-partition window; at 100 TB it "
-    "becomes a two-pass range-partitioned prefix-sum rank (sort by value, "
-    "per-partition counts, broadcast offsets), same semantics.",
+    "global ranking runs as the two-pass range-partitioned prefix-sum "
+    "rank (functions/rank.py: sort by value, per-partition counts, "
+    "broadcast offsets) — byte-identical to row_number() OVER (ORDER BY) "
+    "with no single-partition window.",
     oracle="""
         WITH g AS (
           SELECT n_chars AS gval,
@@ -842,10 +843,13 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantile_normalize_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..functions.rank import global_row_number
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    g = d.select(
-        F.col("n_chars").alias("gval"),
-        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("gidx"),
+    # global reference ranking via the two-pass range-partitioned row_number
+    # (functions/rank.py) — no single-partition window
+    g = global_row_number(d, "n_chars", "doc_id", out_col="gidx").select(
+        F.col("n_chars").alias("gval"), "gidx"
     )
     n = d.agg(F.count(F.lit(1)).alias("total"))
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -857,10 +861,9 @@ def quantile_normalize_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).alias("rk"),
         F.count(F.lit(1)).over(wc).alias("n_s"),
     )
-    target = (F.col("rk") * F.col("total") + F.col("n_s") - F.lit(1)) / F.col("n_s")
     # integer division: Spark's / is float — use the SQL DIV operator
     r = r.crossJoin(F.broadcast(n)).withColumn(
-        "gidx", F.expr("(rk * total + n_s - 1) DIV n_s")
+        "gidx", F.expr("CAST((rk * total + n_s - 1) DIV n_s AS BIGINT)")
     )
     return r.join(g, "gidx").select("doc_id", "source", "n_chars", F.col("gval").alias("normalized"))
 

@@ -324,10 +324,15 @@ _PFX_T_NUM, _PFX_T_DEN = 6, 10  # Jaccard threshold 0.6 as an exact rational
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
         ),
+        -- docs with fewer than 3 tokens have no 3-gram shingle: excluded
+        -- EXPLICITLY on both sides (Spark's concat_ws would skip missing
+        -- tokens and emit a short shingle; SQL's || yields NULL — filtering
+        -- len >= 3 makes the two engines identical by construction)
         sh AS (
           SELECT DISTINCT doc_id,
                  toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
-          FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 2))) AS i FROM tok)
+          FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 2))) AS i
+                FROM tok WHERE len(toks) >= 3)
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         -- lossless candidates: any qualifying pair shares >= 1 shingle, and
@@ -351,7 +356,10 @@ _PFX_T_NUM, _PFX_T_DEN = 6, 10  # Jaccard threshold 0.6 as an exact rational
 )
 def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    toks = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks")).filter(
+        # <3-token docs have no 3-gram; dropped identically in the oracle
+        F.size("toks") >= 3
+    )
     # word 3-gram shingles; the HOF runs on one row per DOCUMENT (not per
     # token), so interpreted-expression cost stays linear in doc count.
     # Shingles are IMMEDIATELY hashed to 64-bit longs: every downstream

@@ -68,132 +68,30 @@ def _load_all() -> None:
 # entries observed every round so far), so exposure order is a coverage
 # decision, not cosmetics.  History: r1-r2 verified the relational/vector
 # core; r3 the extension set; r4 the r3 reds + new sketch/streaming/layout
-# queries + a 32-query r2 re-check — leaving every query green within its
-# last two exposures.  The round-5 window below = the 2 never-driver-checked
-# queries, the 6 new export/ingest/M5 parity queries, the 9 queries whose
-# plans were touched this round (a rewrite voids the prior green), then the
-# oldest greens (r2 set, then most of the r3-only set).  Names absent from
-# this list keep registration order after it; names listed but not
-# registered are ignored.
+# queries + a 32-query r2 re-check; r5 the export/ingest surface + the
+# session-1 rewrites + 43 never-checked extension queries (50/50 green).
+# Names absent from this list keep registration order after it; names
+# listed but not registered are ignored.
+#
+# ROUND-6 WINDOW (the r5 verdict's #1 item, executed): the 47 queries with
+# no driver row across r1-r5 (the session-2 graph/experimentation/OLAP
+# additions + unpivot_wide_metrics + range_frame_revenue), all judge-green
+# in the r5 full gate and re-verified locally this round — four of them
+# (model_auc_mannwhitney, decile_lift_table, abc_analysis,
+# quantile_normalize_source) additionally REWRITTEN this round onto the
+# two-pass rank/cumsum path, and prefix_filter_jaccard + triangle_count
+# touched (short-doc parity fix / packed-key guard).  That fills 47 slots;
+# the last 3 go to this round's other plan rewrites, whose r4/r5 greens a
+# rewrite voids: duplicate_span_report + containment_neardup +
+# benchmark_contamination (shingle keys hashed to longs pre-shuffle).
+# 139 previously-checked + 47 here = all 186 queries driver-checked at
+# least once by end of r6.  r7 should rotate re-checks of the oldest
+# greens (the r2 relational core, then the r3 vector/text tail:
+# knn_exact_topk, knn_postprocess, ann_ivf_topk, ann_lsh_topk,
+# decay_weighted_vector, circle_of_fifths_embedding, probability_vector,
+# token_stats, text_quality, submission_offset, latest_per_group).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- round 5 window --
-    # the only two registered queries with no driver row before r5 (added
-    # after the r4 gate window closed; judge-verified green locally)
-    "quality_percentile_filter",
-    "scd2_value_history",
-    # new in round 5: the oracle-gated ingest/export surface (S1, S4-S9, M5)
-    "dump_tsv_roundtrip",
-    "dump_json_shards",
-    "dump_csv_features",
-    "dump_incremental_window",
-    "ingest_pipeline_composed",
-    "eval_confusion_matrix",
-    # rewritten or touched in round 5 — a rewrite voids the prior green, so
-    # every query whose plan changed re-enters the window: ngram dense-path
-    # tiling; simhash arithmetic bit-sums + narrow-source probe; minhash
-    # portable-flag threading; CC exact fixpoint; heavy-hitters checkpoint;
-    # kmeans queries now shipping the committed centroid model
-    "ngram_jaccard_neardup",
-    "simhash_fingerprint",
-    "simhash_neardup",
-    "minhash_fingerprint",
-    "minhash_lsh_neardup",
-    "neardup_cluster_assign",
-    "frequent_items_sketch",
-    "ann_ivf_kmeans_topk",
-    "embedding_kmeans_assign",
-    # new in round 5 (late): serving bookkeeping, corpus curation,
-    # PQ-ANN, retrieval, the composed corpus/IVF-PQ/foreachBatch flagships,
-    # and the extended-sweep additions (SemDeDup, IVF recall eval, unigram-LM
-    # quality, mixture resample, BPE pair merge, column profile) — ALL
-    # never-driver-checked, and never-checked beats re-checks
-    "user_api_key_lookup",
-    "feedback_accuracy",
-    "challenge_leaderboard",
-    "gopher_repetition_filter",
-    "corpus_mixture_report",
-    "doc_length_buckets",
-    "cross_snapshot_dedup",
-    "ann_pq_adc_topk",
-    "bm25_retrieval",
-    "rrf_hybrid_search",
-    "corpus_build_pipeline",
-    "streaming_upsert_foreachbatch",
-    "ann_ivf_pq_topk",
-    "semdedup_prune",
-    "ivf_recall_eval",
-    "unigram_logprob_quality",
-    "mixture_resample",
-    "bpe_pair_merge",
-    "column_profile",
-    "duplicate_span_report",
-    "cube_revenue",
-    "streaming_sliding_counts",
-    "gap_fill_forward",
-    "kl_source_drift",
-    "binary_payload_stats",
-    "rolling_active_users",
-    "weighted_sample_topk",
-    "orc_roundtrip",
-    # oldest-green re-checks fill the remaining slots (r2 set first).
-    # Dropped to hold the window at 50 — each one's semantics re-exercised
-    # by an in-window or recently-green query: count_global/count_per_key
-    # (A1/A2, recounted inside frequent_items_sketch in-window),
-    # point_lookup_batch (J6, r4-green ordered_lookup), daily_stats_rollup
-    # (A8, r4-green streaming_daily_counts), shipping_priority_topk (J1,
-    # r4-green bucketed_join_rollup + in-window topk_per_group),
-    # format_track_length_full (F4, r4-green format_track_length),
-    # rollup_revenue + event_type_pivot (pytest plan assertions
-    # test_rollup_expands_one_pass / test_pivot_two_phase_no_union);
-    # the r3-green vector/text tail (knn_exact_topk, knn_postprocess,
-    # ann_ivf_topk, ann_lsh_topk, decay_weighted_vector,
-    # circle_of_fifths_embedding, probability_vector, token_stats,
-    # text_quality, submission_offset, latest_per_group) rotates in r6.
-    # (additionally dropped for the last 3 never-checked slots:
-    # value_percentiles — A9/quantiles re-exercised by r4-green
-    # approx_quantile_sketch + equidepth_histogram; events_within_window —
-    # P9 range predicates re-exercised by the r4-green streaming window
-    # queries; sessionize_events — r4-green streaming_sessionize runs the
-    # same session assignment under the stream gate)
-    # (and for gap_fill_forward + kl_source_drift: salted_count_per_key —
-    # the salting plan shape is pytest-asserted (test_salted_count_two_phase)
-    # and A2 counting is re-exercised throughout; daily_moving_average —
-    # W3 sliding windows re-exercised by in-window gap_fill_forward and the
-    # r4-green funnel_stages)
-    # (and for binary_payload_stats: user_event_gaps — the lag/lead window
-    # shape is re-exercised in-window by scd2_value_history and
-    # gap_fill_forward)
-    # (and for rolling_active_users + weighted_sample_topk: topk_per_group —
-    # the W2 window-top-k plan is byte-for-byte the weighted_sample_topk
-    # shape, in-window; cohort_retention — day×distinct-user analytics
-    # re-exercised by in-window rolling_active_users)
-    # (and for orc_roundtrip: semi_join_window was dropped — it is r4-green,
-    # the most recently verified of the re-check set, and the semi-join
-    # shape is re-exercised by dump_incremental_window in-window)
-    # final continuation batch — never-checked beats re-checks, so these five
-    # displace the r2-green tail (small_quantity_revenue, pricing_summary,
-    # join_multiway_rollup, anti_join_unprocessed, asof_latest_purchase —
-    # all r2-driver-green, re-confirmed by every local full gate since; their
-    # shapes are re-exercised in-window by bucketed_join_rollup/
-    # dump_incremental_window/corpus_build_pipeline).  The batch's remaining
-    # two (unpivot_wide_metrics, range_frame_revenue — simple Expand/window
-    # shapes, judge-local green at sf0.01) rotate in r6 with the displaced
-    # r3 vector/text tail.
-    "pagerank_copurchase",
-    "partitioned_write_prune",
-    "bloom_semi_join",
-    "containment_neardup",
-    "event_range_join",
-    # -- r6 window head (positions 51+; beyond this round's 50-slot gate) --
-    # the 33 session-2 queries in registration order, ALL never
-    # driver-checked but verified hash-green locally at sf0.001/0.01/0.1
-    # and individually re-verified after every plan rewrite.  r6 should
-    # gate these 33 first, then the displaced r3 vector/text tail
-    # (knn_exact_topk, knn_postprocess, ann_ivf_topk, ann_lsh_topk,
-    # decay_weighted_vector, circle_of_fifths_embedding,
-    # probability_vector, token_stats, text_quality, submission_offset,
-    # latest_per_group) and the r2-green re-checks named above — that
-    # covers the 50 slots with 17 re-checks of the oldest greens.
+    # -- round 6 window: the 47 never-driver-checked --
     "triangle_count",
     "markov_transitions",
     "snapshot_diff",
@@ -239,6 +137,51 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "anomaly_zscore_days",
     "abc_analysis",
     "conversion_wilson_ci",
+    "unpivot_wide_metrics",
+    "range_frame_revenue",
+    # -- round 6 re-gates: plans rewritten this round (rewrite voids green) --
+    "duplicate_span_report",
+    "containment_neardup",
+    "benchmark_contamination",
+    # -- r7 window head (positions 51+): oldest greens rotate back in --
+    # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
+    # oldest greens first: the r3-green vector/text tail has gone 3 rounds
+    # without a driver re-check, then the r2 relational core displaced in
+    # r5, then the r5 window itself ages back in.  Every name below is
+    # green in every local full gate this round.
+    "knn_exact_topk",
+    "knn_postprocess",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "decay_weighted_vector",
+    "circle_of_fifths_embedding",
+    "probability_vector",
+    "token_stats",
+    "text_quality",
+    "submission_offset",
+    "latest_per_group",
+    "small_quantity_revenue",
+    "pricing_summary",
+    "join_multiway_rollup",
+    "anti_join_unprocessed",
+    "asof_latest_purchase",
+    "count_global",
+    "count_per_key",
+    "point_lookup_batch",
+    "daily_stats_rollup",
+    "shipping_priority_topk",
+    "format_track_length_full",
+    "rollup_revenue",
+    "event_type_pivot",
+    "value_percentiles",
+    "events_within_window",
+    "sessionize_events",
+    "salted_count_per_key",
+    "daily_moving_average",
+    "user_event_gaps",
+    "topk_per_group",
+    "cohort_retention",
+    "semi_join_window",
 )
 
 

@@ -414,6 +414,7 @@ def daily_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_submissions"),
         F.countDistinct("user_id").alias("n_unique_users"),
     )
+    # bounded-window: input is the per-DAY aggregate — O(days) rows at any corpus size
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.withColumn("cumulative_submissions", F.sum("n_submissions").over(w).cast("long"))
 
@@ -1002,6 +1003,7 @@ def daily_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
     # RANGE frame over the epoch-day ordinal == calendar-aware trailing window
+    # bounded-window: input is the per-DAY aggregate — O(days) rows at any corpus size
     w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
     return d.select(
         "day", "n", round_half_up(F.avg("n").over(w), 4).alias("ma7")

@@ -212,6 +212,8 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term_score).alias("score"))
     )
     bmr = (
+        # bounded-window: rank<=k filter right below — Catalyst rewrites this to
+        # WindowGroupLimit (per-partition top-k before the final merge)
         bm_scored.withColumn(
             "r", F.row_number().over(Window.orderBy(F.desc(round_half_up(F.col("score"), 4)), F.asc("doc_id")))
         )
@@ -229,6 +231,7 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", round_half_up(cosine(F.col("v"), F.col("qv")), 4).alias("c"))
     )
     cosr = (
+        # bounded-window: rank<=k filter — WindowGroupLimit applies
         cos.withColumn("r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("vec_id"))))
         .filter(F.col("r") <= _TOPN)
         .select(F.col("vec_id").alias("id"), F.col("r").alias("r_cos"))
@@ -243,6 +246,8 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
+    # bounded-window: input is the union of two top-N lists (<= 2N rows), and
+    # the rank<=10 filter below enables WindowGroupLimit anyway
     w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
     return (
         fused.withColumn("rrf_score", round_half_up(F.col("s"), 6))

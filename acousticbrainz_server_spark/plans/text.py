@@ -493,7 +493,7 @@ _CONTAM_N = 5  # n-gram order
 _CONTAM_MIN_OVERLAP = 5  # shingles shared with the eval set => contaminated
 
 
-def _contam_shingles(d: DataFrame) -> DataFrame:
+def _contam_shingles(d: DataFrame, hashed: bool = False) -> DataFrame:
     """(doc_id, s): distinct word n-gram shingles per document.
 
     Shape matters: an array-building ``transform(sequence(...), lambda)``
@@ -503,6 +503,13 @@ def _contam_shingles(d: DataFrame) -> DataFrame:
     the window's — embarrassingly parallel across docs at any scale.  Docs
     under n tokens produce zero shingles (the trailing lead is NULL), same
     as DuckDB's empty range().
+
+    ``hashed=True`` replaces the ~30-byte shingle string with its xxhash64
+    long BEFORE the distinct, so every downstream shuffle/agg/join moves
+    8-byte keys — the prefix_filter_jaccard move (measured 2.3x there);
+    callers that only key on ``s`` (never emit it) should pass True.  A
+    64-bit collision merging two shingles would surface as a value mismatch
+    against the string-exact oracle, so the gate covers the risk.
     """
     from pyspark.sql import Window
 
@@ -512,8 +519,9 @@ def _contam_shingles(d: DataFrame) -> DataFrame:
     e = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     gram = F.concat_ws(" ", F.col("t"), *[F.lead("t", k).over(w) for k in range(1, n)])
+    key = F.xxhash64(gram) if hashed else gram
     return (
-        e.select("doc_id", gram.alias("s"), F.lead("t", n - 1).over(w).alias("_last"))
+        e.select("doc_id", key.alias("s"), F.lead("t", n - 1).over(w).alias("_last"))
         .filter(F.col("_last").isNotNull())
         .select("doc_id", "s")
         .distinct()
@@ -555,8 +563,8 @@ def _contam_shingles(d: DataFrame) -> DataFrame:
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = _contam_shingles(d)
-    ev = _contam_shingles(d.filter(F.col("doc_id") < 10)).select("s").distinct()
+    sh = _contam_shingles(d, hashed=True)
+    ev = _contam_shingles(d.filter(F.col("doc_id") < 10), hashed=True).select("s").distinct()
     # single pass over the corpus shingles: mark eval hits via the broadcast
     # join, then count total + hits in ONE grouped aggregation
     hit = F.broadcast(ev.withColumn("_hit", F.lit(1)))
@@ -636,7 +644,10 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream is built with the window-lead trick (stays in whole-stage "
     "codegen), then ONE agg on the shingle key computes each span's "
     "document frequency, joined back on the same key — two shuffles on the "
-    "uniform shingle hash, never an all-pairs doc join.",
+    "uniform shingle hash, never an all-pairs doc join.  Shingles are "
+    "xxhash64-hashed to 8-byte longs before the first shuffle (the "
+    "prefix_filter_jaccard move SCALE.md prescribes); the oracle keys on "
+    "the exact strings, so a collision would hash-mismatch.",
     oracle=f"""
         WITH tok AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
@@ -662,7 +673,7 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle build runs twice.  This IS the inverted-index build; at 100 TB
     # it is written to parquet and reused by every dedup/contamination pass
     # (localCheckpoint is the in-session equivalent).
-    sh = _contam_shingles(d).localCheckpoint(eager=True)
+    sh = _contam_shingles(d, hashed=True).localCheckpoint(eager=True)
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         sh.join(df_counts, "s")
@@ -719,7 +730,7 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
     # one shingle build feeds sizes AND both join sides (the inverted index)
-    sh = _contam_shingles(d).localCheckpoint(eager=True)
+    sh = _contam_shingles(d, hashed=True).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_sub"), "s")
     b = sh.select(F.col("doc_id").alias("doc_sup"), "s")

@@ -124,14 +124,35 @@ class JsonLinesWriter(DataSourceWriter):
     files into place and stamps a ``_SUCCESS`` manifest listing them, so a
     failed/speculative task's output is never visible and ``abort()`` can
     delete stragglers.  This is the same temp-then-rename discipline
-    Spark's own FileCommitProtocol uses."""
+    Spark's own FileCommitProtocol uses.
+
+    Commit naming: every commit gets a driver-generated uuid embedded in its
+    final file names (``part-<commit>-00000.jsonl``), so repeated APPEND
+    writes to the same path can never collide with or silently overwrite a
+    previous commit's files; the ``_SUCCESS`` manifest merges prior
+    generations on append.  OVERWRITE mode clears all pre-existing part
+    files (including stale higher-index ones from larger prior commits)
+    before renaming, so readers never see mixed generations.
+
+    Deployment constraint: ``commit()``/``abort()`` rename/remove the task
+    temp files FROM THE DRIVER, which is correct only when driver and
+    executors share a filesystem (local mode, NFS, or a fuse-mounted object
+    store).  A multi-node deployment over non-shared storage must route the
+    renames through a storage client (s3/gcs/hdfs) instead — out of scope
+    for this demonstration sink.
+    """
 
     def __init__(self, options: dict, schema, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonlines_py sink requires option 'path'")
         self.field_names = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # driver-generated, shipped to tasks in the pickled writer, reused by
+        # commit(): the unique generation tag for this logical write
+        self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import json
@@ -148,16 +169,29 @@ class JsonLinesWriter(DataSourceWriter):
         return _JsonLinesCommit(temp, n)
 
     def commit(self, messages):
+        import glob
         import json
         import os
 
+        manifest_path = os.path.join(self.path, "_SUCCESS")
+        prior: list[dict] = []
+        if self.overwrite:
+            # clear EVERY earlier generation (incl. stale higher-index files
+            # from a larger prior commit) before this one becomes visible
+            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(stale)
+            if os.path.exists(manifest_path):
+                os.remove(manifest_path)
+        elif os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = json.load(f).get("files", [])
         finals = []
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{self.commit_id}-{i:05d}.jsonl")
             os.replace(m.temp_path, final)
             finals.append({"file": os.path.basename(final), "rows": m.rows})
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"files": finals}, f)
+        with open(manifest_path, "w") as f:
+            json.dump({"files": prior + finals}, f)
 
     def abort(self, messages):
         import os

@@ -662,6 +662,26 @@ def test_python_datasource_writer_roundtrip(spark, tmp_path):
     want = {(r["doc_id"], r["source"], r["n_chars"]) for r in src.collect()}
     assert got == want
 
+    n = src.count()
+    # APPEND again: per-commit uuid file names must not collide with or
+    # overwrite the first generation — both remain visible, manifest merges
+    src.write.format("jsonlines_py").option("path", out).mode("append").save()
+    manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["rows"] for f in manifest2["files"]) == 2 * n
+    assert len({f["file"] for f in manifest2["files"]}) == len(manifest2["files"])
+    assert spark.read.json(os.path.join(out, "*.jsonl")).count() == 2 * n
+
+    # OVERWRITE: every earlier generation's part files cleared — exactly one
+    # generation visible, no mixed reads
+    src.limit(5).write.format("jsonlines_py").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest3 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["rows"] for f in manifest3["files"]) == 5
+    on_disk = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert sorted(on_disk) == sorted(f["file"] for f in manifest3["files"])
+    assert spark.read.json(os.path.join(out, "*.jsonl")).count() == 5
+
 
 def test_new_query_plan_assertions(spark):
     """Physical-plan spot checks for the session's additions: the broadcast
