@@ -102,24 +102,27 @@ def _jaccard_dense_matmul(
 ) -> DataFrame:
     """Exact Jaccard via TILED indicator-matrix multiply (dense-vocab path).
 
-    sid assignment and the doc→sid-list aggregation stay in Spark; when B
-    spans multiple tiles the aggregated (doc, sids) relation is
-    localCheckpoint'd once and plays both sides of the product (a B-fits
-    single tile takes the cheaper collected-once path — see loop comments):
+    sid assignment and the doc→sid-list aggregation stay in Spark; the
+    aggregated SPARSE relation is then pulled to the driver ONCE (Arrow
+    ``toPandas`` — numpy int arrays, not Python Row/int objects) and
+    torrent-broadcast in CSR-ish packed form (ids + offsets + flat sid
+    array).  Everything after that single pull is ONE distributed job:
 
-    - the **B side** is pulled to the driver one TILE at a time (Arrow
-      ``toPandas`` over a doc-id range — numpy int arrays, not Python
-      Row/int objects whose overhead near the cell budget would be multi-GB),
-      densified to a (tile_rows × vocab) float32 indicator matrix, and
-      torrent-broadcast.  Driver memory therefore holds ONE tile's matrix,
-      never the whole B side — the round-4 driver-memory cliff is gone.
-      Executors cache the broadcast tiles in MEMORY_AND_DISK storage, so the
-      aggregate B footprint on the cluster can spill.
-    - the **A side** streams from the checkpointed relation per tile; each
-      Arrow batch computes a (block × tile_rows) intersection-count matrix
-      with one float32 sgemm and emits only the (a < b, jaccard ≥ t)
-      survivors.  Tile results union; doc-id-range tiles partition B, so
-      every qualifying pair is emitted exactly once.
+    - the **A side** is rebuilt from the collected rows (Arrow-path
+      ``createDataFrame``) and streams through ``mapInPandas`` in ~512-row
+      blocks; each block densifies itself once (block × vocab float32).
+    - the **B side** is densified one TILE at a time INSIDE the kernel,
+      executor-side, from the sparse broadcast.  Per-task memory holds one
+      dense tile (≤ ``max_tile_cells`` floats ≈ 256 MB) plus the A block;
+      densify cost is O(tile cells) writes — negligible next to the
+      (block × vocab × tile_rows) sgemm that follows.  The driver NEVER
+      materializes a dense matrix, and there is no per-tile driver loop:
+      the round-5 "sequential tile jobs through the driver" finding is gone.
+
+    Driver/broadcast footprint is the SPARSE corpus: Σ|sids| int32 — at most
+    the dense cell budget (MAX_DENSE_CELLS × MAX_DENSE_TILES nonzeros ≈ 2 GB
+    worst-case, far less in practice) and gated before this path is chosen;
+    oversized corpora route to the capped shingle join / MinHash instead.
 
     Intersection counts ≤ vocab ≤ 16384 are exactly representable in float32,
     and the jaccard division is float64 in both engines, so results are
@@ -153,103 +156,84 @@ def _jaccard_dense_matmul(
         sh.unpersist(blocking=False)
         return empty
     tile_rows = max(1, max_tile_cells // max(vocab_size, 1))
-    if n_docs > tile_rows:
-        # MULTI-TILE: checkpoint the aggregated relation — it is scanned once
-        # per tile for the A side plus once per tile boundary pull, and the
-        # checkpoint truncates the explode+join+agg lineage so those scans
-        # re-read materialized blocks (released by the ContextCleaner when
-        # the result DataFrame is dropped, unlike cache()).  The single-tile
-        # case skips the checkpoint: B is collected once (served by the
-        # caller's sh cache) and A is rebuilt from the collected rows.
-        doc_sids = doc_sids.localCheckpoint(eager=True)
 
-    # doc-id range boundaries per tile: one tiny ids-only sort job; tiles are
-    # exact row-count slices, so the per-tile matrix never exceeds the budget
-    single_tile = n_docs <= tile_rows
-    ids = None if single_tile else [r["doc"] for r in doc_sids.select("doc").orderBy("doc").collect()]
-    tile_bounds = (
-        [(None, None)]
-        if single_tile
-        else [(ids[i], ids[min(i + tile_rows, n_docs) - 1]) for i in range(0, n_docs, tile_rows)]
-    )
+    # ONE driver pull of the sparse (doc, sids) relation — the only eager
+    # action on sh; everything downstream reads the broadcast or the
+    # re-created A frame, so the shingle cache can go immediately.
+    pdf = doc_sids.toPandas()
+    sh.unpersist(blocking=False)
+    order = np.argsort(pdf["doc"].to_numpy(dtype=np.int64), kind="stable")
+    ids = pdf["doc"].to_numpy(dtype=np.int64)[order]
+    sid_lists = [np.asarray(pdf["sids"].iloc[int(i)], dtype=np.int32) for i in order]
+    del pdf
+    lens = np.fromiter((s.size for s in sid_lists), dtype=np.int64, count=len(sid_lists))
+    offs = np.zeros(len(sid_lists) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.concatenate(sid_lists) if sid_lists else np.empty(0, dtype=np.int32)
+    # torrent-broadcast the packed sparse corpus ONCE per executor (inlining
+    # it in the task closure would re-pickle it into EVERY task)
+    bc = spark.sparkContext.broadcast((ids, offs, flat, int(vocab_size), int(tile_rows)))
 
-    out = empty
     # ~512-row A blocks: enough tasks to spread the sgemm, few enough that
-    # per-task Python-worker + broadcast-fetch overhead stays negligible
+    # per-task Python-worker + broadcast-fetch overhead stays negligible.
+    # plain-python-int lists: createDataFrame's non-Arrow fallback verifier
+    # rejects numpy ints in an ARRAY<INT> field (round-3 red), and .tolist()
+    # converts on BOTH the Arrow and fallback paths
     n_part = max(1, min(spark.sparkContext.defaultParallelism, (n_docs + 511) // 512))
-    a_side = doc_sids.repartition(n_part)
-    for lo, hi in tile_bounds:
-        tile_df = doc_sids if single_tile else doc_sids.filter((F.col("doc") >= lo) & (F.col("doc") <= hi))
-        b_pdf = tile_df.toPandas()
-        if single_tile:
-            # B == all docs: rebuild the A side from the already-collected
-            # rows as a pandas frame (Arrow-path createDataFrame) instead of
-            # re-scanning the checkpoint — saves ~1.5s of extra jobs per
-            # query at bench scale; the multi-tile path streams A from the
-            # checkpoint because A must be read once PER TILE there
-            import pandas as _pd
+    a_side = spark.createDataFrame(
+        pd.DataFrame({"doc": ids, "sids": [s.tolist() for s in sid_lists]}),
+        "doc LONG, sids ARRAY<INT>",
+    ).repartition(n_part)
+    del sid_lists, lens
 
-            # plain-python-int lists: createDataFrame's non-Arrow fallback
-            # verifier rejects numpy ints in an ARRAY<INT> field (round-3
-            # red), and .tolist() converts on BOTH the Arrow and fallback paths
-            a_side = spark.createDataFrame(
-                _pd.DataFrame(
-                    {"doc": b_pdf["doc"], "sids": [np.asarray(s).tolist() for s in b_pdf["sids"]]}
-                ),
-                "doc LONG, sids ARRAY<INT>",
-            ).repartition(n_part)
-        sid_arrays = [np.asarray(s, dtype=np.int64) for s in b_pdf["sids"]]
-        b_ids = b_pdf["doc"].to_numpy(dtype=np.int64)
-        b_mat = np.zeros((len(b_pdf), vocab_size), dtype=np.float32)
-        for i, sids in enumerate(sid_arrays):
-            b_mat[i, sids] = 1.0
-        b_sizes = b_mat.sum(axis=1)
-        # torrent-broadcast the tile once per executor (inlining it in the
-        # task closure would re-pickle the matrix into EVERY task)
-        bc = spark.sparkContext.broadcast((b_ids, b_mat, b_sizes))
-        del b_pdf, sid_arrays, b_ids, b_mat, b_sizes  # driver keeps ONE tile live at a time
-
-        def block_pairs(batches, _bc=bc):
-            bb_ids, bb_mat, bb_sizes = _bc.value
-            for pdf in batches:
-                k = len(pdf)
-                if k == 0:
-                    continue
-                a_mat = np.zeros((k, bb_mat.shape[1]), dtype=np.float32)
-                for i, sids in enumerate(pdf["sids"]):
-                    a_mat[i, np.asarray(sids, dtype=np.int64)] = 1.0
-                a_ids = pdf["doc"].to_numpy(dtype=np.int64)
-                a_sizes = a_mat.sum(axis=1)
+    def block_pairs(batches, _bc=bc):
+        b_ids, b_offs, b_flat, V, TR = _bc.value
+        n = b_ids.size
+        for pdf_a in batches:
+            k = len(pdf_a)
+            if k == 0:
+                continue
+            a_mat = np.zeros((k, V), dtype=np.float32)
+            for i, sids in enumerate(pdf_a["sids"]):
+                a_mat[i, np.asarray(sids, dtype=np.int64)] = 1.0
+            a_ids = pdf_a["doc"].to_numpy(dtype=np.int64)
+            a_sizes = a_mat.sum(axis=1)
+            for t0 in range(0, n, TR):
+                t1 = min(t0 + TR, n)
+                # densify ONE B tile from the sparse broadcast — O(tile
+                # cells) writes vs the k× larger sgemm below; one dense tile
+                # lives per task at a time
+                b_mat = np.zeros((t1 - t0, V), dtype=np.float32)
+                for j in range(t0, t1):
+                    b_mat[j - t0, b_flat[b_offs[j] : b_offs[j + 1]]] = 1.0
+                b_sizes = b_mat.sum(axis=1)
+                tile_ids = b_ids[t0:t1]
                 # all-float32 arithmetic: set sizes ≤ vocab ≤ 16384 are exact
                 # in float32, and int64-ing the matrices would triple the
                 # memory traffic of the hot loop
-                inter = a_mat @ bb_mat.T  # (k, tile_rows) sgemm
-                union = a_sizes[:, None] + bb_sizes[None, :] - inter
+                inter = a_mat @ b_mat.T  # (k, tile_rows) sgemm
+                union = a_sizes[:, None] + b_sizes[None, :] - inter
                 # threshold in float64 — the exact jaccard SQL engines compute
                 jac = inter.astype(np.float64) / np.maximum(union, 1.0)
-                keep = (jac >= threshold) & (a_ids[:, None] < bb_ids[None, :])
+                keep = (jac >= threshold) & (a_ids[:, None] < tile_ids[None, :])
                 ai, bi = np.nonzero(keep)
+                if ai.size == 0:
+                    continue
                 yield pd.DataFrame(
                     {
                         "doc_a": a_ids[ai],
-                        "doc_b": bb_ids[bi],
+                        "doc_b": tile_ids[bi],
                         "n_inter": inter[ai, bi].astype(np.int64),
                         "n_a": a_sizes[ai].astype(np.int64),
-                        "n_b": bb_sizes[bi].astype(np.int64),
+                        "n_b": b_sizes[bi].astype(np.int64),
                         "jaccard": jac[ai, bi],
                     }
                 )
 
-        out = out.unionByName(
-            a_side.mapInPandas(
-                block_pairs,
-                "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE",
-            )
-        )
-    # every eager action on sh is done (stats, boundary pull, tile collects —
-    # the returned plan reads only the checkpoint or the collected A frame)
-    sh.unpersist(blocking=False)
-    return out
+    return a_side.mapInPandas(
+        block_pairs,
+        "doc_a LONG, doc_b LONG, n_inter LONG, n_a LONG, n_b LONG, jaccard DOUBLE",
+    )
 
 
 def _jaccard_shingle_join(
