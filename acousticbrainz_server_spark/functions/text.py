@@ -166,6 +166,25 @@ def char_shingle_stream(docs, id_col: str, text_col: str, k: int = 5):
     ).select("doc", F.expr(f"substring(_t, _i, {k})").alias("s"))
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (array column) — one narrow projection.
+
+    ``arrays_zip`` of n shifted O(L) slices, per-element struct concat,
+    then ``array_distinct`` INSIDE the row: a shingle set is per-document
+    by definition, so deduping here saves callers the distinct shuffle the
+    exploded-stream builds pay.  (A ``transform(sequence(...), i ->
+    toks[i]...)`` build re-indexes per element and measured ~3x slower;
+    the window-lead build costs a partitionBy-doc shuffle.)  Docs under n
+    tokens yield an empty array (empty slices → empty zip).
+    """
+    toks = tokens(text)
+    width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, width).alias(f"t{k}") for k in range(n)])
+    return F.array_distinct(
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)]))
+    )
+
+
 def word_bigrams(text: Column) -> Column:
     """Distinct word-bigram shingles."""
     toks = tokens(text)

@@ -595,9 +595,10 @@ _PMI_TOP_K = 50
     "pmi_copurchase",
     family="STAT,A2",
     doc=f"Top-{_PMI_TOP_K} part pairs by pointwise mutual information over "
-    "order baskets: pair counts from the ordered self-join on the order "
-    "key, support-pruned (>= {_PMI_MIN_SUPPORT}) BEFORE the marginals "
-    "attach, per-part marginals broadcast onto the surviving pairs, "
+    "order baskets: ONE basket shuffle feeds order count, marginals and "
+    "pair counts (pairs generate natively inside each sorted basket — no "
+    f"lineitem self-join), support-pruned (>= {_PMI_MIN_SUPPORT}) BEFORE "
+    "the marginals attach, per-part marginals broadcast onto the pairs, "
     "basket total folded in as a one-row cross join.  PMI = "
     "ln(n_ab*N/(n_a*n_b)) on integer counts; ranking happens on the "
     "ROUNDED value with (a,b) tiebreaks so the top-k boundary is "
@@ -621,19 +622,29 @@ _PMI_TOP_K = 50
     """,
 )
 def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # single basket shuffle feeds ALL three aggregates (order count, per-part
+    # marginals, pair counts) — collect_set dedups within the basket so no
+    # up-front distinct pass, and in-basket pair-gen over the sorted array
+    # replaces the lineitem self-join (u < v canonical by construction)
+    baskets = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    marg = (
+        baskets.select(F.explode("it").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
     pairs = (
-        op.alias("a")
-        .join(
-            op.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(it, (x, i) -> "
+                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
     )
@@ -860,8 +871,12 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Degree distribution (count of nodes per degree) of the part "
     "co-purchase graph — the first diagnostic run on any production "
     "graph (power-law check, skew planning for the triangle/LPA jobs).  "
-    "A count-of-counts: one aggregate over the edge endpoints, one over "
-    "the degrees; both shuffles carry scalars.",
+    "A count-of-counts built WITHOUT a lineitem self-join: baskets group "
+    "once on orderkey, in-basket pairs generate natively from the sorted "
+    "item array (so u < v is canonical), distinct-ify on the pair key, "
+    "and both endpoints of each surviving edge explode into one "
+    "node-degree aggregate; every shuffle after the first carries "
+    "scalar-int rows.",
     oracle="""
         WITH pairs AS (
           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -879,17 +894,26 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = li.alias("a").join(
-        li.alias("b"),
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    # one basket shuffle replaces the self-join's two: sort_array makes the
+    # collect_set order deterministic so in-basket pair-gen emits u < v
+    # canonically regardless of aggregation order (the same unordered pair
+    # must land on ONE distinct key across baskets)
+    baskets = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(it, (x, i) -> "
+                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.lit(1))
     )
-    pairs = e.select(
-        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-    ).distinct()
     deg = (
-        pairs.select(F.col("u").alias("node"))
-        .union(pairs.select("v"))
+        pairs.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

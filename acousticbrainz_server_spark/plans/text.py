@@ -494,38 +494,41 @@ _CONTAM_MIN_OVERLAP = 5  # shingles shared with the eval set => contaminated
 
 
 def _contam_shingles(d: DataFrame, hashed: bool = False) -> DataFrame:
-    """(doc_id, s): distinct word n-gram shingles per document.
+    """(doc_id, s): distinct word n-gram shingles per document — ZERO shuffles.
 
-    Shape matters: an array-building ``transform(sequence(...), lambda)``
-    is a higher-order function Spark INTERPRETS per element (measured 11 s
-    at sf0.1); posexplode + window ``lead`` stays inside whole-stage
-    codegen (same 250k shingles in 0.8 s).  The one shuffle (by doc_id) is
-    the window's — embarrassingly parallel across docs at any scale.  Docs
-    under n tokens produce zero shingles (the trailing lead is NULL), same
-    as DuckDB's empty range().
+    Shape matters, measured at sf0.1 (250k shingles): an array-building
+    ``transform(sequence(...), i -> slice(...))`` re-slices per element —
+    O(L²) per doc, 11 s.  The posexplode + window ``lead`` build used
+    through round 5 stays in codegen but costs a shuffle (the window's
+    partitionBy doc_id) plus a ``distinct`` shuffle — 1.0 s warm.  This
+    build is ``arrays_zip`` of n shifted O(L) slices → per-element struct
+    concat → ``array_distinct`` PER ROW → explode: the distinct happens
+    inside the row (a shingle set is per-doc by definition), so the whole
+    thing is one narrow scan-side projection — 0.3 s warm, byte-identical
+    output (exceptAll both ways == 0 vs the window build), and at 100 TB
+    it pipelines into whatever shuffle the CALLER needs next instead of
+    forcing one of its own.  Docs under n tokens produce zero shingles
+    (empty slices → empty zip), same as DuckDB's empty range().
 
     ``hashed=True`` replaces the ~30-byte shingle string with its xxhash64
-    long BEFORE the distinct, so every downstream shuffle/agg/join moves
+    long inside the row, so every downstream shuffle/agg/join moves
     8-byte keys — the prefix_filter_jaccard move (measured 2.3x there);
     callers that only key on ``s`` (never emit it) should pass True.  A
     64-bit collision merging two shingles would surface as a value mismatch
     against the string-exact oracle, so the gate covers the risk.
     """
-    from pyspark.sql import Window
-
     from ..functions.text import tokens
 
     n = _CONTAM_N
-    e = d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(" ", F.col("t"), *[F.lead("t", k).over(w) for k in range(1, n)])
-    key = F.xxhash64(gram) if hashed else gram
-    return (
-        e.select("doc_id", key.alias("s"), F.lead("t", n - 1).over(w).alias("_last"))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "s")
-        .distinct()
-    )
+    toks = tokens(F.col("text"))
+    width = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, width).alias(f"t{k}") for k in range(n)])
+
+    def gram(s):
+        joined = F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
+        return F.xxhash64(joined) if hashed else joined
+
+    return d.select("doc_id", F.explode(F.array_distinct(F.transform(z, gram))).alias("s"))
 
 
 @query(
@@ -668,12 +671,13 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
-    # materialize the (doc, shingle) stream once — the document-frequency agg
-    # and the re-join both consume it, and without this the explode+window
-    # shingle build runs twice.  This IS the inverted-index build; at 100 TB
-    # it is written to parquet and reused by every dedup/contamination pass
-    # (localCheckpoint is the in-session equivalent).
-    sh = _contam_shingles(d, hashed=True).localCheckpoint(eager=True)
+    # the shingle build is a NARROW scan-side projection (see
+    # _contam_shingles), so the document-frequency agg and the re-join just
+    # rescan it — cheaper than the eager localCheckpoint barrier this used
+    # to pay when the build carried a window shuffle.  At 100 TB the
+    # inverted index is written to parquet once and reused by every
+    # dedup/contamination pass.
+    sh = _contam_shingles(d, hashed=True)
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         sh.join(df_counts, "s")
@@ -729,8 +733,9 @@ def duplicate_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
-    # one shingle build feeds sizes AND both join sides (the inverted index)
-    sh = _contam_shingles(d, hashed=True).localCheckpoint(eager=True)
+    # one NARROW shingle build feeds sizes and both join sides; the identical
+    # a/b subplans share one exchange on s (ReusedExchange), so no checkpoint
+    sh = _contam_shingles(d, hashed=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_sub"), "s")
     b = sh.select(F.col("doc_id").alias("doc_sup"), "s")
