@@ -95,13 +95,11 @@ def simhash_neardup_pairs(
             F.array(*[F.struct(F.lit(i).alias("band"), F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(0xFF)).alias("byte")) for i in range(4)])
         ).alias("bb"),
     ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.byte").alias("byte"))
-    # banded feeds both self-join sides — materialize once (4 rows x ~30
-    # bytes per doc).  localCheckpoint, NOT cache(): CacheManager entries
-    # persist for the session, while checkpoint blocks are released by the
-    # ContextCleaner as soon as the caller drops the result DataFrame — no
-    # retained storage after the query completes.  (Cluster deployments
-    # would use a reliable checkpoint dir to also survive executor loss.)
-    banded = banded.localCheckpoint(eager=True)
+    # banded feeds both self-join sides as IDENTICAL subplans shuffled on the
+    # same (band, byte) key, so Spark serves the second side from the first
+    # side's shuffle files (ReusedExchange) — an eager localCheckpoint here
+    # measured ~0.5s SLOWER end-to-end at sf0.1: it pays a driver barrier to
+    # materialize what the exchange already shares.
     a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "byte")
     b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "byte")
     pairs = (

@@ -22,6 +22,9 @@ PICKS = {
     "band_join_boundaries": "inequality-only join correctly planned as BroadcastNestedLoopJoin",
     "bucketed_join_rollup": "co-bucketed tables join with zero Exchange",
     "skyline_pareto": "O(n log n) sweep replaces the quadratic dominance NOT-EXISTS",
+    "prefix_filter_jaccard": "inverted index + df in ONE exchange; PPJoin length/positional filters inside the candidate join",
+    "degree_distribution": "no lineitem self-join — basket groupBy, native in-basket pair-gen, scalar-int shuffles after",
+    "containment_neardup": "narrow arrays_zip shingle build (zero shuffles); a/b sides share one exchange on s",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
