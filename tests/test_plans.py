@@ -318,13 +318,21 @@ def test_kmeans_assign_is_shuffle_free(spark):
 
 
 def test_fingerprint_queries_stay_codegen(spark):
-    # the interpreted-HOF regression guard: shingle/hash generation must run
-    # as window functions (codegen), not array-building lambdas, and no
-    # Python UDF may appear in these hot paths
-    for name in ("winnow_fingerprint", "benchmark_contamination"):
-        plan = _plan(QUERIES[name].spark_fn(spark, SF_SMOKE))
-        assert "Window" in plan, f"{name}: expected window-based shingling\n{plan}"
-        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # hot-path shape guards, and no Python UDF may appear in either:
+    # - winnow_fingerprint keeps its window-lead shingling (codegen — the
+    #   winnow min needs positions, so the window build is the right shape)
+    # - benchmark_contamination uses the r6 NARROW shingle build (arrays_zip
+    #   + per-row array_distinct): no Window, no distinct Exchange of its
+    #   own — a window or an interpreted sequence-transform reappearing here
+    #   is the regression this guards against
+    plan = _plan(QUERIES["winnow_fingerprint"].spark_fn(spark, SF_SMOKE))
+    assert "Window" in plan, f"winnow_fingerprint: expected window-based shingling\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = _plan(QUERIES["benchmark_contamination"].spark_fn(spark, SF_SMOKE))
+    assert "Window" not in plan, f"benchmark_contamination: narrow shingle build regressed\n{plan}"
+    assert "array_distinct" in plan and "arrays_zip" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_pq_assign_is_shuffle_free(spark):
