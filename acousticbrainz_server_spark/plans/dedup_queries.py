@@ -398,8 +398,14 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"DIV {_PFX_T_DEN}) + 1 AS INT))"
             ),
         )
-        .localCheckpoint(eager=False)
     )
+    # NO checkpoint barrier: `sets` fans out to the prefix self-join and both
+    # verify sides, but all three consume the SAME groupBy exchange, so the
+    # exchange-reuse machinery materializes it once — and, unlike a
+    # localCheckpoint leaf (unknown stats => forced sort-merge), the live
+    # shuffle lets AQE see ~2.5 MB runtime sizes and turn every downstream
+    # join into a broadcast at this SF while keeping SMJ at cluster scale.
+    # Measured 3.95s -> 2.6s warm at sf0.1.
     # PPJoin candidate join with the FULL filter suite (Xiao et al. 2011):
     # prefix overlap (the join itself) + length filter + positional filter,
     # all integer-exact so no float boundary can differ cross-engine.
@@ -431,8 +437,11 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.lit(_PFX_T_DEN + _PFX_T_NUM) * ub_pos >= F.lit(_PFX_T_NUM) * s_tot)
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # No pair-distinct here: a pair sharing k prefix shingles reaches the
+    # verify step k times (k is tiny — bounded by the prefix length), and the
+    # duplicate verified rows are identical, so ONE distinct over the final
+    # ~hundreds-of-rows result replaces a 200k-row pair shuffle.
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("ta"), F.col("n").alias("na"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("tb"), F.col("n").alias("nb"))
     v = (
@@ -448,4 +457,4 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inter_sz",
         "union_sz",
         round_half_up(F.col("inter_sz") / F.col("union_sz"), 6).alias("jaccard"),
-    )
+    ).distinct()
