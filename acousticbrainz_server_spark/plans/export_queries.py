@@ -535,3 +535,65 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.agg(
         F.count(F.lit(1)).alias("n_rows"), F.bit_xor(row_hash).alias("checksum")
     )
+
+
+# --------------------------------------------------------------------------------------
+# S4/S5 container format — tar.zst archive packaging + streamed re-import
+# --------------------------------------------------------------------------------------
+@query(
+    "dump_archive_roundtrip",
+    family="S4,S5,S8",
+    doc="Published-artifact container parity (db/dump.py:968-1013 tar.zst "
+    "assembly, :449-497 streamed import): the orders window is TSV-dumped "
+    "distributed (maxRecordsPerFile=400 forcing real numbered splits), "
+    "packaged into the reference's archive layout — SCHEMA_SEQUENCE / "
+    "TIMESTAMP / COPYING stamps first, then abdump/<table>/<table>-<N> "
+    "members piped through external zstd exactly like db/dump.py:982-988 — "
+    "then streamed back through the import gate (schema-version check, "
+    "ascending-split assert) and aggregated.  A hash match certifies the "
+    "whole container round trip: member layout, split numbering, gzip "
+    "payload transit, typed re-import.  Scale: table content is written by "
+    "the distributed TSV dump; only the final single-artifact tar pipe is "
+    "driver-side, as in the reference (one zstd process); a 100 TB "
+    "publication shards into one archive per dump partition.",
+    oracle=f"""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               {sql_round_half_up('sum(o_totalprice)', 2)} AS sum_price,
+               count(DISTINCT o_custkey) AS n_cust
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+        GROUP BY o_orderpriority
+    """,
+)
+def dump_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.archive import package_dump_archive, read_dump_archive
+    from ..sources.tables import load_table
+
+    out = _scratch(sf_dir, "archive_roundtrip")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")
+    )
+    dump_table_tsv(src, os.path.join(out, "orders"), rows_per_file=400)
+    archive = os.path.join(out, "abdump.tar.zst")
+    package_dump_archive(
+        out,
+        archive,
+        ["orders"],
+        time_now=datetime(2015, 1, 1, 12, 0, 0),
+        partitioned_tables=("orders",),
+    )
+    back_dir = os.path.join(out, "extracted")
+    info = read_dump_archive(archive, back_dir)
+    back = import_table_tsv(spark, info["tables"]["orders"], src.schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count_distinct("o_custkey").alias("n_cust"),
+    )

@@ -144,6 +144,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "containment_neardup",
     "benchmark_contamination",
     # -- r7 window head (positions 51+): oldest greens rotate back in --
+    # new-in-r6 container-format query: never driver-checked, leads the r7 gate
+    "dump_archive_roundtrip",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
     # oldest greens first: the r3-green vector/text tail has gone 3 rounds
     # without a driver re-check, then the r2 relational core displaced in
