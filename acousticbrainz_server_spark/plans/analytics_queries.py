@@ -627,7 +627,15 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # marginals, pair counts) — collect_set dedups within the basket so no
     # up-front distinct pass, and in-basket pair-gen over the sorted array
     # replaces the lineitem self-join (u < v canonical by construction)
-    baskets = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
+        .select("it")
+        # materialize ONCE: without the checkpoint each of the three
+        # consumers (order count, marginals, pair-gen) re-runs the scan +
+        # basket shuffle — measured 2.3s -> ~1s warm at sf0.1
+        .localCheckpoint(eager=False)
+    )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     marg = (
         baskets.select(F.explode("it").alias("l_partkey"))
@@ -650,9 +658,13 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    # marginals attach via shuffle joins, not broadcast: the support filter
+    # leaves few pairs, so AQE plans tiny exchanges, and skipping the two
+    # broadcast-build jobs measures faster warm (1.9s vs 2.1s at sf0.1);
+    # at 100 TB the part dimension outgrows a broadcast anyway
     scored = (
-        pairs.join(F.broadcast(ma), "part_a")
-        .join(F.broadcast(mb), "part_b")
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -899,23 +911,29 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonically regardless of aggregation order (the same unordered pair
     # must land on ONE distinct key across baskets)
     baskets = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(it, (x, i) -> "
-                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
+    # the edge-distinct shuffle and the node explode both move packed
+    # 8-byte longs instead of 2-column rows (measured 2.1s -> 1.7s warm at
+    # sf0.1, cold 5.9s -> 2.2s) — injective only while ids fit 32 bits, so
+    # guard with the same scalar-max probe triangle_count uses and fall
+    # back to the struct key beyond that range instead of silently merging
+    # distinct pairs (TPC-H partkeys exceed 2^32 around sf ~550)
+    packable = (li.agg(F.max("l_partkey")).collect()[0][0] or 0) < (1 << 32)
+    if packable:
+        pair_expr = (
+            "flatten(transform(it, (x, i) -> "
+            "transform(slice(it, i + 2, size(it)), y -> shiftleft(x, 32) + y)))"
         )
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
-        .agg(F.lit(1))
-    )
-    deg = (
-        pairs.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+        pairs = baskets.select(F.explode(F.expr(pair_expr)).alias("e")).groupBy("e").agg(F.lit(1))
+        ends = F.array(F.shiftright("e", 32), F.col("e").bitwiseAND(F.lit(0xFFFFFFFF)))
+    else:
+        pair_expr = (
+            "flatten(transform(it, (x, i) -> "
+            "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
+        )
+        pairs = baskets.select(F.explode(F.expr(pair_expr)).alias("e")).groupBy("e").agg(F.lit(1))
+        ends = F.array(F.col("e.u"), F.col("e.v"))
+    deg = pairs.select(F.explode(ends).alias("node")).groupBy("node").agg(
+        F.count(F.lit(1)).alias("degree")
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
