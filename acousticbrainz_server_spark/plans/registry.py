@@ -144,8 +144,15 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "containment_neardup",
     "benchmark_contamination",
     # -- r7 window head (positions 51+): oldest greens rotate back in --
-    # new-in-r6 container-format query: never driver-checked, leads the r7 gate
+    # new-in-r6 queries (never driver-checked) lead the r7 gate, then the
+    # two simhash plans rewritten onto packed-lane bit counting this round
+    # (rewrite voids their r5 green)
     "dump_archive_roundtrip",
+    "large_order_customers",
+    "dormant_rich_customers",
+    "slow_fulfillment_suppliers",
+    "simhash_fingerprint",
+    "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
     # oldest greens first: the r3-green vector/text tail has gone 3 rounds
     # without a driver re-check, then the r2 relational core displaced in

@@ -1675,3 +1675,188 @@ def event_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id", "user_id").agg(
         F.count("c_id").cast("long").alias("n_clicks_10m")
     )
+
+
+# --------------------------------------------------------------------------------------
+# J1/A2/O4 — large-quantity order report (the TPC-H Q18 composition: HAVING
+# over a grouped fact feeding a dim join + global top-k).  Scale shape: the
+# HAVING filter runs in the lineitem aggregate BEFORE any join, so the
+# order/customer joins see only the qualifying ~1% of orderkeys; the final
+# global order is a TakeOrderedAndProject, never a full sort.
+# --------------------------------------------------------------------------------------
+_LARGE_ORDER_MIN_QTY = 250
+_LARGE_ORDER_TOP = 100
+
+
+@query(
+    "large_order_customers",
+    family="J1,A2,O4",
+    doc=f"Customers holding orders whose total lineitem quantity exceeds "
+    f"{_LARGE_ORDER_MIN_QTY} (TPC-H Q18 shape): the quantity rollup is "
+    "HAVING-filtered before the orders/customer joins attach names, so "
+    "joins move only qualifying keys; top-k on (rounded price, orderkey).",
+    oracle=f"""
+        SELECT c.c_name, o.o_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS orderdate,
+               {sql_round_half_up('o.o_totalprice', 2)} AS totalprice,
+               {sql_round_half_up('t.sum_qty', 2)} AS sum_qty
+        FROM (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > {_LARGE_ORDER_MIN_QTY}
+        ) t
+        JOIN orders o ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY {sql_round_half_up('o.o_totalprice', 2)} DESC, o.o_orderkey
+        LIMIT {_LARGE_ORDER_TOP}
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > _LARGE_ORDER_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        c, F.col("o_custkey") == F.col("c_custkey")
+    )
+    out = j.select(
+        "c_name",
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        round_half_up(F.col("o_totalprice"), 2).alias("totalprice"),
+        round_half_up(F.col("q"), 2).alias("sum_qty"),
+    )
+    return out.orderBy(F.desc("totalprice"), "o_orderkey").limit(_LARGE_ORDER_TOP)
+
+
+# --------------------------------------------------------------------------------------
+# J4 + scalar subquery — dormant high-balance customers per nation (the TPC-H
+# Q22 composition: a global-average scalar broadcast gates the probe side of
+# an anti join).  Scale shape: the AVG is one partial-aggregated scan
+# broadcast as a 1-row build; the anti join shuffles on custkey; the nation
+# dim broadcasts.
+# --------------------------------------------------------------------------------------
+_DORMANT_CUTOFF = "2000-01-01"
+
+
+@query(
+    "dormant_rich_customers",
+    family="J4,A1,J2",
+    doc="Per nation: customers with above-global-average positive balance "
+    f"and NO orders on/after {_DORMANT_CUTOFF} (TPC-H Q22 shape): scalar "
+    "AVG subquery broadcast + anti join against the recent-orders keys + "
+    "broadcast nation dim.",
+    oracle=f"""
+        SELECT n.n_name,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               {sql_round_half_up('sum(c.c_acctbal)', 2)} AS total_bal
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{_DORMANT_CUTOFF} 00:00:00'
+              )
+        GROUP BY n.n_name
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        dormant.join(F.broadcast(n), dormant.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            round_half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J5+J4 composition — suppliers solely responsible for slow multi-supplier
+# orders (the TPC-H Q21 EXISTS + NOT EXISTS composition).  Spark-first shape:
+# instead of two correlated subqueries (two extra joins against lineitem),
+# ONE per-order aggregate computes the distinct supplier count and the
+# distinct LATE-supplier set together; the sole-late-supplier filter is then
+# a row-local predicate and only (orderkey, suppkey) survivors reach the
+# supplier-name join.  Late = shipped > 60 days after the order date.
+# --------------------------------------------------------------------------------------
+_SLOW_DAYS = 60
+_SLOW_TOP = 50
+
+
+@query(
+    "slow_fulfillment_suppliers",
+    family="J5,J4,A3",
+    doc="Per supplier: count of multi-supplier orders where this supplier "
+    f"was the ONLY one shipping > {_SLOW_DAYS} days after the order date "
+    "(TPC-H Q21 shape).  The EXISTS/NOT-EXISTS pair folds into one "
+    "per-order aggregate (supplier count + late-supplier set), so lineitem "
+    "is scanned once, not three times.",
+    oracle=f"""
+        WITH ls AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {_SLOW_DAYS} DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT l_orderkey,
+                 count(*) AS n_supp,
+                 sum(late) AS n_late,
+                 max(CASE WHEN late = 1 THEN l_suppkey END) AS the_late_supp
+          FROM ls GROUP BY 1
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS n_waiting_orders
+        FROM agg JOIN supplier s ON s.s_suppkey = agg.the_late_supp
+        WHERE agg.n_supp > 1 AND agg.n_late = 1
+        GROUP BY s.s_name
+        ORDER BY n_waiting_orders DESC, s.s_name
+        LIMIT {_SLOW_TOP}
+    """,
+)
+def slow_fulfillment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late_flag = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_SLOW_DAYS} DAYS")
+    ).cast("int")
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late_flag).alias("late"))
+    )
+    agg = ls.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("the_late_supp"),
+    )
+    sole = agg.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(s, sole.the_late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_waiting_orders"))
+        .orderBy(F.desc("n_waiting_orders"), "s_name")
+        .limit(_SLOW_TOP)
+    )
