@@ -2229,3 +2229,95 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up((center - margin) / denom, 6).alias("ci_low"),
         round_half_up((center + margin) / denom, 6).alias("ci_high"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP — Welch two-sample t-test on the A/B arms
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "ab_welch_ttest",
+    family="EXP,STAT",
+    doc="Welch's unequal-variance t-test between the md5-parity experiment "
+    "arms (the cuped_adjusted_metric assignment) on per-user total value: "
+    "t = (mean_b - mean_a) / sqrt(v_a/n_a + v_b/n_b) with the "
+    "Welch-Satterthwaite df.  Cross-engine determinism: per-user values "
+    "round to integer cents, and every moment derives from the exact "
+    "integer sums (n, S1, S2) per arm — sum-of-longs is order-independent, "
+    "so both engines evaluate the identical closed-form double expression "
+    "(a float avg/var_samp aggregate drifts with partial-aggregation "
+    "order and flipped a half-up boundary at sf0.001).  ONE grouped "
+    "aggregate computes both arms via conditional sums; S2 stays exact "
+    "below 2^63 cents-squared — at larger scale swap the moments to "
+    "DECIMAL(38) sums, same plan shape.",
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id,
+                 CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+                 CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS c
+          FROM events GROUP BY user_id
+        ),
+        s AS (
+          SELECT CAST(count(*) FILTER (arm = 0) AS DOUBLE) AS n_a,
+                 CAST(count(*) FILTER (arm = 1) AS DOUBLE) AS n_b,
+                 CAST(sum(c) FILTER (arm = 0) AS DOUBLE) AS s1a,
+                 CAST(sum(c) FILTER (arm = 1) AS DOUBLE) AS s1b,
+                 CAST(sum(c * c) FILTER (arm = 0) AS DOUBLE) AS s2a,
+                 CAST(sum(c * c) FILTER (arm = 1) AS DOUBLE) AS s2b
+          FROM per_user
+        ),
+        v AS (
+          SELECT n_a, n_b, s1a / n_a AS mca, s1b / n_b AS mcb,
+                 (s2a - s1a * s1a / n_a) / (n_a - 1) AS va,
+                 (s2b - s1b * s1b / n_b) / (n_b - 1) AS vb
+          FROM s
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               floor(mca / 100 * 10000 + 0.5) / 10000 AS mean_a,
+               floor(mcb / 100 * 10000 + 0.5) / 10000 AS mean_b,
+               floor((mcb - mca) / sqrt(va / n_a + vb / n_b) * 10000 + 0.5) / 10000 AS t_welch,
+               floor(
+                 pow(va / n_a + vb / n_b, 2)
+                 / (pow(va / n_a, 2) / (n_a - 1) + pow(vb / n_b, 2) / (n_b - 1))
+                 * 100 + 0.5
+               ) / 100 AS df_welch
+        FROM v
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("c")
+    ).withColumn(
+        "arm",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 2,
+    )
+    a = F.col("arm") == 0
+    b = F.col("arm") == 1
+    s = per_user.agg(
+        F.count(F.when(a, 1)).cast("double").alias("n_a"),
+        F.count(F.when(b, 1)).cast("double").alias("n_b"),
+        F.sum(F.when(a, F.col("c"))).cast("double").alias("s1a"),
+        F.sum(F.when(b, F.col("c"))).cast("double").alias("s1b"),
+        F.sum(F.when(a, F.col("c") * F.col("c"))).cast("double").alias("s2a"),
+        F.sum(F.when(b, F.col("c") * F.col("c"))).cast("double").alias("s2b"),
+    )
+    mca = F.col("s1a") / F.col("n_a")
+    mcb = F.col("s1b") / F.col("n_b")
+    va = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (F.col("n_a") - 1)
+    vb = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (F.col("n_b") - 1)
+    se2 = va / F.col("n_a") + vb / F.col("n_b")
+    df_w = F.pow(se2, 2) / (
+        F.pow(va / F.col("n_a"), 2) / (F.col("n_a") - 1)
+        + F.pow(vb / F.col("n_b"), 2) / (F.col("n_b") - 1)
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        round_half_up(mca / 100, 4).alias("mean_a"),
+        round_half_up(mcb / 100, 4).alias("mean_b"),
+        round_half_up((mcb - mca) / F.sqrt(se2), 4).alias("t_welch"),
+        round_half_up(df_w, 2).alias("df_welch"),
+    )

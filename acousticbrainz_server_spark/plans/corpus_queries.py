@@ -959,3 +959,75 @@ def source_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term_rank") <= _KEYNESS_TOP)
         .select("source", "term", "n_in_source", "llr", F.col("term_rank").cast("int"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# CCNet-style paragraph-level dedup (Wenzek et al. 2020, arXiv:1911.00359 §3.2:
+# dedup at paragraph granularity removes boilerplate exact-dup text that
+# document-level hashing misses).  Paragraph = non-overlapping 20-token window
+# (this corpus carries no newline structure).  First occurrence corpus-wide
+# (ordered by doc_id, then position) survives; the report is per-doc retention.
+# Scale shape: the paragraph build is a narrow scan-side projection; ONE
+# shuffle on the 8-byte paragraph hash feeds the first-occurrence window (df
+# per hash is corpus-bounded); the per-doc rollup re-shuffles only
+# (doc_id, flag) pairs.
+# --------------------------------------------------------------------------------------
+_PARA_W = 20
+
+
+@query(
+    "paragraph_dedup",
+    family="DEDUP,TXT",
+    doc=f"Per-doc paragraph-dedup retention report ({_PARA_W}-token "
+    "non-overlapping paragraphs, corpus-wide first occurrence by (doc_id, "
+    "position) survives): n_paras, n_kept, kept_frac.  The dedup key is the "
+    "xxhash64 of the paragraph (8-byte shuffle key); a collision would "
+    "surface against the string-exact oracle.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        para AS (
+          SELECT doc_id, k,
+                 list_aggregate(toks[CAST({_PARA_W} * k + 1 AS INTEGER):CAST({_PARA_W} * k + {_PARA_W} AS INTEGER)],
+                                'string_agg', ' ') AS para
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_PARA_W}.0) AS BIGINT))) AS k
+            FROM tok
+          )
+        ),
+        ranked AS (
+          SELECT doc_id, k,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, k) AS rn
+          FROM para
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               {sql_round_half_up('sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / count(*)', 4)} AS kept_frac
+        FROM ranked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_paras = F.ceil(F.size("toks") / F.lit(float(_PARA_W))).cast("int")
+    paras = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(F.sequence(F.lit(0), n_paras - 1)).alias("k"), "toks")
+        .select(
+            "doc_id",
+            "k",
+            F.xxhash64(F.array_join(F.slice("toks", F.col("k") * _PARA_W + 1, _PARA_W), " ")).alias("h"),
+        )
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "k")
+    ranked = paras.select("doc_id", (F.row_number().over(w) == 1).cast("int").alias("kept"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        round_half_up(F.sum("kept") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("kept_frac"),
+    )

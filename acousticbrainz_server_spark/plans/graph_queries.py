@@ -256,3 +256,105 @@ def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dist = dist.union(frontier).localCheckpoint(eager=False)
     return dist
+
+
+# --------------------------------------------------------------------------------------
+# GRAPH — link prediction: Adamic-Adar over the support-pruned co-purchase graph
+# --------------------------------------------------------------------------------------
+_LP_MIN_SUPPORT = 2  # an edge must be co-purchased in >= 2 baskets
+_LP_TOP = 50
+
+
+@query(
+    "link_prediction_adamic_adar",
+    family="GRAPH,STAT",
+    doc=f"Top-{_LP_TOP} predicted links by Adamic-Adar score (Adamic & Adar "
+    "2003): for part pairs at distance 2 in the support-pruned co-purchase "
+    f"graph (edges co-purchased in >= {_LP_MIN_SUPPORT} baskets), score = "
+    "sum over common neighbors z of 1/ln(deg(z)), existing edges excluded "
+    "by an anti join.  Scale shape: support pruning bounds the wedge "
+    "fan-out before candidate generation (the same hub-noise cut every "
+    "production link-predictor applies); wedges join adjacency on the "
+    "center node, degrees attach there too, and the candidate aggregate "
+    "shuffles (u, v) once.",
+    oracle=f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_SUPPORT}
+        ),
+        adj AS (SELECT u AS node, v AS nb FROM edges UNION ALL SELECT v, u FROM edges),
+        deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+        wedges AS (
+          SELECT a.nb AS x, b.nb AS y, a.node AS z
+          FROM adj a JOIN adj b ON a.node = b.node AND a.nb < b.nb
+        ),
+        cand AS (
+          SELECT w.x, w.y,
+                 sum(1.0 / ln(d.d)) AS aa,
+                 count(*) AS n_common
+          FROM wedges w
+          JOIN deg d ON d.node = w.z
+          LEFT JOIN edges e ON e.u = w.x AND e.v = w.y
+          WHERE e.u IS NULL AND d.d >= 2
+          GROUP BY w.x, w.y
+        )
+        SELECT x AS part_u, y AS part_v, CAST(n_common AS BIGINT) AS n_common,
+               floor(aa * 10000 + 0.5) / 10000 AS aa_score
+        FROM cand
+        ORDER BY floor(aa * 10000 + 0.5) / 10000 DESC, part_u, part_v
+        LIMIT {_LP_TOP}
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("it")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(it, (x, i) -> "
+                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.u", "p.v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _LP_MIN_SUPPORT)
+        .drop("c")
+        # the pruned edge relation feeds adjacency twice, degrees, wedges and
+        # the anti join — materialize once (a few thousand rows at any sf)
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nb")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    wedges = (
+        adj.alias("a")
+        .join(adj.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.nb") < F.col("b.nb"))
+        .select(F.col("a.nb").alias("x"), F.col("b.nb").alias("y"), F.col("a.node").alias("z"))
+    )
+    cand = (
+        wedges.join(deg.filter(F.col("d") >= 2), wedges.z == deg.node)
+        .join(edges, (wedges.x == edges.u) & (wedges.y == edges.v), "left_anti")
+        .groupBy("x", "y")
+        .agg(
+            (F.sum(F.lit(1.0) / F.log(F.col("d")))).alias("aa"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    return (
+        cand.select(
+            F.col("x").alias("part_u"),
+            F.col("y").alias("part_v"),
+            F.col("n_common").cast("long").alias("n_common"),
+            round_half_up(F.col("aa"), 4).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "part_u", "part_v")
+        .limit(_LP_TOP)
+    )

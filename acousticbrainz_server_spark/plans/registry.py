@@ -151,6 +151,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "large_order_customers",
     "dormant_rich_customers",
     "slow_fulfillment_suppliers",
+    "paragraph_dedup",
+    "ab_welch_ttest",
+    "link_prediction_adamic_adar",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
