@@ -2321,3 +2321,50 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up((mcb - mca) / F.sqrt(se2), 4).alias("t_welch"),
         round_half_up(df_w, 2).alias("df_welch"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# SEMI — Spark-4 VARIANT ingestion of semi-structured properties
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "variant_props_rollup",
+    family="P1,P2,SEMI",
+    doc="Semi-structured rollup through Spark 4's native VARIANT type: "
+    "parse_json shreds the props payload once into the binary variant "
+    "encoding, try_variant_get extracts typed paths NULL-safe (a missing "
+    "or mistyped path degrades to NULL, never an error), and the rollup "
+    "aggregates per event type.  VARIANT is the engine's schema-on-read "
+    "path for payloads whose shape drifts — unlike get_json_object "
+    "(json_path_projection) the parse happens ONCE per row regardless of "
+    "how many paths are read, and parquet writes shred it columnar.  "
+    "Averages derive from exact integer sums so both engines compute "
+    "identical doubles.",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               floor(CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+                     / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) * 10000 + 0.5) / 10000 AS avg_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "int")
+    typed = ev.select("event_type", k.alias("k"))
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        round_half_up(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )

@@ -154,6 +154,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "paragraph_dedup",
     "ab_welch_ttest",
     "link_prediction_adamic_adar",
+    "variant_props_rollup",
+    "recursive_cte_reachability",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
