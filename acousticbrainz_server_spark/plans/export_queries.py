@@ -597,3 +597,51 @@ def dump_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.count_distinct("o_custkey").alias("n_cust"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Format surface — XML encode/decode roundtrip (Spark 4 native to_xml/from_xml)
+# --------------------------------------------------------------------------------------
+@query(
+    "xml_roundtrip",
+    family="S4,S8,FMT",
+    doc="XML export/import parity through Spark's native XML codec: each "
+    "order row serializes to an XML fragment (to_xml over a typed struct), "
+    "parses back with an explicit schema (from_xml), and the rollup runs "
+    "on the ROUNDTRIPPED values — a hash match certifies encode->decode "
+    "identity, the same contract the TSV/JSON dump roundtrips gate.  "
+    "Prices transit as integer cents (floats in text formats re-parse "
+    "exactly only when decimal-stringified).  Oracle aggregates the raw "
+    "table directly: the roundtrip must be invisible.  Scale: both codecs "
+    "are row-local scan-side expressions — no shuffle beyond the rollup.",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    xml = o.select(F.to_xml(F.struct("o_orderkey", "o_orderpriority", "cents")).alias("x"))
+    back = xml.select(
+        F.from_xml("x", "o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT").alias("r")
+    ).select("r.*")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -156,6 +156,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "link_prediction_adamic_adar",
     "variant_props_rollup",
     "recursive_cte_reachability",
+    "xml_roundtrip",
+    "python_udtf_chunk_profile",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --

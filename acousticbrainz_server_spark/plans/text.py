@@ -754,3 +754,66 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("n_inter") * F.lit(1.0) / F.col("n_a"), 4).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# UDF surface — Python UDTF (table function) chunk profiler via LATERAL join
+# --------------------------------------------------------------------------------------
+_UDTF_CHUNK_W = 20
+
+
+@query(
+    "python_udtf_chunk_profile",
+    family="TXT,UDF",
+    doc="Python user-defined TABLE function surface (Spark 4 @udtf + "
+    f"LATERAL): a row-to-rows chunker emits ({_UDTF_CHUNK_W}-token chunk "
+    "index, token count, distinct-token count) per document; the rollup "
+    "reports per-doc chunk counts and vocabulary-density totals.  This is "
+    "the UDTF twin of the native document_chunks plan — the contract row "
+    "for pipelines whose expansion logic lives in Python libraries; the "
+    "native column-expression route remains the scale path (SCALE.md: "
+    "UDFs are the slow path).  Scale shape: the UDTF is row-local "
+    "(arrow-batched, no state across rows), so it pipelines inside the "
+    "scan stage; the only shuffle is the per-doc rollup.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+        ),
+        chunk AS (
+          SELECT doc_id,
+                 toks[CAST({_UDTF_CHUNK_W} * k + 1 AS INTEGER):CAST({_UDTF_CHUNK_W} * k + {_UDTF_CHUNK_W} AS INTEGER)] AS c
+          FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_UDTF_CHUNK_W}.0) AS BIGINT))) AS k
+            FROM tok
+          )
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(len(c)) AS BIGINT) AS n_tokens,
+               CAST(sum(len(list_distinct(c))) AS BIGINT) AS n_distinct_sum
+        FROM chunk GROUP BY doc_id
+    """,
+)
+def python_udtf_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    w = _UDTF_CHUNK_W
+
+    @udtf(returnType="chunk_idx INT, n_tokens INT, n_distinct INT")
+    class ChunkProfiler:
+        def eval(self, text: str):
+            toks = text.strip().split()
+            for i in range(0, len(toks), w):
+                c = toks[i : i + w]
+                yield i // w, len(c), len(set(c))
+
+    spark.udtf.register("_chunk_profiler", ChunkProfiler)
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
+    d.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
+    ch = spark.sql("SELECT doc_id, c.* FROM _udtf_docs, LATERAL _chunk_profiler(text) c")
+    return ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_distinct").cast("long").alias("n_distinct_sum"),
+    )
