@@ -25,6 +25,9 @@ PICKS = {
     "prefix_filter_jaccard": "inverted index + df in ONE exchange; PPJoin length/positional filters inside the candidate join",
     "degree_distribution": "no lineitem self-join — basket groupBy, native in-basket pair-gen, scalar-int shuffles after",
     "containment_neardup": "narrow arrays_zip shingle build (zero shuffles); a/b sides share one exchange on s",
+    "pmi_copurchase": "basket relation checkpointed once for its three consumers; marginals attach via AQE-sized shuffle joins",
+    "recursive_cte_reachability": "UnionLoop recursion over a once-materialized adjacency — iteration inside Catalyst",
+    "paragraph_dedup": "narrow paragraph build; ONE shuffle on the 8-byte paragraph hash",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
