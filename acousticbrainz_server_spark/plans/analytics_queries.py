@@ -2368,3 +2368,53 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# DQ — Benford first-digit profile of order totals
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "benford_digit_profile",
+    family="DQ,STAT",
+    doc="Benford's-law first-digit screen over order totals — the standard "
+    "fabricated-data / unit-mixup detector in data-quality suites: per "
+    "leading digit, observed count and frequency against the Benford "
+    "expectation log10(1 + 1/d), with the squared-deviation contribution. "
+    "One aggregate over a scan-side digit expression; frequencies derive "
+    "from exact integer counts.  Digits come from floor()ed integers on "
+    "both engines (DuckDB CAST rounds where Spark truncates).",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               floor(CAST(n AS DOUBLE) / total * 100000 + 0.5) / 100000 AS obs_freq,
+               floor(log10(1 + 1.0 / digit) * 100000 + 0.5) / 100000 AS benford_freq,
+               floor(pow(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit), 2)
+                     / log10(1 + 1.0 / digit) * 1000000 + 0.5) / 1000000 AS chi_contrib
+        FROM c CROSS JOIN t
+    """,
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1 + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        round_half_up(obs, 5).alias("obs_freq"),
+        round_half_up(exp, 5).alias("benford_freq"),
+        round_half_up(F.pow(obs - exp, 2) / exp, 6).alias("chi_contrib"),
+    )

@@ -158,6 +158,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "recursive_cte_reachability",
     "xml_roundtrip",
     "python_udtf_chunk_profile",
+    "kcore_peeling",
+    "benford_digit_profile",
+    "fuzzy_name_match_report",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --

@@ -1860,3 +1860,79 @@ def slow_fulfillment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_waiting_orders"), "s_name")
         .limit(_SLOW_TOP)
     )
+
+
+# --------------------------------------------------------------------------------------
+# J1/DEDUP — blocked fuzzy-match diagnostics (entity resolution over part names)
+# --------------------------------------------------------------------------------------
+_FUZZY_LEV = 2
+
+
+@query(
+    "fuzzy_name_match_report",
+    family="J1,DEDUP,DQ",
+    doc="Entity-resolution blocking diagnostics: candidate part pairs block "
+    "on (brand, size), a LOSSLESS length-band prefilter drops pairs whose "
+    f"name lengths differ by > {_FUZZY_LEV} (edit distance >= length gap), "
+    f"and survivors verify with levenshtein <= {_FUZZY_LEV}.  The per-brand "
+    "report (blocked / length-band / matched counts) is the funnel every "
+    "blocking-strategy tuning loop reads.  Scale shape: the self-join "
+    "shuffles on the block key — never all-pairs; the length filter is a "
+    "join predicate, so the quadratic-ish edit distance runs only inside "
+    "band survivors.",
+    oracle=f"""
+        WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part),
+        cand AS (
+          SELECT a.p_brand,
+                 abs(len(a.p_name) - len(b.p_name)) <= {_FUZZY_LEV} AS in_band,
+                 CASE WHEN abs(len(a.p_name) - len(b.p_name)) <= {_FUZZY_LEV}
+                      THEN levenshtein(a.p_name, b.p_name) <= {_FUZZY_LEV}
+                      ELSE FALSE END AS matched
+          FROM p a JOIN p b
+            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+        )
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_blocked,
+               CAST(sum(CASE WHEN in_band THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+               CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        FROM cand GROUP BY p_brand
+    """,
+)
+def fuzzy_name_match_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    cand = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "brand",
+            (F.abs(F.length("name_a") - F.length("name_b")) <= _FUZZY_LEV).alias("in_band"),
+            "name_a",
+            "name_b",
+        )
+        .select(
+            "brand",
+            "in_band",
+            # levenshtein only evaluates inside the length band
+            F.when(
+                F.col("in_band"), F.levenshtein("name_a", "name_b") <= _FUZZY_LEV
+            ).otherwise(F.lit(False)).alias("matched"),
+        )
+    )
+    return cand.groupBy(F.col("brand").alias("p_brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocked"),
+        F.sum(F.col("in_band").cast("int")).cast("long").alias("n_band"),
+        F.sum(F.col("matched").cast("int")).cast("long").alias("n_matched"),
+    )
