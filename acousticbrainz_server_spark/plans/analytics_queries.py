@@ -2418,3 +2418,50 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(exp, 5).alias("benford_freq"),
         round_half_up(F.pow(obs - exp, 2) / exp, 6).alias("chi_contrib"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# FMT — metrics-matrix orientation flip (Spark 4 df.transpose)
+# --------------------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "transpose_metrics_matrix",
+    family="FMT,A2",
+    doc="Report-orientation flip through Spark 4's native df.transpose: the "
+    "per-event-type metric rollup (rows = types, columns = metrics) flips "
+    "to rows = metrics, columns = types — the dashboard-facing matrix "
+    "shape.  Metrics round BEFORE the flip so both engines transpose "
+    "identical doubles.  Scale: transpose collects the frame — valid only "
+    "on aggregate-sized relations (rows = distinct event types); wide "
+    "facts stay in the unpivot/pivot plans.",
+    oracle=f"""
+        WITH m AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n_events,
+                 floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
+                 CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+          FROM events GROUP BY event_type
+        )
+        SELECT 'avg_value' AS key,
+               {', '.join(f"max(CASE WHEN event_type = '{t}' THEN avg_value END) AS {t}" for t in _EVENT_TYPES)}
+        FROM m
+        UNION ALL
+        SELECT 'n_events',
+               {', '.join(f"max(CASE WHEN event_type = '{t}' THEN n_events END)" for t in _EVENT_TYPES)}
+        FROM m
+        UNION ALL
+        SELECT 'n_users',
+               {', '.join(f"max(CASE WHEN event_type = '{t}' THEN n_users END)" for t in _EVENT_TYPES)}
+        FROM m
+    """,
+)
+def transpose_metrics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        round_half_up(F.avg("value"), 4).alias("avg_value"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return m.transpose("event_type")

@@ -161,6 +161,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "kcore_peeling",
     "benford_digit_profile",
     "fuzzy_name_match_report",
+    "transpose_metrics_matrix",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
