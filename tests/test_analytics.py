@@ -852,7 +852,9 @@ def test_registry_hygiene(spark):
             continue
         # FROM/JOIN targets must be driver tables, CTE names, or
         # read_parquet fixtures
-        ctes = set(re.findall(r"(\w+)\s*(?:\([\w, ]*\))?\s+AS\s*\(", spec.oracle, re.I))
+        ctes = set(
+            re.findall(r"(\w+)\s*(?:\([\w, ]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(", spec.oracle, re.I)
+        )
         targets = re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_][\w.]*)", spec.oracle)
         for t in targets:
             base = t.split(".")[0].lower()
