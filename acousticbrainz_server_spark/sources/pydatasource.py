@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -99,6 +100,41 @@ class SynthEventsDataSource(DataSource):
 
     def reader(self, schema) -> SynthEventsReader:
         return SynthEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(self.options)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the same deterministic row formula
+    served as an offset-tracked micro-batch feed (Spark 4
+    ``SimpleDataSourceStreamReader``).
+
+    Offsets are the row index — ``initialOffset`` starts at 0, each
+    ``read(start)`` serves up to ``batch`` rows and advances the offset, and
+    ``readBetweenOffsets`` replays any committed range EXACTLY (rows are a
+    pure function of the index), which is what makes checkpoint recovery
+    deterministic: a restarted query re-reads the uncommitted tail and gets
+    byte-identical rows.  ``n`` caps the feed so availableNow terminates.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10000))
+        self.batch = int(options.get("batch", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = int(start["idx"])
+        hi = min(lo + self.batch, self.n)
+        # a LIST ITERATOR, specifically: the prefetch wrapper calls next()
+        # on it (so a bare list fails) AND copy.copy()s it for cache replay
+        # (so a generator fails — generators don't pickle)
+        return iter([synth_row(i) for i in range(lo, hi)]), {"idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([synth_row(i) for i in range(int(start["idx"]), int(end["idx"]))])
 
 
 def register_synth_source(spark) -> None:

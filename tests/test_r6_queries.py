@@ -237,3 +237,66 @@ def test_udtf_chunk_profile_matches_native_chunker(spark):
         assert row.n_chunks == len(chunks)
         assert row.n_tokens == sum(len(c) for c in chunks)
         assert row.n_distinct_sum == sum(len(set(c)) for c in chunks)
+
+
+def _run_stream_until(spark, n_cap, batch, out, ckpt, n_expected, timeout=90):
+    """Run the synth stream with rapid micro-batches until the parquet sink
+    holds n_expected rows, then stop.  (availableNow snapshots only the
+    FIRST prefetched batch for SimpleDataSourceStreamReader, so bounded
+    tests drive the micro-batch loop explicitly.)"""
+    import time as _time
+
+    q = (
+        spark.readStream.format("synthevents")
+        .option("n", n_cap)
+        .option("batch", batch)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= n_expected:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
+def test_python_datasource_stream_reader_micro_batches(spark, tmp_path):
+    """The streaming twin of the synth source feeds offset-tracked
+    micro-batches and lands EXACTLY the batch reader's rows."""
+    from acousticbrainz_server_spark.sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream_until(spark, 2500, 400, out, ckpt, 2500)
+    got = spark.read.parquet(out)
+    want = spark.read.format("synthevents").option("n", 2500).load()
+    assert got.count() == 2500
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_python_datasource_stream_resume_no_duplicates(spark, tmp_path):
+    """Restarting from the checkpoint continues at the committed offset:
+    two runs against a GROWING cap produce each row exactly once."""
+    from acousticbrainz_server_spark.sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    out = str(tmp_path / "stream_out2")
+    ckpt = str(tmp_path / "ckpt2")
+    _run_stream_until(spark, 1000, 300, out, ckpt, 1000)
+    # the feed grew; the resumed query must emit ONLY rows 1000..1799
+    _run_stream_until(spark, 1800, 300, out, ckpt, 1800)
+    got = spark.read.parquet(out)
+    assert got.count() == 1800
+    assert got.select("event_id").distinct().count() == 1800
