@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import round_half_up
 from ..sources.tables import load_events_stream, load_table
 from .registry import query
 
@@ -529,4 +530,82 @@ def streaming_interval_join_left_q(spark: SparkSession, sf_dir: str) -> DataFram
     out = spark.table(_LOJ_SINK)
     return out.filter(
         F.col("click_id").isNotNull() | (F.col("p_ts_us") < F.lit(max_us - 7_200_000_000))
+    )
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 + SRC — the custom Python streaming source under the oracle gate
+# --------------------------------------------------------------------------------------
+_PYSRC_N = 5000
+_PYSRC_BATCH = 1000
+_PYSRC_SINK = "streaming_pysource_sink"
+
+
+@query(
+    "streaming_python_source_rollup",
+    family="§2.11,SRC",
+    doc=f"The custom Python data source's STREAMING face (Spark 4 "
+    "SimpleDataSourceStreamReader) under the value gate: the deterministic "
+    f"{_PYSRC_N}-row feed arrives in offset-tracked {_PYSRC_BATCH}-row "
+    "micro-batches, lands in a memory sink in append mode, and the rollup "
+    "runs over the drained sink.  The oracle reproduces the whole feed "
+    "from range() — certifying offset progression and row content across "
+    "micro-batch boundaries, not just the final aggregate.  The stream "
+    "stops once the sink holds the full feed (the simple-reader prefetch "
+    "wrapper snapshots only one batch under availableNow, so bounded "
+    "completion polls the sink).",
+    oracle=f"""
+        WITH r AS (SELECT unnest(range(0, {_PYSRC_N})) AS i),
+        g AS (
+          SELECT i AS event_id,
+                 (i * 2654435761) % 997 AS user_id,
+                 ['view','click','purchase','signup','error'][CAST((i * 7) % 5 AS INTEGER) + 1] AS event_type,
+                 CAST((i * 1103515245 + 12345) % 2147483648 AS DOUBLE) / 2147483648 AS value
+          FROM r
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(min(event_id) AS BIGINT) AS first_id,
+               CAST(max(event_id) AS BIGINT) AS last_id,
+               floor(sum(value) * 10000 + 0.5) / 10000 AS sum_value
+        FROM g GROUP BY event_type
+    """,
+)
+def streaming_python_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from ..sources.pydatasource import register_synth_source
+
+    register_synth_source(spark)
+    if any(t.name == _PYSRC_SINK for t in spark.catalog.listTables()):
+        spark.catalog.dropTempView(_PYSRC_SINK)
+    with _stream_state_partitions(spark):
+        q = (
+            spark.readStream.format("synthevents")
+            .option("n", _PYSRC_N)
+            .option("batch", _PYSRC_BATCH)
+            .load()
+            .writeStream.format("memory")
+            .queryName(_PYSRC_SINK)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(_PYSRC_SINK).count() >= _PYSRC_N:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+    sink = spark.table(_PYSRC_SINK)
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+        round_half_up(F.sum("value"), 4).alias("sum_value"),
     )
