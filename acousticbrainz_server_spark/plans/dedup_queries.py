@@ -12,6 +12,7 @@ from ..dedup.minhash import minhash_neardup_pairs
 from ..dedup.ngram import ngram_jaccard_pairs
 from ..dedup.simhash import N_BITS, simhash
 from ..functions.scalar import round_half_up, sql_round_half_up
+from ..functions.text import sql_minhash_exprs
 from ..functions.vector import cosine
 from ..sources.tables import load_table
 from .registry import query
@@ -458,3 +459,145 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_sz",
         round_half_up(F.col("inter_sz") / F.col("union_sz"), 6).alias("jaccard"),
     ).distinct()
+
+
+# --------------------------------------------------------------------------------------
+# DEDUP — sketch-quality evaluation: MinHash+LSH precision/recall vs exact Jaccard
+# --------------------------------------------------------------------------------------
+_MH_EVAL_MOD = 3  # evaluation universe: doc_id % 3 == 0 (exact truth stays tractable)
+_MH_EVAL_T = 0.5
+
+
+@query(
+    "minhash_recall_eval",
+    family="DEDUP,EVAL",
+    doc="Index-quality evaluation for the dedup sketch (the ivf_recall_eval "
+    "pattern applied to MinHash): over a 1-in-3 document sample, the exact "
+    f"char-5-gram Jaccard >= {_MH_EVAL_T} pair set is the ground truth, the "
+    "MinHash(8)+LSH(4-band) pipeline's est >= 0.5 candidates are the "
+    "prediction, and the single-row report carries n_true / n_predicted / "
+    "n_hit with precision and recall — the acceptance gate a production "
+    "dedup rollout reads before swapping exact for sketched.  Scale: truth "
+    "computes by inverted-index intersection (never all-pairs) on the "
+    "SAMPLE — exactly how a 100 TB rollout evaluates its sketch on a slice "
+    "it can afford to ground-truth.",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % {_MH_EVAL_MOD} = 0),
+        sh AS (
+          SELECT DISTINCT doc_id AS doc, substr(text, CAST(i AS INTEGER), 5) AS s
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i FROM d)
+        ),
+        sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS ni
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2
+        ),
+        truth AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+          WHERE ni * 1.0 / (sa.n + sb.n - ni) >= {_MH_EVAL_T}
+        ),
+        sig AS (
+          SELECT doc, {", ".join(sql_minhash_exprs("s", 8))} FROM sh GROUP BY doc
+        ),
+        banded AS (
+          {" UNION ALL ".join(
+              "SELECT doc, %d AS band_idx, md5(%s) AS band_hash FROM sig"
+              % (b, " || '|' || ".join(f"CAST(mh{b * 2 + r} AS VARCHAR)" for r in range(2)))
+              for b in range(4)
+          )}
+        ),
+        ok AS (SELECT band_idx, band_hash FROM banded GROUP BY 1, 2 HAVING count(*) <= 1000),
+        bb AS (SELECT banded.* FROM banded JOIN ok USING (band_idx, band_hash)),
+        cand0 AS (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM bb a JOIN bb b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc < b.doc
+        ),
+        cand AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand0 c JOIN sig sa ON sa.doc = c.doc_a JOIN sig sb ON sb.doc = c.doc_b
+          WHERE ({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(8))}) / 8.0 >= 0.5
+        ),
+        hit AS (SELECT count(*) AS n_hit FROM truth JOIN cand USING (doc_a, doc_b)),
+        agg AS (
+          SELECT (SELECT count(*) FROM truth) AS n_true,
+                 (SELECT count(*) FROM cand) AS n_pred,
+                 (SELECT n_hit FROM hit) AS n_hit
+        )
+        SELECT CAST(n_true AS BIGINT) AS n_true,
+               CAST(n_pred AS BIGINT) AS n_pred,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               floor(n_hit * 1.0 / nullif(n_pred, 0) * 10000 + 0.5) / 10000 AS precision,
+               floor(n_hit * 1.0 / nullif(n_true, 0) * 10000 + 0.5) / 10000 AS recall
+        FROM agg
+    """,
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.minhash import minhash_neardup_pairs
+
+    from ..functions.text import repartition_if_narrow
+
+    d = repartition_if_narrow(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % _MH_EVAL_MOD == 0)
+    )
+    # exact truth: distinct char-5-gram shingles, inverted-index intersection;
+    # hashed to longs and materialized ONCE — sizes and both join sides
+    # consume it, and char shingles are ~65x denser than word shingles
+    sh = (
+        d.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(text) - 4, 1)), "
+                        "i -> substring(text, i, 5))"
+                    )
+                )
+            ).alias("s"),
+        )
+        .select("doc", F.xxhash64("s").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    sz = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc").alias("doc_a"), "s")
+    b = sh.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(sz.select(F.col("doc").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sz.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("ni") * F.lit(1.0) / (F.col("na") + F.col("nb") - F.col("ni"))
+            >= _MH_EVAL_T
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = (
+        minhash_neardup_pairs(d, n_hashes=8, n_bands=4, portable=True)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = cand.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_pred))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            round_half_up(
+                F.col("n_hit") * F.lit(1.0) / F.nullif(F.col("n_pred"), F.lit(0)), 4
+            ).alias("precision"),
+            round_half_up(
+                F.col("n_hit") * F.lit(1.0) / F.nullif(F.col("n_true"), F.lit(0)), 4
+            ).alias("recall"),
+        )
+    )

@@ -163,6 +163,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "fuzzy_name_match_report",
     "transpose_metrics_matrix",
     "streaming_python_source_rollup",
+    "minhash_recall_eval",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
