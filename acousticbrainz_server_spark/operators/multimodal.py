@@ -105,3 +105,81 @@ def sample_frames(media: DataFrame, every_s: float = 1.0) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
     ).withColumn("frame_ts", F.col("frame_idx") * F.lit(every_s))
+
+
+# --------------------------------------------------------------------------------------
+# REAL codec: WAV / PCM16 (stdlib struct — no external library needed)
+# --------------------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int) -> bytes:
+    """A real RIFF/WAVE encoder for mono PCM16 (stdlib only): 44-byte
+    canonical header + little-endian int16 frames.  This (and its decoder)
+    upgrade one modality from 'stubbed' to a genuine codec path: the query
+    gate certifies header layout, byte order and sample round-trip."""
+    import struct
+
+    n = len(samples)
+    data = struct.pack(f"<{n}h", *samples)
+    byte_rate = sample_rate * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a mono PCM16 RIFF/WAVE payload back to (sample_rate, samples),
+    validating magic, fmt tag and bit depth — a real decode kernel."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (fmt_size, audio_fmt, n_channels, sample_rate, _br, _ba, bits) = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if fmt_size != 16 or audio_fmt != 1 or n_channels != 1 or bits != 16:
+        raise ValueError("only canonical mono PCM16 supported")
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    n = data_len // 2
+    samples = list(struct.unpack(f"<{n}h", payload[44 : 44 + data_len]))
+    return sample_rate, samples
+
+
+def wav_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel over (media_id, payload): REAL wav decode →
+    (n_samples, sample_rate, rms, n_zero_cross).  Narrow typed features out;
+    the binary never survives past this stage."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                rate, samples = decode_wav_pcm16(bytes(rec["payload"]))
+                n = len(samples)
+                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                zc = sum(
+                    1
+                    for i in range(1, n)
+                    if (samples[i] < 0) != (samples[i - 1] < 0)
+                )
+                rows.append(
+                    {
+                        "media_id": rec["media_id"],
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "rms": rms,
+                        "n_zero_cross": zc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, n_samples int, sample_rate int, rms double, n_zero_cross int"
+    )

@@ -1031,3 +1031,75 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kept").cast("long").alias("n_kept"),
         round_half_up(F.sum("kept") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("kept_frac"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Multimodal — REAL WAV codec round trip (stdlib PCM16 encode -> decode -> features)
+# --------------------------------------------------------------------------------------
+_WAV_IDS = 50
+_WAV_RATE = 8000
+
+
+@query(
+    "wav_decode_features",
+    family="MM,S11",
+    doc=f"A REAL audio codec path for the multimodal surface (no external "
+    "library — canonical RIFF/WAVE PCM16 via stdlib struct): per media id, "
+    "deterministic LCG samples encode into genuine WAV binary (44-byte "
+    "header + int16 frames, Arrow-batched pandas UDF), a mapInPandas "
+    "kernel DECODES the binary back (magic/fmt/bit-depth validated) and "
+    "emits narrow typed features (n_samples, sample_rate, RMS, "
+    "zero-crossings).  The oracle recomputes every feature from the "
+    "closed-form sample formula, so a hash match certifies the whole "
+    "binary round trip: header layout, byte order, sample fidelity, "
+    "feature math.  Scale: payloads never shuffle (generate -> decode "
+    "inside one stage); only the typed features move.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range(0, {_WAV_IDS})) AS media_id),
+        s AS (
+          SELECT media_id, i,
+                 CAST(((media_id * 1103515245 + i * 12345) % 65536) - 32768 AS BIGINT) AS v
+          FROM (SELECT media_id, unnest(range(0, 200 + CAST(media_id % 5 AS INTEGER) * 40)) AS i FROM ids)
+        ),
+        f AS (
+          SELECT media_id,
+                 CAST(count(*) AS INTEGER) AS n_samples,
+                 floor(sqrt(sum(v * v) * 1.0 / count(*)) * 10000 + 0.5) / 10000 AS rms,
+                 CAST(sum(CASE WHEN i > 0 AND ((v < 0) <> (lagv < 0)) THEN 1 ELSE 0 END) AS INTEGER) AS n_zero_cross
+          FROM (SELECT media_id, i, v, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS lagv FROM s)
+          GROUP BY media_id
+        )
+        SELECT media_id, n_samples, {_WAV_RATE} AS sample_rate, rms, n_zero_cross FROM f
+    """,
+)
+def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import encode_wav_pcm16, wav_audio_features
+
+    def _synth(media_id):
+        def build(mid: int) -> bytes:
+            n = 200 + (mid % 5) * 40
+            samples = [((mid * 1103515245 + i * 12345) % 65536) - 32768 for i in range(n)]
+            return encode_wav_pcm16(samples, _WAV_RATE)
+
+        return media_id.map(build)
+
+    # module-level `from __future__ import annotations` stringifies hints,
+    # which pandas_udf cannot resolve — set real annotations explicitly
+    _synth.__annotations__ = {"media_id": pd.Series, "return": pd.Series}
+    synth_wav = pandas_udf(_synth, T.BinaryType())
+
+    media = spark.range(_WAV_IDS).select(
+        F.col("id").alias("media_id"), synth_wav(F.col("id")).alias("payload")
+    )
+    feats = wav_audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        round_half_up(F.col("rms"), 4).alias("rms"),
+        "n_zero_cross",
+    )

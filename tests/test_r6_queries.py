@@ -300,3 +300,28 @@ def test_python_datasource_stream_resume_no_duplicates(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 1800
     assert got.select("event_id").distinct().count() == 1800
+
+
+def test_wav_codec_roundtrip_and_validation():
+    """The real stdlib WAV codec: exact sample fidelity both directions,
+    and malformed payloads are rejected, not misparsed."""
+    import pytest as _pytest
+
+    from acousticbrainz_server_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 12345, -12345]
+    payload = encode_wav_pcm16(samples, 44100)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    rate, back = decode_wav_pcm16(payload)
+    assert rate == 44100 and back == samples
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(b"JUNK" + payload[4:])
+    with _pytest.raises(ValueError):
+        # stereo header must be rejected, not silently mono-parsed
+        import struct
+        bad = bytearray(payload)
+        bad[22:24] = struct.pack("<H", 2)
+        decode_wav_pcm16(bytes(bad))
