@@ -2,10 +2,12 @@
 
 Images / audio / video ride as opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched ``mapInPandas`` kernels.  The actual codec libraries (PIL,
-ffmpeg, torchaudio) are NOT in this container, so the decode kernels are
-STUBBED: ``decode_image``/``decode_audio`` raise NotImplementedError stating
-the contract, and ``fake_decode_image``/``fake_decode_audio`` are
+Arrow-batched ``mapInPandas`` kernels.  Container formats with stdlib-
+parseable layouts get REAL codecs — WAV/PCM16 (``decode_wav_pcm16``) and
+netpbm PGM (``decode_pgm``) below, both oracle-gated end-to-end.  Formats
+whose codec libraries (PIL, ffmpeg, torchaudio) are NOT in this container
+stay STUBBED: ``decode_image``/``decode_audio`` raise NotImplementedError
+stating the contract, and ``fake_decode_image``/``fake_decode_audio`` are
 deterministic stand-ins (payload-hash-derived pixels/samples) so the Spark
 plumbing — schemas, batch shapes, partition behavior — is real and tested.
 
@@ -182,4 +184,77 @@ def wav_audio_features(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, n_samples int, sample_rate int, rms double, n_zero_cross int"
+    )
+
+
+# --------------------------------------------------------------------------------------
+# REAL codec: PGM / netpbm P5 grayscale (stdlib only) — the image twin of the
+# WAV path: header parse, raster decode, typed features out.
+# --------------------------------------------------------------------------------------
+
+
+def encode_pgm(pixels: list[int], width: int, height: int) -> bytes:
+    """Binary netpbm P5 grayscale: 'P5\\n<w> <h>\\n255\\n' + raster bytes."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    return f"P5\n{width} {height}\n255\n".encode("ascii") + bytes(pixels)
+
+
+def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
+    """Parse a binary PGM back to (width, height, raster), validating the
+    magic, maxval and raster length."""
+    if payload[:3] != b"P5\n":
+        raise ValueError("not a binary PGM payload")
+    rest = payload[3:]
+    nl = rest.index(b"\n")
+    w, h = (int(x) for x in rest[:nl].split())
+    rest = rest[nl + 1 :]
+    nl = rest.index(b"\n")
+    if rest[:nl] != b"255":
+        raise ValueError("only maxval 255 supported")
+    raster = rest[nl + 1 :]
+    if len(raster) != w * h:
+        raise ValueError("raster length != width*height")
+    return w, h, raster
+
+
+def pgm_image_features(media: DataFrame) -> DataFrame:
+    """mapInPandas kernel: REAL PGM decode → (width, height, mean_luma,
+    ahash) where ahash is the 64-bit average-hash over the 8x8 block means —
+    the classic perceptual near-dup key for image corpora."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                w, h, raster = decode_pgm(bytes(rec["payload"]))
+                n = w * h
+                mean = sum(raster) / n if n else 0.0
+                # 8x8 average hash: block means vs global mean, row-major bits
+                bw, bh = max(w // 8, 1), max(h // 8, 1)
+                bits = 0
+                for by in range(8):
+                    for bx in range(8):
+                        acc = 0
+                        cnt = 0
+                        for y in range(by * bh, min((by + 1) * bh, h)):
+                            row0 = y * w
+                            for x in range(bx * bw, min((bx + 1) * bw, w)):
+                                acc += raster[row0 + x]
+                                cnt += 1
+                        if cnt and acc / cnt > mean:
+                            bits |= 1 << (by * 8 + bx)
+                rows.append(
+                    {
+                        "media_id": rec["media_id"],
+                        "width": w,
+                        "height": h,
+                        "mean_luma": mean,
+                        "ahash": bits - (1 << 64) if bits >= (1 << 63) else bits,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema="media_id long, width int, height int, mean_luma double, ahash long"
     )

@@ -1103,3 +1103,85 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("rms"), 4).alias("rms"),
         "n_zero_cross",
     )
+
+
+# --------------------------------------------------------------------------------------
+# Multimodal — REAL PGM image codec round trip (encode -> decode -> ahash features)
+# --------------------------------------------------------------------------------------
+_PGM_IDS = 50
+_PGM_W = 16
+_PGM_H = 16
+
+
+@query(
+    "pgm_decode_features",
+    family="MM,S11",
+    doc="The image twin of wav_decode_features — a REAL netpbm P5 codec "
+    f"(stdlib only): {_PGM_W}x{_PGM_H} LCG rasters encode into genuine "
+    "binary PGM (ASCII header + raster bytes, pandas UDF), a mapInPandas "
+    "kernel decodes them back (magic/maxval/length validated) and emits "
+    "width, height, mean luma and the 64-bit 8x8 average-hash — the "
+    "classic perceptual near-dup key for image corpora.  The oracle "
+    "recomputes the raster, the block means and the hash bits from the "
+    "closed-form pixel formula (HUGEINT shifts, then two's-complement "
+    "fold to signed BIGINT), so the hash match certifies header layout, "
+    "raster order, and every ahash bit.",
+    oracle=f"""
+        WITH ids AS (SELECT unnest(range(0, {_PGM_IDS})) AS media_id),
+        px AS (
+          SELECT media_id, i,
+                 CAST((media_id * 131 + i * 31) % 256 AS BIGINT) AS p,
+                 CAST(i % {_PGM_W} AS BIGINT) // {_PGM_W // 8} AS bx,
+                 CAST(i // {_PGM_W} AS BIGINT) // {_PGM_H // 8} AS by
+          FROM (SELECT media_id, unnest(range(0, {_PGM_W * _PGM_H})) AS i FROM ids)
+        ),
+        g AS (SELECT media_id, sum(p) * 1.0 / count(*) AS gmean FROM px GROUP BY media_id),
+        blocks AS (
+          SELECT media_id, by, bx, sum(p) * 1.0 / count(*) AS bmean
+          FROM px GROUP BY media_id, by, bx
+        ),
+        h AS (
+          SELECT b.media_id,
+                 sum(CASE WHEN b.bmean > g.gmean
+                          THEN CAST(1 AS HUGEINT) << CAST(b.by * 8 + b.bx AS INTEGER)
+                          ELSE CAST(0 AS HUGEINT) END) AS uhash
+          FROM blocks b JOIN g ON g.media_id = b.media_id
+          GROUP BY b.media_id
+        )
+        SELECT h.media_id,
+               {_PGM_W} AS width, {_PGM_H} AS height,
+               floor(g.gmean * 10000 + 0.5) / 10000 AS mean_luma,
+               CAST(h.uhash - CASE WHEN h.uhash >= CAST(1 AS HUGEINT) << 63
+                                   THEN CAST(1 AS HUGEINT) << 64
+                                   ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ahash
+        FROM h JOIN g ON g.media_id = h.media_id
+    """,
+)
+def pgm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from ..operators.multimodal import encode_pgm, pgm_image_features
+
+    def _synth(media_id):
+        def build(mid: int) -> bytes:
+            pixels = [(mid * 131 + i * 31) % 256 for i in range(_PGM_W * _PGM_H)]
+            return encode_pgm(pixels, _PGM_W, _PGM_H)
+
+        return media_id.map(build)
+
+    _synth.__annotations__ = {"media_id": pd.Series, "return": pd.Series}
+    synth_pgm = pandas_udf(_synth, T.BinaryType())
+
+    media = spark.range(_PGM_IDS).select(
+        F.col("id").alias("media_id"), synth_pgm(F.col("id")).alias("payload")
+    )
+    feats = pgm_image_features(media)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        round_half_up(F.col("mean_luma"), 4).alias("mean_luma"),
+        "ahash",
+    )

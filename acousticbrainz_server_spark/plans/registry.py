@@ -165,6 +165,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_python_source_rollup",
     "minhash_recall_eval",
     "wav_decode_features",
+    "pgm_decode_features",
     "simhash_fingerprint",
     "simhash_neardup",
     # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --

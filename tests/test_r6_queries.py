@@ -325,3 +325,20 @@ def test_wav_codec_roundtrip_and_validation():
         bad = bytearray(payload)
         bad[22:24] = struct.pack("<H", 2)
         decode_wav_pcm16(bytes(bad))
+
+
+def test_pgm_codec_roundtrip_and_validation():
+    import pytest as _pytest
+
+    from acousticbrainz_server_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    pixels = list(range(256)) * 1
+    payload = encode_pgm(pixels, 16, 16)
+    w, h, raster = decode_pgm(payload)
+    assert (w, h) == (16, 16) and list(raster) == pixels
+    with _pytest.raises(ValueError):
+        decode_pgm(b"P6\n" + payload[3:])
+    with _pytest.raises(ValueError):
+        decode_pgm(payload[:-1])  # truncated raster
+    with _pytest.raises(ValueError):
+        encode_pgm(pixels, 16, 15)
