@@ -159,18 +159,19 @@ def wav_audio_features(media: DataFrame) -> DataFrame:
     the binary never survives past this stage."""
     import math
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
                 rate, samples = decode_wav_pcm16(bytes(rec["payload"]))
-                n = len(samples)
-                rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
-                zc = sum(
-                    1
-                    for i in range(1, n)
-                    if (samples[i] < 0) != (samples[i - 1] < 0)
-                )
+                # vectorized feature math (sums on int64 stay exact)
+                a = np.asarray(samples, dtype=np.int64)
+                n = len(a)
+                rms = math.sqrt(float((a * a).sum()) / n) if n else 0.0
+                neg = a < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
                 rows.append(
                     {
                         "media_id": rec["media_id"],
@@ -223,26 +224,26 @@ def pgm_image_features(media: DataFrame) -> DataFrame:
     ahash) where ahash is the 64-bit average-hash over the 8x8 block means —
     the classic perceptual near-dup key for image corpora."""
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
                 w, h, raster = decode_pgm(bytes(rec["payload"]))
                 n = w * h
-                mean = sum(raster) / n if n else 0.0
-                # 8x8 average hash: block means vs global mean, row-major bits
+                img = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(h, w)
+                mean = float(img.sum()) / n if n else 0.0
+                # 8x8 average hash, vectorized: exact integer block sums vs
+                # the global mean (a/cnt > mean compares the same IEEE
+                # ratios the per-pixel loop did), row-major bit order
                 bw, bh = max(w // 8, 1), max(h // 8, 1)
                 bits = 0
                 for by in range(8):
+                    ys = slice(by * bh, min((by + 1) * bh, h))
                     for bx in range(8):
-                        acc = 0
-                        cnt = 0
-                        for y in range(by * bh, min((by + 1) * bh, h)):
-                            row0 = y * w
-                            for x in range(bx * bw, min((bx + 1) * bw, w)):
-                                acc += raster[row0 + x]
-                                cnt += 1
-                        if cnt and acc / cnt > mean:
+                        block = img[ys, bx * bw : min((bx + 1) * bw, w)]
+                        if block.size and float(block.sum()) / block.size > mean:
                             bits |= 1 << (by * 8 + bx)
                 rows.append(
                     {

@@ -597,7 +597,7 @@ def streaming_python_source_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             while time.time() < deadline:
                 if spark.table(_PYSRC_SINK).count() >= _PYSRC_N:
                     break
-                time.sleep(0.3)
+                time.sleep(0.1)
         finally:
             q.stop()
             q.awaitTermination(60)
