@@ -113,17 +113,37 @@ def test_adamic_adar_bruteforce_small_graph(spark):
         assert abs(aa - r.aa_score) < 5e-4
 
 
-def test_kcore_monotone_and_core_property(spark):
-    """Survivor counts never grow, and after the last reported round every
-    surviving node keeps degree >= k in the surviving edge set (checked on
-    the round-3 output by recomputing one more peel: a fixpoint means the
-    bounded rounds converged at this scale)."""
+def test_kcore_monotone_and_matches_bruteforce(spark):
+    """Survivor counts never grow, and every round's (n_nodes, n_edges)
+    equals a brute-force python peel of the same pruned graph."""
     res = _run("kcore_peeling", spark).sort_values("round")
     nodes = res.n_nodes.tolist()
-    edges = res.n_edges.tolist()
+    edges_counts = res.n_edges.tolist()
     assert nodes == sorted(nodes, reverse=True)
-    assert edges == sorted(edges, reverse=True)
-    assert edges[-1] <= edges[0]
+    assert edges_counts == sorted(edges_counts, reverse=True)
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    op = li.distinct().toPandas()
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for ok, pk in op.itertuples(index=False):
+        baskets[ok].add(pk)
+    cnt = defaultdict(int)
+    for items in baskets.values():
+        s = sorted(items)
+        for i, x in enumerate(s):
+            for y in s[i + 1 :]:
+                cnt[(x, y)] += 1
+    e = {pair for pair, c in cnt.items() if c >= 2}
+    for rnd in range(3):
+        deg = defaultdict(int)
+        for u, v in e:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        e = {(u, v) for u, v in e if u in keep and v in keep}
+        assert (nodes[rnd], edges_counts[rnd]) == (len(keep), len(e)), f"round {rnd + 1}"
 
 
 def test_recursive_cte_min_hops_match_bfs(spark):
