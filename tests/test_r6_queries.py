@@ -47,7 +47,7 @@ def test_welch_matches_direct_recompute(spark):
     df = se2**2 / ((va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1))
     row = _run("ab_welch_ttest", spark).iloc[0]
     assert row.n_a == len(a) and row.n_b == len(b)
-    assert abs(row.t_welch - t / 1) < 5e-4 or abs(row.t_welch - t) < 5e-4
+    assert abs(row.t_welch - t) < 5e-4
     assert abs(row.df_welch - df) < 5e-2
     assert abs(row.mean_a - ma / 100) < 5e-4 and abs(row.mean_b - mb / 100) < 5e-4
 
