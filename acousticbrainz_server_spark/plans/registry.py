@@ -68,85 +68,27 @@ def _load_all() -> None:
 # entries observed every round so far), so exposure order is a coverage
 # decision, not cosmetics.  History: r1-r2 verified the relational/vector
 # core; r3 the extension set; r4 the r3 reds + new sketch/streaming/layout
-# queries + a 32-query r2 re-check; r5 the export/ingest surface + the
-# session-1 rewrites + 43 never-checked extension queries (50/50 green).
-# Names absent from this list keep registration order after it; names
-# listed but not registered are ignored.
+# queries + a 32-query r2 re-check; r5 the export/ingest surface +
+# 43 never-checked extension queries; r6 the 47 session-2
+# graph/experimentation/OLAP additions + the 3 hashed-shingle rewrites
+# (50/50 green — every registered query now driver-checked at least once
+# EXCEPT the 19 added in r6 session 2/3 and the 2 simhash plans whose r5
+# green the packed-lane rewrite voids).  Names absent from this list keep
+# registration order after it; names listed but not registered are ignored.
 #
-# ROUND-6 WINDOW (the r5 verdict's #1 item, executed): the 47 queries with
-# no driver row across r1-r5 (the session-2 graph/experimentation/OLAP
-# additions + unpivot_wide_metrics + range_frame_revenue), all judge-green
-# in the r5 full gate and re-verified locally this round — four of them
-# (model_auc_mannwhitney, decile_lift_table, abc_analysis,
-# quantile_normalize_source) additionally REWRITTEN this round onto the
-# two-pass rank/cumsum path, and prefix_filter_jaccard + triangle_count
-# touched (short-doc parity fix / packed-key guard).  That fills 47 slots;
-# the last 3 go to this round's other plan rewrites, whose r4/r5 greens a
-# rewrite voids: duplicate_span_report + containment_neardup +
-# benchmark_contamination (shingle keys hashed to longs pre-shuffle).
-# 139 previously-checked + 47 here = all 186 queries driver-checked at
-# least once by end of r6.  r7 should rotate re-checks of the oldest
-# greens (the r2 relational core, then the r3 vector/text tail:
-# knn_exact_topk, knn_postprocess, ann_ivf_topk, ann_lsh_topk,
-# decay_weighted_vector, circle_of_fifths_embedding, probability_vector,
-# token_stats, text_quality, submission_offset, latest_per_group).
+# ROUND-7 WINDOW (the r6 verdict's #1 item): the 21 queries with no valid
+# driver row — 19 new-in-r6 (dump archive, TPC-H Q18/Q21/Q22 shapes,
+# paragraph dedup, Welch t-test, Adamic-Adar, VARIANT, recursive CTE,
+# XML, UDTF, k-core, Benford, fuzzy blocking, transpose, streaming Python
+# source, MinHash recall eval, WAV/PGM codecs) + the 2 rewritten simhash
+# plans.  That fills 21 slots; the remaining 29 rotate re-checks of the
+# oldest greens: the r3-green vector/text tail (3+ rounds without a
+# driver re-check), then the r2 relational core.  After this window every
+# query in the registry has a driver CORRECTNESS row and no rewrite-voided
+# green is outstanding.  Queries REWRITTEN in r7 are queued right after
+# the never-checked block (rewrite voids green).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- round 6 window: the 47 never-driver-checked --
-    "triangle_count",
-    "markov_transitions",
-    "snapshot_diff",
-    "skyline_pareto",
-    "fk_integrity_audit",
-    "audience_overlap",
-    "inverted_index_postings",
-    "prefix_filter_jaccard",
-    "attribution_last_touch",
-    "pmi_copurchase",
-    "quantile_normalize_source",
-    "source_keyness_llr",
-    "label_propagation_communities",
-    "robust_stats_outliers",
-    "ewma_daily_value",
-    "reciprocal_best_match",
-    "session_path_topk",
-    "degree_distribution",
-    "frequent_itemsets_fpgrowth",
-    "bfs_shortest_paths",
-    "class_centroids",
-    "python_datasource_scan",
-    "set_ops_audience",
-    "global_rank_twopass",
-    "streaming_interval_join_left",
-    "event_analytics_pipeline",
-    "sequence_pattern_match",
-    "numeric_corr_matrix",
-    "schema_evolution_merge",
-    "regression_value_drift",
-    "behavior_bitmap_segments",
-    "arrow_vector_norms",
-    "table_checksum",
-    "grouping_sets_report",
-    "band_join_boundaries",
-    "geomean_grouped_udaf",
-    "sql_udf_revenue",
-    "cuped_adjusted_metric",
-    "categorical_mi_entropy",
-    "decile_lift_table",
-    "kaplan_meier_conversion",
-    "model_auc_mannwhitney",
-    "anomaly_zscore_days",
-    "abc_analysis",
-    "conversion_wilson_ci",
-    "unpivot_wide_metrics",
-    "range_frame_revenue",
-    # -- round 6 re-gates: plans rewritten this round (rewrite voids green) --
-    "duplicate_span_report",
-    "containment_neardup",
-    "benchmark_contamination",
-    # -- r7 window head (positions 51+): oldest greens rotate back in --
-    # new-in-r6 queries (never driver-checked) lead the r7 gate, then the
-    # two simhash plans rewritten onto packed-lane bit counting this round
-    # (rewrite voids their r5 green)
+    # -- round 7 window: the 19 never-driver-checked (new in r6) --
     "dump_archive_roundtrip",
     "large_order_customers",
     "dormant_rich_customers",
@@ -166,13 +108,20 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "minhash_recall_eval",
     "wav_decode_features",
     "pgm_decode_features",
+    # -- r5 greens voided by the r6 packed-lane rewrite --
     "simhash_fingerprint",
     "simhash_neardup",
-    # -- r7 rotation (positions 51+; beyond this round's 50-slot gate) --
-    # oldest greens first: the r3-green vector/text tail has gone 3 rounds
-    # without a driver re-check, then the r2 relational core displaced in
-    # r5, then the r5 window itself ages back in.  Every name below is
-    # green in every local full gate this round.
+    # -- r7 rewrites (this round's plan changes void prior greens) --
+    # (updated in place as r7 sessions land rewrites)
+    "pmi_copurchase",
+    "triangle_count",
+    "prefix_filter_jaccard",
+    "degree_distribution",
+    "containment_neardup",
+    "duplicate_span_report",
+    "benchmark_contamination",
+    # -- rotation: oldest greens age back in (r3 vector/text tail, then
+    #    the r2 relational core) --
     "knn_exact_topk",
     "knn_postprocess",
     "ann_ivf_topk",
