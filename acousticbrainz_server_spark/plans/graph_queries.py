@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
-from ..operators.graph import pagerank
+from ..operators.graph import copurchase_edges, pagerank
 from ..sources.tables import load_table
 from .registry import query
 
@@ -309,22 +309,8 @@ _LP_TOP = 50
 )
 def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("it")
-    )
     edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(it, (x, i) -> "
-                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.u", "p.v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= _LP_MIN_SUPPORT)
-        .drop("c")
+        copurchase_edges(li, min_support=_LP_MIN_SUPPORT)
         # the pruned edge relation feeds adjacency twice, degrees, wedges and
         # the anti join — materialize once (a few thousand rows at any sf)
         .localCheckpoint(eager=False)
@@ -425,22 +411,7 @@ _REACH_ADJ_PRELUDE = """
 )
 def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(it, (x, i) -> "
-                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.u", "p.v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-    )
+    edges = copurchase_edges(li, min_support=2)
     adj = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     adj.localCheckpoint(eager=True).createOrReplaceTempView("_reach_adj")
     return spark.sql(_reach_sql("_reach_adj", "spark"))
@@ -494,23 +465,7 @@ _KCORE_ROUNDS = 3
 )
 def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("it"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(it, (x, i) -> "
-                    "transform(slice(it, i + 2, size(it)), y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.u", "p.v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-        .localCheckpoint(eager=False)
-    )
+    edges = copurchase_edges(li, min_support=2).localCheckpoint(eager=False)
     rows = []
     e = edges
     for rnd in range(1, _KCORE_ROUNDS + 1):

@@ -77,6 +77,43 @@ def _prep_events_session(spark: SparkSession, path: str) -> bool:
     return nanos
 
 
+def parquet_column_max(sf_dir: str, name: str, column: str):
+    """Column max from parquet FOOTER statistics — metadata only, no Spark job.
+
+    The packed-long key guards (triangle_count, degree_distribution) need a
+    global ``max(id) < 2^32`` decision before the plan builds; running it as
+    a Spark aggregate serializes an extra action in front of the main job
+    (measured ~1s at sf0.1 because it materializes the lazy checkpoint
+    chain).  Row-group statistics answer it for the cost of one footer read.
+    At cluster scale this is the catalog/table-stats lookup, or a
+    footer-only scan under parquet aggregate pushdown — metadata either way.
+
+    Returns None when any row group lacks min/max stats; callers must treat
+    that as "not provably packable" and take the safe struct-key path.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    md = pq.ParquetFile(path).metadata
+    idx = next(
+        (
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == column
+        ),
+        None,
+    )
+    if idx is None:
+        return None
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table.
 
