@@ -135,9 +135,10 @@ def encode_wav_pcm16(samples: list[int], sample_rate: int) -> bytes:
     return header + data
 
 
-def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
-    """Parse a mono PCM16 RIFF/WAVE payload back to (sample_rate, samples),
-    validating magic, fmt tag and bit depth — a real decode kernel."""
+def decode_wav_pcm16_header(payload: bytes) -> tuple[int, int]:
+    """Parse and validate a mono PCM16 RIFF/WAVE header, returning
+    (sample_rate, data_len_bytes) without touching the sample data — the
+    batched kernel decodes all rasters in one numpy pass after this."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -148,6 +149,15 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
     if fmt_size != 16 or audio_fmt != 1 or n_channels != 1 or bits != 16:
         raise ValueError("only canonical mono PCM16 supported")
     (data_len,) = struct.unpack("<I", payload[40:44])
+    return sample_rate, data_len
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
+    """Parse a mono PCM16 RIFF/WAVE payload back to (sample_rate, samples),
+    validating magic, fmt tag and bit depth — a real decode kernel."""
+    import struct
+
+    sample_rate, data_len = decode_wav_pcm16_header(payload)
     n = data_len // 2
     samples = list(struct.unpack(f"<{n}h", payload[44 : 44 + data_len]))
     return sample_rate, samples
@@ -157,31 +167,55 @@ def wav_audio_features(media: DataFrame) -> DataFrame:
     """mapInPandas kernel over (media_id, payload): REAL wav decode →
     (n_samples, sample_rate, rms, n_zero_cross).  Narrow typed features out;
     the binary never survives past this stage."""
-    import math
-
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                rate, samples = decode_wav_pcm16(bytes(rec["payload"]))
-                # vectorized feature math (sums on int64 stay exact)
-                a = np.asarray(samples, dtype=np.int64)
-                n = len(a)
-                rms = math.sqrt(float((a * a).sum()) / n) if n else 0.0
-                neg = a < 0
-                zc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
-                rows.append(
-                    {
-                        "media_id": rec["media_id"],
-                        "n_samples": n,
-                        "sample_rate": rate,
-                        "rms": rms,
-                        "n_zero_cross": zc,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            # header parse per record (variable-length payloads), then ALL
+            # feature math over one concatenated sample array with
+            # per-segment reductions — numpy dispatch is O(batch), not
+            # O(records), which is what a real audio corpus needs
+            mids: list[int] = []
+            rates: list[int] = []
+            lens: list[int] = []
+            chunks: list[bytes] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                rate, data_len = decode_wav_pcm16_header(b)
+                mids.append(int(mid))
+                rates.append(rate)
+                lens.append(data_len // 2)
+                chunks.append(b[44 : 44 + data_len])
+            a = np.frombuffer(b"".join(chunks), dtype="<i2").astype(np.int64)
+            ns = np.asarray(lens, dtype=np.int64)
+            offs = np.zeros(len(ns) + 1, dtype=np.int64)
+            np.cumsum(ns, out=offs[1:])
+            sq = np.zeros(a.size + 1, dtype=np.int64)
+            np.cumsum(a * a, out=sq[1:])
+            sumsq = sq[offs[1:]] - sq[offs[:-1]]
+            rms = np.where(
+                ns > 0, np.sqrt(sumsq.astype(np.float64) / np.maximum(ns, 1)), 0.0
+            )
+            # zero crossings: sign flips within each segment only — the
+            # cumulative flip count differenced at segment edges never
+            # counts a cross-record boundary
+            neg = a < 0
+            flips = np.zeros(a.size, dtype=np.int64)
+            if a.size > 1:
+                flips[1:] = neg[1:] != neg[:-1]
+            cf = np.zeros(a.size + 1, dtype=np.int64)
+            np.cumsum(flips, out=cf[1:])
+            lo = np.minimum(offs[:-1] + 1, offs[1:])
+            zc = cf[offs[1:]] - cf[lo]
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "n_samples": ns,
+                    "sample_rate": rates,
+                    "rms": rms,
+                    "n_zero_cross": zc,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, n_samples int, sample_rate int, rms double, n_zero_cross int"
@@ -222,39 +256,87 @@ def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
 def pgm_image_features(media: DataFrame) -> DataFrame:
     """mapInPandas kernel: REAL PGM decode → (width, height, mean_luma,
     ahash) where ahash is the 64-bit average-hash over the 8x8 block means —
-    the classic perceptual near-dup key for image corpora."""
+    the classic perceptual near-dup key for image corpora.
+
+    Whole-Arrow-batch feature math: headers parse per record (variable
+    length), but rasters of like shape stack into ONE (B, h, w) int64 array
+    and the 8x8 block sums come from a batched integral image (cumsum +
+    4-corner differences), so per-image Python/numpy dispatch overhead is
+    O(shapes), not O(images) — the form an image corpus needs.  Block/global
+    means divide int64 sums as float64 exactly like the per-image loop did,
+    so every ahash bit compares the same IEEE ratios.
+    """
 
     import numpy as np
 
+    _BIT_WEIGHTS = np.array(
+        [[1 << (by * 8 + bx) for bx in range(8)] for by in range(8)], dtype=np.uint64
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                w, h, raster = decode_pgm(bytes(rec["payload"]))
+            groups: dict[tuple[int, int], list[tuple[int, bytes]]] = {}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_pgm(bytes(payload))
+                groups.setdefault((w, h), []).append((int(mid), raster))
+            out_mid: list[int] = []
+            out_w: list[int] = []
+            out_h: list[int] = []
+            out_mean: list[float] = []
+            out_hash: list[int] = []
+            for (w, h), members in groups.items():
+                bsz = len(members)
                 n = w * h
-                img = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(h, w)
-                mean = float(img.sum()) / n if n else 0.0
-                # 8x8 average hash, vectorized: exact integer block sums vs
-                # the global mean (a/cnt > mean compares the same IEEE
-                # ratios the per-pixel loop did), row-major bit order
-                bw, bh = max(w // 8, 1), max(h // 8, 1)
-                bits = 0
-                for by in range(8):
-                    ys = slice(by * bh, min((by + 1) * bh, h))
-                    for bx in range(8):
-                        block = img[ys, bx * bw : min((bx + 1) * bw, w)]
-                        if block.size and float(block.sum()) / block.size > mean:
-                            bits |= 1 << (by * 8 + bx)
-                rows.append(
-                    {
-                        "media_id": rec["media_id"],
-                        "width": w,
-                        "height": h,
-                        "mean_luma": mean,
-                        "ahash": bits - (1 << 64) if bits >= (1 << 63) else bits,
-                    }
+                imgs = (
+                    np.frombuffer(b"".join(r for _, r in members), dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(bsz, h, w)
                 )
-            yield pd.DataFrame(rows)
+                means = (
+                    imgs.sum(axis=(1, 2)).astype(np.float64) / n
+                    if n
+                    else np.zeros(bsz, dtype=np.float64)
+                )
+                # batched integral image: block sum = 4-corner difference
+                ii = np.zeros((bsz, h + 1, w + 1), dtype=np.int64)
+                ii[:, 1:, 1:] = imgs.cumsum(axis=1).cumsum(axis=2)
+                bw, bh = max(w // 8, 1), max(h // 8, 1)
+                y0 = np.minimum(np.arange(8) * bh, h)
+                y1 = np.minimum((np.arange(8) + 1) * bh, h)
+                x0 = np.minimum(np.arange(8) * bw, w)
+                x1 = np.minimum((np.arange(8) + 1) * bw, w)
+                bsum = (
+                    ii[:, y1[:, None], x1[None, :]]
+                    - ii[:, y0[:, None], x1[None, :]]
+                    - ii[:, y1[:, None], x0[None, :]]
+                    + ii[:, y0[:, None], x0[None, :]]
+                )  # (B, 8, 8)
+                sizes = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.int64)
+                ratio = np.where(
+                    sizes > 0,
+                    bsum.astype(np.float64) / np.maximum(sizes, 1),
+                    -np.inf,
+                )
+                bits = ratio > means[:, None, None]  # empty blocks stay 0
+                hashes = (
+                    (bits.astype(np.uint64) * _BIT_WEIGHTS)
+                    .sum(axis=(1, 2), dtype=np.uint64)
+                    .view(np.int64)  # two's-complement fold, same bits
+                )
+                out_mid.extend(m for m, _ in members)
+                out_w.extend([w] * bsz)
+                out_h.extend([h] * bsz)
+                out_mean.extend(means.tolist())
+                out_hash.extend(hashes.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": out_mid,
+                    "width": out_w,
+                    "height": out_h,
+                    "mean_luma": out_mean,
+                    "ahash": out_hash,
+                }
+            )
 
     return media.select("media_id", "payload").mapInPandas(
         run, schema="media_id long, width int, height int, mean_luma double, ahash long"

@@ -1,0 +1,188 @@
+"""Empirical stage-floor amortization: Spark-vs-DuckDB ratio at sf0.1 AND sf1.
+
+The round-6 verdict's standing finding: a set of graph/dedup queries run
+>2x their DuckDB oracle at sf0.1, with SCALE.md asserting the gap is a
+data-size-invariant per-stage scheduling floor that amortizes as data grows.
+This tool MEASURES that claim instead of asserting it:
+
+1. Builds an sf1-scale corpus (10x sf0.1) under ``.scale/sf1/`` by unioning
+   ten key-shifted replicas of the sf0.1 tables the target queries read —
+   ``lineitem`` (orderkey/partkey shifted per replica: ten disjoint
+   co-purchase graphs, exactly how TPC-H order keys grow) and ``documents``
+   (doc_id shifted, every token suffixed ``_r<k>`` so replicas share no
+   shingle vocabulary: ten disjoint corpora with identical dup structure,
+   i.e. a 10x corpus with 10x vocabulary, no artificial cross-replica
+   near-duplicates).  Replica 0 is byte-identical to sf0.1.  All other
+   tables symlink to sf0.1 — the targets never read them.
+2. Runs each target query (registry plan) and its DuckDB oracle at both
+   scales, warm (best of N after a warm-up), on the same local[32] session
+   shape bench.py uses.
+3. Prints a JSON report {query: {spark01, duck01, ratio01, spark1, duck1,
+   ratio1}} — the ratio CURVE is the deliverable (recorded in SCALE.md).
+
+The scaled corpus is a measurement artifact, not test data: correctness
+gates still run exclusively on the driver's /root/testdata parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scale/sf1"
+REPLICAS = 10
+TARGETS_LINEITEM = (
+    "pmi_copurchase",
+    "link_prediction_adamic_adar",
+    "kcore_peeling",
+    "degree_distribution",
+    "recursive_cte_reachability",
+    "triangle_count",
+)
+TARGETS_DOCUMENTS = (
+    "prefix_filter_jaccard",
+    "simhash_fingerprint",
+    "simhash_neardup",
+    "benchmark_contamination",
+    "containment_neardup",
+    "duplicate_span_report",
+)
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def build_scaled() -> None:
+    if os.path.exists(os.path.join(DST, "_READY")):
+        return
+    os.makedirs(DST, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    ok_span = pc.max(li["l_orderkey"]).as_py() + 1
+    pk_span = pc.max(li["l_partkey"]).as_py() + 1
+    chunks = []
+    for k in range(REPLICAS):
+        t = li
+        if k:
+            t = t.set_column(
+                t.schema.get_field_index("l_orderkey"),
+                "l_orderkey",
+                pc.add(t["l_orderkey"], k * ok_span),
+            )
+            t = t.set_column(
+                t.schema.get_field_index("l_partkey"),
+                "l_partkey",
+                pc.add(t["l_partkey"], k * pk_span),
+            )
+        chunks.append(t)
+    pq.write_table(pa.concat_tables(chunks), os.path.join(DST, "lineitem.parquet"))
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
+    did_span = int(docs["doc_id"].max()) + 1
+    frames = []
+    for k in range(REPLICAS):
+        d = docs.copy()
+        if k:
+            d["doc_id"] = d["doc_id"] + k * did_span
+            suffix = f"_r{k}"
+            d["text"] = d["text"].map(
+                lambda s: re.sub(r"\S+", lambda m: m.group(0) + suffix, s)
+            )
+            d["n_chars"] = d["text"].str.len()
+        frames.append(d)
+    import pandas as pd
+
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False),
+        os.path.join(DST, "documents.parquet"),
+    )
+
+    for t in ALL_TABLES:
+        p = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(p):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), p)
+    open(os.path.join(DST, "_READY"), "w").write("ok\n")
+
+
+def time_spark(spec, spark, sf_dir, reps=3):
+    spec.spark_fn(spark, sf_dir).collect()
+    best = min(
+        (lambda t0: (spec.spark_fn(spark, sf_dir).collect(), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(reps)
+    )
+    return best
+
+
+def time_duck(spec, sf_dir, reps=2):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ALL_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    con.execute(spec.oracle).fetchall()
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    con.close()
+    return best
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    build_scaled()
+    from pyspark.sql import SparkSession
+
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("amortization")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report = {}
+    for name in TARGETS_LINEITEM + TARGETS_DOCUMENTS:
+        if only and name not in only:
+            continue
+        spec = QUERIES[name]
+        s01 = time_spark(spec, spark, SRC)
+        s1 = time_spark(spec, spark, DST)
+        d01 = time_duck(spec, SRC)
+        d1 = time_duck(spec, DST)
+        report[name] = {
+            "spark_sf01": round(s01, 3),
+            "duck_sf01": round(d01, 3),
+            "ratio_sf01": round(s01 / d01, 2),
+            "spark_sf1": round(s1, 3),
+            "duck_sf1": round(d1, 3),
+            "ratio_sf1": round(s1 / d1, 2),
+        }
+        print(name, json.dumps(report[name]), flush=True)
+
+    print(json.dumps({"amortization": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
