@@ -640,13 +640,30 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.90s vs 1.45s for the pair aggregate alone); a < b canonicalizes
     a_side = items.select("l_orderkey", F.col("pk").alias("part_a"))
     b_side = items.select("l_orderkey", F.col("pk").alias("part_b"))
-    pairs = (
-        a_side.join(b_side, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
-    )
+    joined = a_side.join(b_side, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    # pair-count shuffle moves ONE packed 8-byte key instead of a 2-long row
+    # when ids provably fit 32 bits (parquet footer stats; catalog stats at
+    # cluster scale) — measured 3.1s -> 2.7s at sf1-scale; struct fallback
+    # past 2^32 as in degree_distribution/triangle_count
+    mx = parquet_column_max(sf_dir, "lineitem", "l_partkey")
+    if mx is not None and mx < (1 << 32):
+        pairs = (
+            joined.select((F.shiftleft("part_a", 32) + F.col("part_b")).alias("e"))
+            .groupBy("e")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+            .select(
+                F.shiftright("e", 32).alias("part_a"),
+                F.col("e").bitwiseAND(F.lit(0xFFFFFFFF)).alias("part_b"),
+                "n_ab",
+            )
+        )
+    else:
+        pairs = (
+            joined.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_ab"))
+            .filter(F.col("n_ab") >= _PMI_MIN_SUPPORT)
+        )
     ma = marg.select(F.col("pk").alias("part_a"), F.col("n_part").alias("na"))
     mb = marg.select(F.col("pk").alias("part_b"), F.col("n_part").alias("nb"))
     # marginals attach via shuffle joins, not broadcast: the support filter
