@@ -111,6 +111,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # -- r5 greens voided by the r6 packed-lane rewrite --
     "simhash_fingerprint",
     "simhash_neardup",
+    # -- new in r7 --
+    "simhash_recall_eval",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",
