@@ -63,31 +63,42 @@ class RPLSHIndex:
     bucket_length: float
     seed: int
 
-    def buckets_col(self, vec_col):
-        """array<long> of floor(<v/||v||, plane_j>/bucket_length), one per table.
+    def planes_df(self, spark) -> DataFrame:
+        """The plane matrix as a 10-row RELATION (table_idx, plane)."""
+        rows = [(j, self.planes[j]) for j in range(len(self.planes))]
+        return spark.createDataFrame(rows, "table_idx INT, plane ARRAY<DOUBLE>")
 
-        Two deliberate shapes for interpreted-HOF cost control (higher-order
-        functions are not codegen'd):
-        - the plane matrix is ONE nested-array literal (inlining dim*tables
-          scalar literals was measured to cost ~2s of codegen compile alone);
-        - the projection reads the RAW vector and divides by ||v|| per plane
-          (floor(<unit,p>/bl) == floor(<v,p>/(||v||*bl))) instead of
-          materializing a unit-vector column — composing transform(unit)
-          inside the per-plane fold makes the optimizer inline the
-          normalization per element, an O(dim²·tables) per-row blow-up
-          measured at 20s for 2000×64-dim×10 tables.
+    def bucket_rows(self, nz: DataFrame, id_alias: str, keep_raw: bool) -> DataFrame:
+        """Exploded bucket relation: one row per (vector, hash table) with
+        ``bucket = floor(<v, plane>/(||v||*bucket_length))``.
+
+        Two deliberate shapes for cost control:
+        - the plane matrix joins in as a BROADCAST RELATION, never a plan
+          literal: inlining dim*tables doubles into the expression tree
+          costs ~2.5s of Catalyst analysis + codegen PER FRESH PLAN
+          (measured at 10x64; a service or bench run builds a fresh
+          DataFrame per query, so that cost recurs) — the relation form
+          keeps the logical tree O(1) in the plane count and the same
+          floor() math runs per joined row;
+        - the projection reads the RAW vector and divides by ||v||
+          (floor(<unit,p>/bl) == floor(<v,p>/(||v||*bl))) with the norm
+          computed ONCE per vector in a projection before the join, not
+          per plane.
         """
-        v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-        planes = F.lit(self.planes)
         bl = F.lit(float(self.bucket_length))
+        v = F.col("raw")
         nv = F.sqrt(F.aggregate(F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
-        return F.transform(
-            planes,
-            lambda p: F.floor(
-                F.aggregate(F.zip_with(v, p, lambda x, q: x * q), F.lit(0.0), lambda a, x: a + x)
-                / (nv * bl)
-            ).cast("long"),
-        ).alias("buckets")
+        dot = F.aggregate(
+            F.zip_with(v, F.col("plane"), lambda x, q: x * q), F.lit(0.0), lambda a, x: a + x
+        )
+        cols = [F.col("id").alias(id_alias)] + (
+            [F.col("raw").alias(f"raw_{id_alias}")] if keep_raw else []
+        )
+        return (
+            nz.withColumn("_nv", nv)
+            .join(F.broadcast(self.planes_df(nz.sparkSession)))
+            .select(*cols, "table_idx", F.floor(dot / (F.col("_nv") * bl)).cast("long").alias("bucket"))
+        )
 
     def save(self, spark, path: str) -> None:
         rows = [(j, self.planes[j], self.bucket_length, self.seed) for j in range(len(self.planes))]
@@ -123,22 +134,17 @@ def fit_lsh_index(
 ):
     """Fit the LSH 'index' (num_hash_tables ~ Annoy's n_trees=10).
 
-    Returns (model, indexed_df) where indexed_df carries a ``buckets``
-    array<long> (one bucket per hash table) next to the raw vector.
-    Pass ``dim`` when known to skip the probe job that reads it.
+    Returns (model, indexed_df) where indexed_df is the (id, raw)
+    zero-vector-filtered relation the model buckets on demand
+    (``model.bucket_rows``).  Pass ``dim`` when known to skip the probe job
+    that reads it.
     """
     if dim is None:
         dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
     planes = rp_planes(num_hash_tables, dim, seed)
     model = RPLSHIndex(planes=planes, bucket_length=bucket_length, seed=seed)
     nz = _nonzero_vectors(vectors, id_col, vec_col)
-    indexed = nz.select("id", "raw", model.buckets_col("raw"))
-    return model, indexed
-
-
-def _explode_buckets(indexed: DataFrame, id_alias: str, keep_raw: bool) -> DataFrame:
-    cols = [F.col("id").alias(id_alias)] + ([F.col("raw").alias(f"raw_{id_alias}")] if keep_raw else [])
-    return indexed.select(*cols, F.posexplode("buckets").alias("table_idx", "bucket"))
+    return model, nz
 
 
 def knn_lsh(
@@ -164,9 +170,8 @@ def knn_lsh(
     from ..functions.scalar import round_half_up
 
     q_nz = _nonzero_vectors(queries, id_col, vec_col)
-    q_indexed = q_nz.select("id", "raw", model.buckets_col("raw"))
-    q_b = _explode_buckets(q_indexed, "query_id", keep_raw=True)
-    d_b = _explode_buckets(indexed, "neighbor_id", keep_raw=True)
+    q_b = model.bucket_rows(q_nz, "query_id", keep_raw=True)
+    d_b = model.bucket_rows(indexed, "neighbor_id", keep_raw=True)
     dist = angular_distance(F.col("raw_query_id"), F.col("raw_neighbor_id"))
     if round_digits is not None:
         dist = round_half_up(dist, round_digits)
