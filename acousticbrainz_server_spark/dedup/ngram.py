@@ -44,6 +44,17 @@ MAX_DENSE_CELLS = 64_000_000
 # so total work grows linearly in tile count — past this, the capped exact
 # shingle join is the better plan shape.
 MAX_DENSE_TILES = 8
+# Cost-model constant for the dense-vs-join choice: the sgemm does
+# n_docs^2 * vocab flops (QUADRATIC in corpus size), the shingle join
+# processes sum over shingles of df(s)^2 candidate rows (linear when the
+# corpus grows by disjoint content).  Effective local[32] rates measure
+# ~5e10 sgemm flops/core-s vs ~1e7 joined rows/core-s, i.e. one join row
+# buys ~5000 flops — so dense only wins while
+# n_docs^2 * vocab <= DENSE_FLOPS_PER_JOIN_ROW * sum_df2.  Without this
+# term the memory gate alone picked the sgemm on a 50k-doc corpus where it
+# ran 1000x the flops of the 10x-smaller one (measured 125s vs ~20s for
+# the join) — fitting in memory is not the same as being the cheaper plan.
+DENSE_FLOPS_PER_JOIN_ROW = 5000
 # Shingle document-frequency cap for the exact join path: a shingle in >1000
 # docs contributes >=10^6 join pairs on its own while connecting no pair that
 # could clear a 0.4 Jaccard on its rarity-driven intersection — boilerplate
@@ -74,17 +85,32 @@ def ngram_jaccard_pairs(
     sh = repartition_if_narrow(docs).select(
         F.col(id_col).alias("doc"), F.explode(word_bigrams(F.col(text_col))).alias("s")
     ).persist()
-    dims = sh.agg(
-        F.countDistinct("s").alias("vocab"), F.countDistinct("doc").alias("n_docs")
+    # (doc, s) is already distinct (word_bigrams dedups in-row), so the df
+    # aggregate doubles as the vocab count and yields sum(df^2) — the exact
+    # work term of the join path — for the cost-model gate below
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    dims = dfreq.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("df") * F.col("df")).alias("sum_df2"),
     ).first()
+    # raw doc count, NOT countDistinct over the shingle stream: a cheap
+    # column-pruned count that at worst OVERCOUNTS (docs with <2 tokens have
+    # no shingles), which only makes the gate and the tile sizing
+    # conservative — the dense kernel reads the true membership from the
+    # collected sparse relation either way
+    n_docs = docs.count()
     if (
         dims["vocab"] <= MAX_DENSE_VOCAB
-        and dims["vocab"] * dims["n_docs"] <= MAX_DENSE_CELLS * MAX_DENSE_TILES
+        and dims["vocab"] * n_docs <= MAX_DENSE_CELLS * MAX_DENSE_TILES
+        # cost model, not just memory: the sgemm is quadratic in n_docs,
+        # the join is sum_df2 — choose dense only while it is CHEAPER
+        and n_docs * n_docs * dims["vocab"]
+        <= DENSE_FLOPS_PER_JOIN_ROW * (dims["sum_df2"] or 0)
     ):
         # dims ride along so the dense kernel does not recompute the
         # explode+join+agg just to learn the corpus shape
         return _jaccard_dense_matmul(
-            sh, threshold, n_docs=dims["n_docs"], vocab_size=dims["vocab"]
+            sh, threshold, n_docs=n_docs, vocab_size=dims["vocab"]
         )  # unpersists sh itself
     # join path: recompute the shingle explode per scan instead of caching a
     # corpus-sized stream — at 100 TB the explode is a cheap scan-side

@@ -44,6 +44,10 @@ TARGETS_LINEITEM = (
     "degree_distribution",
     "recursive_cte_reachability",
     "triangle_count",
+    # the iterative family (per-round scheduling floors at sf0.1)
+    "label_propagation_communities",
+    "bfs_shortest_paths",
+    "pagerank_copurchase",
 )
 TARGETS_DOCUMENTS = (
     "prefix_filter_jaccard",
@@ -52,6 +56,7 @@ TARGETS_DOCUMENTS = (
     "benchmark_contamination",
     "containment_neardup",
     "duplicate_span_report",
+    "ngram_jaccard_neardup",
 )
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -67,24 +72,37 @@ def build_scaled() -> None:
     import pyarrow.parquet as pq
 
     li = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    od = pq.read_table(os.path.join(SRC, "orders.parquet"))
     ok_span = pc.max(li["l_orderkey"]).as_py() + 1
     pk_span = pc.max(li["l_partkey"]).as_py() + 1
-    chunks = []
-    for k in range(REPLICAS):
-        t = li
-        if k:
+    ck_span = pc.max(od["o_custkey"]).as_py() + 1
+
+    def shifted(t, k, cols_spans):
+        if not k:
+            return t
+        for col, span in cols_spans:
             t = t.set_column(
-                t.schema.get_field_index("l_orderkey"),
-                "l_orderkey",
-                pc.add(t["l_orderkey"], k * ok_span),
+                t.schema.get_field_index(col), col, pc.add(t[col], k * span)
             )
-            t = t.set_column(
-                t.schema.get_field_index("l_partkey"),
-                "l_partkey",
-                pc.add(t["l_partkey"], k * pk_span),
-            )
-        chunks.append(t)
-    pq.write_table(pa.concat_tables(chunks), os.path.join(DST, "lineitem.parquet"))
+        return t
+
+    pq.write_table(
+        pa.concat_tables(
+            shifted(li, k, [("l_orderkey", ok_span), ("l_partkey", pk_span)])
+            for k in range(REPLICAS)
+        ),
+        os.path.join(DST, "lineitem.parquet"),
+    )
+    # orders shift consistently with lineitem (pagerank joins the two on
+    # orderkey and walks o_custkey — every replica is a disjoint bipartite
+    # customer<->supplier graph, exactly how TPC-H keys grow)
+    pq.write_table(
+        pa.concat_tables(
+            shifted(od, k, [("o_orderkey", ok_span), ("o_custkey", ck_span)])
+            for k in range(REPLICAS)
+        ),
+        os.path.join(DST, "orders.parquet"),
+    )
 
     docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
     did_span = int(docs["doc_id"].max()) + 1
