@@ -594,18 +594,20 @@ _PMI_TOP_K = 50
     family="STAT,A2",
     doc=f"Top-{_PMI_TOP_K} part pairs by pointwise mutual information over "
     "order baskets: ONE basket shuffle (groupBy orderkey + collect_set "
-    "dedup) feeds order count, marginals AND the pair counts — the pairs "
-    "come from a whole-stage-codegen self-join of the re-exploded items "
-    "on the SAME basket exchange (both sides ReusedExchange, zero extra "
-    "shuffle), which measures 1.6x faster than interpreted higher-order "
-    "transform/slice pair-gen inside the array (HOFs bypass codegen).  "
+    "dedup) feeds order count, marginals AND the pair counts — pairs "
+    "stream out of two CHAINED codegen Generate nodes over the basket "
+    "array (explode x explode + u<v), zero joins and zero sorts in the "
+    "pair path (the previous ReusedExchange self-join paid two full-"
+    "relation SortMergeJoin sorts: 2.46s vs 1.78s for the pair aggregate "
+    "at the sf1 amortization corpus).  "
     f"Support-pruned (>= {_PMI_MIN_SUPPORT}) BEFORE the marginals "
     "attach; basket total folds in as a one-row cross join.  PMI = "
     "ln(n_ab*N/(n_a*n_b)) on integer counts; ranking happens on the "
     "ROUNDED value with (a,b) tiebreaks so the top-k boundary is "
     "cross-engine stable.  Per-order fan-out is bounded by basket size "
-    "(k^2 pairs either way at 100 TB); the join emits them from codegen "
-    "instead of GenericArrayData allocations.",
+    "(k^2 pairs either way at 100 TB); pairs are emitted from codegen "
+    "with no GenericArrayData allocations (slice/HOF variants measured "
+    "slower).",
     oracle=f"""
         WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
@@ -635,12 +637,14 @@ def pmi_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = baskets.select("l_orderkey", F.explode("it").alias("pk"))
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     marg = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_part"))
-    # pair-gen: codegen self-join on the already-co-located items beats the
-    # interpreted transform/slice array expression 1.6x (measured at sf0.1:
-    # 0.90s vs 1.45s for the pair aggregate alone); a < b canonicalizes
-    a_side = items.select("l_orderkey", F.col("pk").alias("part_a"))
-    b_side = items.select("l_orderkey", F.col("pk").alias("part_b"))
-    joined = a_side.join(b_side, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    # pair-gen: chained Generate nodes (explode x explode + a<b filter) in the
+    # same codegen stage that finalizes the basket aggregate — no self-join,
+    # no SMJ sorts (2.46s -> 1.78s for the pair aggregate at the sf1 corpus)
+    joined = (
+        baskets.select(F.col("it"), F.explode("it").alias("part_a"))
+        .select("part_a", F.explode("it").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+    )
     # pair-count shuffle moves ONE packed 8-byte key instead of a 2-long row
     # when ids provably fit 32 bits (parquet footer stats; catalog stats at
     # cluster scale) — measured 3.1s -> 2.7s at sf1-scale; struct fallback
@@ -892,13 +896,13 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co-purchase graph — the first diagnostic run on any production "
     "graph (power-law check, skew planning for the triangle/LPA jobs).  "
     "A count-of-counts: baskets group once on orderkey (collect_set "
-    "dedups in-basket), the re-exploded items self-join on the SAME "
-    "exchange (both sides ReusedExchange — whole-stage-codegen pair-gen, "
-    "1.6x faster than interpreted transform/slice array expressions), "
-    "the pair key packs into one 8-byte long for the distinct shuffle, "
-    "and both endpoints of each surviving edge explode into one "
-    "node-degree aggregate; every shuffle after the first carries "
-    "scalar-long rows.",
+    "dedups in-basket), pairs stream out of two chained codegen Generate "
+    "nodes over the basket array (explode x explode + u<v — no self-join, "
+    "no SortMergeJoin sorts; 2.46s vs 1.78s for the pair stage at the "
+    "sf1 amortization corpus), the pair key packs into one 8-byte long "
+    "for the distinct shuffle, and both endpoints of each surviving edge "
+    "explode into one node-degree aggregate; every shuffle after the "
+    "first carries scalar-long rows.",
     oracle="""
         WITH pairs AS (
           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -916,14 +920,13 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # one basket shuffle feeds everything: collect_set dedups in-basket, the
-    # re-exploded items inherit the exchange, and the codegen self-join emits
-    # pairs without the interpreted transform/slice array path
+    # one basket shuffle feeds everything: collect_set dedups in-basket, and
+    # pairs stream from two chained Generate nodes in the same codegen stage
+    # that finalizes the basket aggregate (no self-join, no SMJ sorts)
     baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("it"))
-    items = baskets.select("l_orderkey", F.explode("it").alias("pk"))
     joined = (
-        items.select("l_orderkey", F.col("pk").alias("u"))
-        .join(items.select("l_orderkey", F.col("pk").alias("v")), "l_orderkey")
+        baskets.select(F.col("it"), F.explode("it").alias("u"))
+        .select("u", F.explode("it").alias("v"))
         .filter(F.col("u") < F.col("v"))
     )
     # the edge-distinct shuffle and the node explode both move packed
@@ -2481,3 +2484,84 @@ def transpose_metrics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("double").alias("n_users"),
     )
     return m.transpose("event_type")
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — interval coalescing (merge overlapping spans) per user
+# --------------------------------------------------------------------------------------
+_SPAN_MINUTES_CAP = 120.0  # value (minutes) is capped so one row cannot span the corpus
+
+
+@query(
+    "interval_merge_spans",
+    family="SEQ,W3",
+    doc="Merge overlapping activity intervals per user (classic interval "
+    "coalescing / gaps-and-islands): each event opens a span of "
+    "min(value, 120) minutes; spans that overlap or touch chain into one "
+    "merged row (user, span_start, span_end, n_events).  ONE exchange on "
+    "user_id feeds both window passes (running max-end over preceding "
+    "rows finds island breaks; running sum numbers the islands) and the "
+    "final per-island aggregate — windows are user-partitioned, never "
+    "global.  Arithmetic is integer epoch-micros end to end, so there is "
+    "no float boundary; island assignment is provably insensitive to the "
+    "order of equal (start, end) ties, which is what makes the fixed "
+    "row-frame cross-engine stable.  At 100 TB this is the session-"
+    "stitching shape: shuffle once on the entity key, linear window scan "
+    "within.",
+    oracle=f"""
+        WITH sp AS (
+          SELECT user_id, epoch_us(ts) AS st,
+                 epoch_us(ts) + CAST(floor(least(greatest(value, 0), {_SPAN_MINUTES_CAP}) * 60000000) AS BIGINT) AS en
+          FROM events
+        ),
+        m AS (
+          SELECT user_id, st, en,
+                 max(en) OVER (PARTITION BY user_id ORDER BY st, en
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          FROM sp
+        ),
+        isl AS (
+          SELECT user_id, st, en,
+                 sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS gid
+          FROM m
+        )
+        SELECT user_id, make_timestamp(min(st)) AS span_start,
+               make_timestamp(max(en)) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, gid
+    """,
+)
+def interval_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sp = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("st"),
+        (
+            F.unix_micros("ts")
+            + F.floor(
+                F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(_SPAN_MINUTES_CAP))
+                * 60000000.0
+            )
+        ).alias("en"),
+    )
+    # bounded-window: both windows partition by user_id (per-entity, never
+    # global); the frame is a linear scan within each user's events
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("st", "en").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("st", "en").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = sp.withColumn("pmax", F.max("en").over(w_prev))
+    isl = m.withColumn(
+        "gid",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("st") > F.col("pmax")), 1).otherwise(0)
+        ).over(w_run),
+    )
+    return isl.groupBy("user_id", "gid").agg(
+        F.timestamp_micros(F.min("st")).alias("span_start"),
+        F.timestamp_micros(F.max("en")).alias("span_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("gid")

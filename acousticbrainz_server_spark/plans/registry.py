@@ -113,6 +113,11 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "simhash_neardup",
     # -- new in r7 --
     "simhash_recall_eval",
+    "top_supplier_revenue",
+    "part_supplier_diversity",
+    "interval_merge_spans",
+    "matryoshka_recall_eval",
+    "zipf_token_slope",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

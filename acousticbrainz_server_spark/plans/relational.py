@@ -1936,3 +1936,127 @@ def fuzzy_name_match_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("in_band").cast("int")).cast("long").alias("n_band"),
         F.sum(F.col("matched").cast("int")).cast("long").alias("n_matched"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# A2 + scalar-max join — top-revenue supplier over a shipping quarter (the
+# TPC-H Q15 view-plus-max composition).  Scale shape: ONE partial-aggregated
+# scan builds the per-supplier revenue view; its scalar MAX broadcasts as a
+# 1-row build; the equality filter reuses the SAME aggregate exchange (no
+# second scan); the supplier dim broadcasts onto the (usually single-row)
+# winner set.
+# --------------------------------------------------------------------------------------
+_Q15_START = "1996-01-01"
+_Q15_END = "1996-04-01"  # exclusive: one quarter
+
+
+@query(
+    "top_supplier_revenue",
+    family="A2,J2,O4",
+    doc=f"Supplier(s) with the maximum lineitem revenue (sum of "
+    f"extendedprice*(1-discount)) shipped in [{_Q15_START}, {_Q15_END}) — "
+    "the TPC-H Q15 shape.  The revenue view aggregates ONCE; the global "
+    "max attaches as a broadcast 1-row cross join and the winners filter "
+    "rides the same exchange (Catalyst reuses the aggregate for both "
+    "consumers).  Revenue is rounded half-up to 2 BEFORE the max/equality "
+    "so the winner set is cross-engine stable at fp tie boundaries.",
+    oracle=f"""
+        WITH rev AS (
+          SELECT l_suppkey, {sql_round_half_up("sum(l_extendedprice * (1 - l_discount))", 2)} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{_Q15_START}' AND l_shipdate < TIMESTAMP '{_Q15_END}'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_Q15_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_END).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    winners = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        winners.join(F.broadcast(s), winners.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# A3 + J4 — supplier diversity per part attribute group (the TPC-H Q16
+# composition: distinct-count with an excluded-supplier anti join).  The
+# schema has no partsupp table; lineitem's (l_partkey, l_suppkey) pairs ARE
+# the observed part-supplier relation, deduped with one grouped exchange.
+# Scale shape: the excluded-supplier set is a broadcast anti join on the
+# scan; the (partkey, suppkey) dedup and the per-group distinct count hash
+# on narrow long keys; the part dim broadcasts.
+# --------------------------------------------------------------------------------------
+_Q16_EXCL_BRAND = "Brand#13"
+_Q16_MAX_SIZE = 25
+
+
+@query(
+    "part_supplier_diversity",
+    family="A3,J4,J2",
+    doc="Distinct-supplier count per (brand, type, size) over the observed "
+    "part-supplier pairs in lineitem (TPC-H Q16 shape: partsupp is not in "
+    "this schema; the shipped pairs stand in).  Suppliers with negative "
+    f"account balance are excluded by a broadcast anti join; brand "
+    f"{_Q16_EXCL_BRAND} and sizes > {_Q16_MAX_SIZE} are excluded by "
+    "broadcast-dim predicates BEFORE the distinct-count shuffle, so the "
+    "aggregate moves only qualifying narrow keys.  Top-40 by (count desc, "
+    "brand, type, size) keeps the result bounded and the order total.",
+    oracle=f"""
+        WITH ps AS (
+          SELECT DISTINCT l.l_partkey, l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        )
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> '{_Q16_EXCL_BRAND}' AND p.p_size <= {_Q16_MAX_SIZE}
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        LIMIT 40
+    """,
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != _Q16_EXCL_BRAND) & (F.col("p_size") <= _Q16_MAX_SIZE))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    ps = (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    out = ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).cast("long").alias("supplier_cnt")
+    )
+    return out.orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size").limit(40)

@@ -19,6 +19,7 @@ from ..functions.text import (
     sql_quality_score,
     stopword_count,
     token_count,
+    tokens,
     char_shingles,
     repartition_if_narrow,
 )
@@ -816,4 +817,61 @@ def python_udtf_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.sum("n_distinct").cast("long").alias("n_distinct_sum"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# TXT/STAT — Zipf's-law fit over the corpus token frequency distribution
+# --------------------------------------------------------------------------------------
+_ZIPF_TOP = 1000
+
+
+@query(
+    "zipf_token_slope",
+    family="TXT,STAT",
+    doc=f"Zipf's-law fit: least-squares slope/intercept/r^2 of ln(freq) on "
+    f"ln(rank) over the top-{_ZIPF_TOP} corpus tokens — the one-row "
+    "diagnostic that catches template-flooded or synthetic corpora (natural "
+    "text sits near slope -1; boilerplate floods flatten the head).  Token "
+    "counts are ONE exploded aggregate; the global frequency rank uses the "
+    "two-pass range-partitioned row_number (no single-partition window at "
+    "any scale); the regression is a single native aggregate over the "
+    "bounded top-N slice.  (freq desc, token) is tie-free, which the "
+    "two-pass rank requires.",
+    oracle=f"""
+        WITH tf AS (
+          SELECT t AS token, count(*) AS freq
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents)
+          GROUP BY t
+        ),
+        top AS (
+          SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+          FROM tf
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               {sql_round_half_up("regr_slope(ln(freq), ln(rnk))", 6)} AS zipf_slope,
+               {sql_round_half_up("regr_intercept(ln(freq), ln(rnk))", 6)} AS zipf_intercept,
+               {sql_round_half_up("corr(ln(freq), ln(rnk)) * corr(ln(freq), ln(rnk))", 6)} AS r2
+        FROM top WHERE rnk <= {_ZIPF_TOP}
+    """,
+)
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_row_number(tf, F.desc("freq"), "token", out_col="rnk").filter(
+        F.col("rnk") <= _ZIPF_TOP
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        round_half_up(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        round_half_up(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        round_half_up(F.corr(y, x) * F.corr(y, x), 6).alias("r2"),
     )

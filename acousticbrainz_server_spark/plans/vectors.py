@@ -1316,3 +1316,86 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(kernel, "vec_id LONG, l2_norm DOUBLE, unit_first DOUBLE")
+
+
+# --------------------------------------------------------------------------------------
+# V4/EVAL — Matryoshka truncation quality: recall@k of prefix-dim cosine search
+# --------------------------------------------------------------------------------------
+_MRL_DIMS = 16  # prefix dims retained (of 64)
+_MRL_K = 10
+
+
+@query(
+    "matryoshka_recall_eval",
+    family="V4,EVAL",
+    doc=f"Matryoshka-embedding eval: recall@{_MRL_K} of brute-force cosine "
+    f"search over the first {_MRL_DIMS} dims against the full-dimension "
+    "ground truth, per query — the standard measurement before committing "
+    "to truncated (cheaper) vectors at corpus scale (Kusupati et al. "
+    "2022).  ONE broadcast-query pass computes BOTH similarities per "
+    "corpus row (full and prefix cosine share the scan); two per-query "
+    "rank windows pick the top-k sets; the intersection count is a "
+    "per-query join on (query, neighbor).  Ranking uses the ROUNDED "
+    "cosine with neighbor-id tie-break in both engines, so the k-boundary "
+    "is cross-engine stable.  At 100 TB the same plan runs on a sampled "
+    "query set; the corpus side stays one scan.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pf AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {sql_round_half_up("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))", 6)} AS cf,
+                 {sql_round_half_up(f"list_dot_product(q.v[1:{_MRL_DIMS}], c.v[1:{_MRL_DIMS}]) / (sqrt(list_dot_product(q.v[1:{_MRL_DIMS}], q.v[1:{_MRL_DIMS}])) * sqrt(list_dot_product(c.v[1:{_MRL_DIMS}], c.v[1:{_MRL_DIMS}])))", 6)} AS ct
+          FROM v q JOIN v c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10
+        ),
+        rf AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, neighbor_id) AS r
+               FROM pf),
+        rt AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, neighbor_id) AS r
+               FROM pf),
+        f AS (SELECT query_id, neighbor_id FROM rf WHERE r <= {_MRL_K}),
+        t AS (SELECT query_id, neighbor_id FROM rt WHERE r <= {_MRL_K})
+        SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_common,
+               {sql_round_half_up(f"count(t.neighbor_id) * 1.0 / {_MRL_K}", 4)} AS recall_at_k
+        FROM f LEFT JOIN t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+    """,
+)
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    tr = lambda c: F.slice(c, 1, _MRL_DIMS)  # noqa: E731
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            round_half_up(cosine(F.col("qv"), F.col("v")), 6).alias("cf"),
+            round_half_up(cosine(tr(F.col("qv")), tr(F.col("v"))), 6).alias("ct"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cf"), F.asc("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("ct"), F.asc("neighbor_id"))
+    full = (
+        pairs.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _MRL_K)
+        .select("query_id", "neighbor_id")
+    )
+    trunc = (
+        pairs.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= _MRL_K)
+        .select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    )
+    j = full.join(
+        trunc,
+        (full.query_id == trunc.query_id) & (full.neighbor_id == trunc.t_neighbor),
+        "left",
+    ).select(full.query_id.alias("qid"), "t_neighbor")
+    return j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("t_neighbor").alias("n_common"),
+        round_half_up(F.count("t_neighbor") / F.lit(float(_MRL_K)), 4).alias("recall_at_k"),
+    )
