@@ -357,8 +357,12 @@ _PFX_T_NUM, _PFX_T_DEN = 6, 10  # Jaccard threshold 0.6 as an exact rational
     """,
 )
 def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    from ..functions.text import word_ngrams
+    from ..functions.text import repartition_if_narrow, word_ngrams
+
+    # fan a narrow (single-split) source out BEFORE the shingle explode —
+    # the whole scan-side build otherwise runs on one core (the 5.5s-serial
+    # stage the sf1 profile exposed; see SCALE.md round-7)
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
 
     # word 3-gram shingles, deduped INSIDE the row (word_ngrams) — no
     # distinct shuffle; <3-token docs yield an empty shingle array and fall

@@ -146,6 +146,10 @@ def time_duck(spec, sf_dir, reps=2):
     import duckdb
 
     con = duckdb.connect()
+    # the recursive-CTE oracles (bfs at sf1) can exhaust the box while the
+    # Spark JVM co-resides — cap and spill instead of OOM-aborting the run
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in ALL_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -174,7 +178,7 @@ def main() -> None:
         .appName("amortization")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -184,10 +188,15 @@ def main() -> None:
         if only and name not in only:
             continue
         spec = QUERIES[name]
-        s01 = time_spark(spec, spark, SRC)
-        s1 = time_spark(spec, spark, DST)
-        d01 = time_duck(spec, SRC)
-        d1 = time_duck(spec, DST)
+        try:
+            s01 = time_spark(spec, spark, SRC)
+            s1 = time_spark(spec, spark, DST)
+            d01 = time_duck(spec, SRC)
+            d1 = time_duck(spec, DST)
+        except Exception as e:  # one failed cell must not kill the sweep
+            report[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(name, json.dumps(report[name]), flush=True)
+            continue
         report[name] = {
             "spark_sf01": round(s01, 3),
             "duck_sf01": round(d01, 3),
