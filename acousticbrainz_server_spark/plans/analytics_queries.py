@@ -2565,3 +2565,66 @@ def interval_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.max("en")).alias("span_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).drop("gid")
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — native session_window aggregation (the engine's gaps-and-islands
+# operator; the batch face of the streaming session machinery)
+# --------------------------------------------------------------------------------------
+_SESSW_GAP = "1 day"
+_SESSW_GAP_US = 24 * 3600 * 1000000
+
+
+@query(
+    "session_window_native",
+    family="SEQ,W3",
+    doc="Per-user session rollup with Spark's NATIVE session_window "
+    f"aggregate (gap {_SESSW_GAP}): one grouped aggregation whose key is "
+    "the merging session window — no explicit lag/island windows in the "
+    "plan at all (Catalyst plans UpdatingSessionsExec + MergingSessions), "
+    "which is the operator the streaming sessionizer uses under "
+    "watermarks.  The oracle reproduces the merge rule from first "
+    "principles (new session iff the gap to the previous event is >= the "
+    "gap; session_end = last event + gap).  session_window's rule "
+    "matches: windows [ts, ts+gap) merge only while they OVERLAP "
+    "(strict <), so an exactly-gap-apart event starts a new session in "
+    "both engines.  Cross-checks the lag-based sessionize_events from a "
+    "plan family the optimizer treats completely differently.",
+    oracle=f"""
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 1 DAY
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ),
+        isl AS (
+          SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 1 DAY AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sql_round_half_up('sum(value)', 2)} AS total_value
+        FROM isl GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        ev.groupBy(F.session_window("ts", _SESSW_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

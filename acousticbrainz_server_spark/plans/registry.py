@@ -81,12 +81,13 @@ def _load_all() -> None:
 # paragraph dedup, Welch t-test, Adamic-Adar, VARIANT, recursive CTE,
 # XML, UDTF, k-core, Benford, fuzzy blocking, transpose, streaming Python
 # source, MinHash recall eval, WAV/PGM codecs) + the 2 rewritten simhash
-# plans.  That fills 21 slots; the remaining 29 rotate re-checks of the
-# oldest greens: the r3-green vector/text tail (3+ rounds without a
-# driver re-check), then the r2 relational core.  After this window every
-# query in the registry has a driver CORRECTNESS row and no rewrite-voided
-# green is outstanding.  Queries REWRITTEN in r7 are queued right after
-# the never-checked block (rewrite voids green).
+# plans.  Next come the 11 NEW-in-r7 queries (simhash recall eval, TPC-H
+# Q5/Q7/Q10/Q14/Q15/Q16 shapes, interval merge, Matryoshka recall, Zipf
+# fit, native session_window) and the 7 r7 plan rewrites (rewrite voids
+# green); the remaining slots rotate re-checks of the oldest greens (the
+# r3-green vector/text tail, then the r2 relational core).  After this
+# window every pre-r7 query has a driver CORRECTNESS row and no
+# rewrite-voided green is outstanding.
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # -- round 7 window: the 19 never-driver-checked (new in r6) --
     "dump_archive_roundtrip",
@@ -118,6 +119,11 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "interval_merge_spans",
     "matryoshka_recall_eval",
     "zipf_token_slope",
+    "regional_supplier_volume",
+    "nation_trade_volume",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "session_window_native",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

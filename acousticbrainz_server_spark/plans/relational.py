@@ -2060,3 +2060,247 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("supplier_cnt")
     )
     return out.orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size").limit(40)
+
+
+# --------------------------------------------------------------------------------------
+# J2 — regional co-located supplier volume (TPC-H Q5 shape): revenue per
+# nation where the customer and the shipping supplier sit in the SAME nation,
+# within one region and one order-date year.  Scale shape: region/nation/
+# supplier broadcast; customer joins orders on custkey (shuffle), the result
+# joins lineitem on orderkey (the one big shuffle); the same-nation predicate
+# is an equi-condition of the supplier join, not a post-filter.
+# --------------------------------------------------------------------------------------
+_Q5_REGION = "ASIA"
+_Q5_START = "1996-01-01"
+_Q5_END = "1997-01-01"
+
+
+@query(
+    "regional_supplier_volume",
+    family="J2,A2",
+    doc=f"Revenue per nation in region {_Q5_REGION} for order-year "
+    f"[{_Q5_START}, {_Q5_END}) where customer and supplier share the "
+    "nation (TPC-H Q5): broadcast dim chain region->nation->supplier, "
+    "customer x orders then lineitem equi-joins, same-nation enforced in "
+    "the supplier join key.  Revenue rounded half-up to 2 before the "
+    "final ordering.",
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_round_half_up("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = '{_Q5_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{_Q5_START}'
+          AND o.o_orderdate < TIMESTAMP '{_Q5_END}'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q5_REGION)
+    nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    j = (
+        c.join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J2 — bilateral trade volume (TPC-H Q7 shape): shipped revenue between two
+# nations by ship-year, both directions.  Scale shape: nation-filtered
+# supplier and customer dims broadcast onto the lineitem/orders spine.
+# --------------------------------------------------------------------------------------
+_Q7_NATION_A = "NATION_3"
+_Q7_NATION_B = "NATION_7"
+
+
+@query(
+    "nation_trade_volume",
+    family="J2,A2",
+    doc=f"Yearly shipped revenue between {_Q7_NATION_A} and {_Q7_NATION_B} "
+    "in BOTH directions (TPC-H Q7): supplier-nation and customer-nation "
+    "dims broadcast; the cross-pair filter keeps (A->B) and (B->A) rows "
+    "only; group by (supp_nation, cust_nation, ship-year).",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               {sql_round_half_up("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS volume
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        WHERE (sn.n_name = '{_Q7_NATION_A}' AND cn.n_name = '{_Q7_NATION_B}')
+           OR (sn.n_name = '{_Q7_NATION_B}' AND cn.n_name = '{_Q7_NATION_A}')
+        GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B)
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J2 + O4 — returned-item losses (TPC-H Q10 shape): top customers by revenue
+# of RETURNED lineitems in one quarter.  Scale shape: the returnflag + date
+# predicates prune at the scan; the revenue rollup happens on orderkey
+# BEFORE customer attributes attach (joins move only qualifying keys).
+# --------------------------------------------------------------------------------------
+_Q10_START = "1996-07-01"
+_Q10_END = "1996-10-01"
+_Q10_TOP = 20
+
+
+@query(
+    "returned_item_losses",
+    family="J2,A2,O4",
+    doc=f"Top-{_Q10_TOP} customers by returned-item revenue (l_returnflag = "
+    f"'R') for orders placed in [{_Q10_START}, {_Q10_END}) — TPC-H Q10.  "
+    "Filters push to both scans; the per-customer rollup precedes the "
+    "name/nation attachment; top-k on (rounded revenue desc, custkey).",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {sql_round_half_up("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '{_Q10_START}'
+          AND o.o_orderdate < TIMESTAMP '{_Q10_END}'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT {_Q10_TOP}
+    """,
+)
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = (
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "n_name", round_half_up(F.col("rev"), 2).alias("revenue")
+        )
+    )
+    return out.orderBy(F.desc("revenue"), "c_custkey").limit(_Q10_TOP)
+
+
+# --------------------------------------------------------------------------------------
+# A1 — promotional revenue share (TPC-H Q14 shape): one scan, conditional
+# aggregation against a broadcast part dim, single scalar output row.
+# --------------------------------------------------------------------------------------
+_Q14_START = "1996-03-01"
+_Q14_END = "1996-04-01"
+
+
+@query(
+    "promo_revenue_share",
+    family="A1,J2",
+    doc=f"Share of {_Q14_START[:7]} shipped revenue from PROMO parts "
+    "(TPC-H Q14): ONE conditional aggregate over the date-pruned lineitem "
+    "scan with the part-type dim broadcast; 100*promo/total computed on "
+    "the exact sums and rounded once at the end.",
+    oracle=f"""
+        SELECT {sql_round_half_up(
+            "100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)"
+            " / sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS promo_share
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{_Q14_START}'
+          AND l.l_shipdate < TIMESTAMP '{_Q14_END}'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_END).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        round_half_up(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share")
+    )
