@@ -123,6 +123,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "nation_trade_volume",
     "returned_item_losses",
     "promo_revenue_share",
+    "customer_order_distribution",
     "session_window_native",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)

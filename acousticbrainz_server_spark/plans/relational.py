@@ -2304,3 +2304,55 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("promo_share")
     )
+
+
+# --------------------------------------------------------------------------------------
+# J3 + A9 — customer order-count distribution (TPC-H Q13 shape): left join
+# preserving zero-order customers, then a count-of-counts histogram.  Scale
+# shape: the per-customer rollup aggregates the FK side first (orders), then
+# a LEFT join from customer fills the zeros — the distribution shuffle moves
+# one row per customer, and the histogram is a second tiny aggregate.
+# --------------------------------------------------------------------------------------
+_Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+@query(
+    "customer_order_distribution",
+    family="J3,A9",
+    doc="Distribution of per-customer order counts EXCLUDING one priority "
+    f"class ({_Q13_EXCL_PRIORITY}) — TPC-H Q13.  The orders side "
+    "aggregates BEFORE the customer join; the LEFT join keeps "
+    "zero-order customers (coalesce 0), which is the part a naive inner "
+    "join silently drops; the final histogram groups the counts.",
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN (
+            SELECT o_custkey, o_orderkey FROM orders
+            WHERE o_orderpriority <> '{_Q13_EXCL_PRIORITY}'
+          ) o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != _Q13_EXCL_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.coalesce(F.col("n"), F.lit(0)).alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
