@@ -23,9 +23,9 @@ PICKS = {
     "bucketed_join_rollup": "co-bucketed tables join with zero Exchange",
     "skyline_pareto": "O(n log n) sweep replaces the quadratic dominance NOT-EXISTS",
     "prefix_filter_jaccard": "inverted index + df in ONE exchange; PPJoin length/positional filters inside the candidate join",
-    "degree_distribution": "no lineitem self-join — basket groupBy, native in-basket pair-gen, scalar-int shuffles after",
+    "degree_distribution": "no joins at all — basket groupBy, chained-Generate pair-gen, packed-long shuffles after",
     "containment_neardup": "narrow arrays_zip shingle build (zero shuffles); a/b sides share one exchange on s",
-    "pmi_copurchase": "basket relation checkpointed once for its three consumers; marginals attach via AQE-sized shuffle joins",
+    "pmi_copurchase": "pairs stream from chained Generate nodes (no self-join); the basket exchange is runtime-reused by all three consumers (the static plan prints the subtree per consumer; the executed plan shows ReusedExchange); marginals attach via AQE-sized joins",
     "recursive_cte_reachability": "UnionLoop recursion over a once-materialized adjacency — iteration inside Catalyst",
     "paragraph_dedup": "narrow paragraph build; ONE shuffle on the 8-byte paragraph hash",
 }
