@@ -136,3 +136,70 @@ def test_part_supplier_diversity_excludes_bad_suppliers(spark):
     ]["p_partkey"]
     rows = li[li["l_partkey"].isin(set(pk)) & ~li["l_suppkey"].isin(bad)]
     assert top["supplier_cnt"] == rows["l_suppkey"].nunique()
+
+
+def test_interval_merge_hypothesis(spark):
+    """Property-based check of the merge plan against a reference sweep over
+    randomized interval sets (bounded examples — each runs a Spark job)."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    def spark_merge(rows):
+        df = spark.createDataFrame(rows, "user_id long, st long, en long")
+        w_prev = (
+            Window.partitionBy("user_id")
+            .orderBy("st", "en")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("user_id")
+            .orderBy("st", "en")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        m = df.withColumn("pmax", F.max("en").over(w_prev))
+        isl = m.withColumn(
+            "gid",
+            F.sum(
+                F.when(F.col("pmax").isNull() | (F.col("st") > F.col("pmax")), 1).otherwise(0)
+            ).over(w_run),
+        )
+        out = (
+            isl.groupBy("user_id", "gid")
+            .agg(F.min("st").alias("a"), F.max("en").alias("b"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return sorted((r["user_id"], r["a"], r["b"], r["n"]) for r in out)
+
+    def ref_merge(rows):
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for u, s, e in rows:
+            by_user[u].append((s, e))
+        out = []
+        for u, spans in by_user.items():
+            spans.sort()
+            merged = []
+            for s, e in spans:
+                if merged and s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                    merged[-1][2] += 1
+                else:
+                    merged.append([s, e, 1])
+            out.extend((u, a, b, n) for a, b, n in merged)
+        return sorted(out)
+
+    interval = st.tuples(
+        st.integers(0, 3),          # user
+        st.integers(0, 100),        # start
+        st.integers(0, 50),         # duration
+    ).map(lambda t: (t[0], t[1], t[1] + t[2]))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(interval, min_size=1, max_size=20))
+    def check(rows):
+        assert spark_merge(rows) == ref_merge(rows)
+
+    check()
