@@ -2628,3 +2628,102 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# EXP — chi-square test of independence (categorical x categorical), the
+# counterpart of ab_welch_ttest for categorical outcomes.  Determinism: the
+# contingency table is pure integers; each cell's statistic uses the
+# integer identity (O*N - rt*ct)^2 / (N*rt*ct) so no float enters before
+# the per-cell division, and the per-cell terms are scaled to integers
+# before summation (integer addition is order-independent; a 15-term float
+# sum is not).  Scale shape: one groupBy builds the contingency table; the
+# marginals are two sub-aggregates of that table broadcast back onto the
+# full R x C grid (zero cells INCLUDED — omitting them understates chi2).
+# --------------------------------------------------------------------------------------
+_CHI2_TERM_SCALE = 1e8
+
+
+@query(
+    "chisquare_independence",
+    family="EXP,STAT",
+    doc="Chi-square independence test of o_orderpriority x o_orderstatus "
+    "with Cramer's V effect size: full-grid expected counts (zero-observed "
+    "cells included), integer-scaled term summation for cross-engine "
+    "determinism.",
+    oracle=f"""
+        WITH obs AS (
+          SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS o
+          FROM orders GROUP BY p, s
+        ),
+        rt AS (SELECT p, sum(o) AS rtot FROM obs GROUP BY p),
+        ct AS (SELECT s, sum(o) AS ctot FROM obs GROUP BY s),
+        n AS (SELECT sum(o) AS n FROM obs),
+        grid AS (
+          SELECT rt.p, ct.s, rt.rtot, ct.ctot, n.n,
+                 coalesce(obs.o, 0) AS o
+          FROM rt CROSS JOIN ct CROSS JOIN n
+          LEFT JOIN obs ON obs.p = rt.p AND obs.s = ct.s
+        ),
+        terms AS (
+          SELECT n,
+                 CAST(floor(
+                   CAST((o * n - rtot * ctot) AS DOUBLE) * CAST((o * n - rtot * ctot) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * rtot * ctot) * {_CHI2_TERM_SCALE} + 0.5
+                 ) AS BIGINT) AS t
+          FROM grid
+        ),
+        dims AS (
+          SELECT (SELECT count(*) FROM rt) AS r, (SELECT count(*) FROM ct) AS c
+        )
+        SELECT CAST(max(terms.n) AS BIGINT) AS n,
+               CAST((max(dims.r) - 1) * (max(dims.c) - 1) AS BIGINT) AS dof,
+               {sql_round_half_up(f'sum(t) / {_CHI2_TERM_SCALE}', 4)} AS chi2,
+               {sql_round_half_up(
+                   f'sqrt((sum(t) / {_CHI2_TERM_SCALE})'
+                   ' / (max(terms.n) * least(max(dims.r) - 1, max(dims.c) - 1)))', 4)} AS cramers_v
+        FROM terms CROSS JOIN dims
+    """,
+)
+def chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    )
+    obs = orders.groupBy("p", "s").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("p").agg(F.sum("o").alias("rtot"))
+    ct = obs.groupBy("s").agg(F.sum("o").alias("ctot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    # full R x C grid: marginal crossJoins are bounded dim products (5 x 3
+    # here; the cardinality is the CATEGORY count, invariant in data size),
+    # and the observed table left-joins on so zero cells keep their term
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), ["p", "s"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    diff = (F.col("o") * F.col("n") - F.col("rtot") * F.col("ctot")).cast("double")
+    term = diff * diff / (F.col("n").cast("double") * F.col("rtot") * F.col("ctot"))
+    terms = grid.select(
+        "n",
+        F.floor(term * F.lit(_CHI2_TERM_SCALE) + F.lit(0.5)).cast("long").alias("t"),
+    )
+    r_c = rt.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).alias("c")))
+    )
+    chi2 = F.sum("t") / F.lit(_CHI2_TERM_SCALE)
+    return (
+        terms.crossJoin(F.broadcast(r_c))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            ((F.max("r") - 1) * (F.max("c") - 1)).cast("long").alias("dof"),
+            round_half_up(chi2, 4).alias("chi2"),
+            round_half_up(
+                F.sqrt(
+                    chi2
+                    / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+                ),
+                4,
+            ).alias("cramers_v"),
+        )
+    )

@@ -125,6 +125,16 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "promo_revenue_share",
     "customer_order_distribution",
     "session_window_native",
+    # -- new in r7 session 3 --
+    "order_priority_check",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "product_type_profit",
+    "brand_quantity_revenue",
+    "countmin_heavy_counts",
+    "kmv_distinct_union",
+    "chisquare_independence",
+    "mmr_diversified_rerank",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

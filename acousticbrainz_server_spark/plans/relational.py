@@ -2356,3 +2356,316 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# J5 + A2 — late-shipment order priority check (TPC-H Q4 shape): EXISTS
+# decorrelated to a left-semi join whose predicate spans both tables.
+# Scale shape: the date window prunes the orders scan; only qualifying
+# orderkeys cross the semi-join shuffle, and the lineitem side carries two
+# columns.  The cross-table predicate (shipped >90 days after the order
+# date) rides INSIDE the join condition, so no post-join filter
+# materializes the non-qualifying pairs.
+# --------------------------------------------------------------------------------------
+_Q4_START = "1996-07-01"
+_Q4_END = "1996-10-01"
+_Q4_LATE_DAYS = 90
+
+
+@query(
+    "order_priority_check",
+    family="J5,A2",
+    doc=f"Orders per priority in [{_Q4_START}, {_Q4_END}) having at least "
+    f"one lineitem shipped more than {_Q4_LATE_DAYS} days after the order "
+    "date (TPC-H Q4 adapted to this schema's columns): EXISTS as a "
+    "left-semi join with the late-shipment predicate in the join "
+    "condition.",
+    oracle=f"""
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q4_START}'
+          AND o.o_orderdate < TIMESTAMP '{_Q4_END}'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# A1 — banded-predicate revenue delta (TPC-H Q6 shape): the "what would we
+# have earned without these discounts" scan-only aggregate.  Scale shape:
+# every predicate (date year, discount band, quantity cap) reaches the
+# parquet scan as a pushed filter over three primitive columns; the plan is
+# one WholeStageCodegen scan->partial-agg->single-row exchange.
+# --------------------------------------------------------------------------------------
+_Q6_START = "1997-01-01"
+_Q6_END = "1998-01-01"
+_Q6_DISC_LO = 0.04
+_Q6_DISC_HI = 0.07
+_Q6_MAX_QTY = 24
+
+
+@query(
+    "forecast_revenue_change",
+    family="A1,P9",
+    doc=f"Revenue that the [{_Q6_DISC_LO}, {_Q6_DISC_HI}] discount band gave "
+    f"away in {_Q6_START[:4]} on small-quantity lineitems (< {_Q6_MAX_QTY}) "
+    "— TPC-H Q6: a pure scan-side conjunctive-band aggregate, every "
+    "predicate pushed to parquet; one scalar row out.",
+    oracle=f"""
+        SELECT {sql_round_half_up('sum(l_extendedprice * l_discount)', 2)} AS revenue_delta,
+               count(*) AS n_lineitems
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q6_START}'
+          AND l_shipdate < TIMESTAMP '{_Q6_END}'
+          AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+          AND l_quantity < {_Q6_MAX_QTY}
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_Q6_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q6_END).cast("timestamp"))
+            & (F.col("l_discount") >= _Q6_DISC_LO)
+            & (F.col("l_discount") <= _Q6_DISC_HI)
+            & (F.col("l_quantity") < _Q6_MAX_QTY)
+        )
+        .agg(
+            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J2 + A2 — national market share (TPC-H Q8 shape): the two-nation-chain
+# join (customer nation -> region gate, supplier nation -> share numerator)
+# with a conditional share per order-year.  Scale shape: all four dims
+# (part, supplier, nation x2, region) broadcast; the only shuffles are the
+# two fact equi-joins and the tiny year rollup; the share is ONE
+# conditional aggregate, not two scans.
+# --------------------------------------------------------------------------------------
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "ECONOMY"
+_Q8_SUPP_NATION = "NATION_5"
+
+
+@query(
+    "nation_market_share",
+    family="J2,A2",
+    doc=f"{_Q8_SUPP_NATION}'s share of {_Q8_TYPE}-part revenue sold to "
+    f"{_Q8_REGION} customers, per order-year (TPC-H Q8): broadcast dim "
+    "chain; share = conditional sum / total sum in one aggregate, "
+    "rounded half-up to 4.",
+    oracle=f"""
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_round_half_up(
+                   "sum(CASE WHEN sn.n_name = '" + _Q8_SUPP_NATION + "' "
+                   "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)"
+                   " / sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS mkt_share
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_TYPE}'
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust_nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    supp_nat = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nat), c.c_nationkey == F.col("cn_key"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nat), s.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            round_half_up(
+                F.sum(F.when(F.col("supp_nation") == _Q8_SUPP_NATION, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J2 + A2 — product-line profit by supplier nation and year (TPC-H Q9
+# shape, adapted: the testdata has no partsupp, so profit is the discounted
+# revenue rather than revenue minus supplycost — the join/rollup shape is
+# identical).  Scale shape: the p_name LIKE filter prunes the part dim
+# BEFORE broadcast; lineitem joins move only matching partkeys.  The profit
+# sum is computed over SCALED INTEGERS (price cents x discount basis
+# points) so float addition order can't flip the 2-digit rounding — the
+# same integer-moment determinism ab_welch_ttest uses.
+# --------------------------------------------------------------------------------------
+_Q9_NAME_FRAGMENT = "widget"
+
+
+@query(
+    "product_type_profit",
+    family="J2,A2",
+    doc=f"Profit proxy (discounted revenue) of parts named *{_Q9_NAME_FRAGMENT}* "
+    "by supplier nation x order-year (TPC-H Q9 adapted — no partsupp table, "
+    "so no supplycost term): LIKE-filtered part dim broadcast, supplier "
+    "nation attached from broadcast dims, two-key rollup.",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_round_half_up(
+                   "sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)"
+                   " * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) / 10000.0", 2)} AS profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%{_Q9_NAME_FRAGMENT}%'
+        GROUP BY supp_nation, o_year
+        ORDER BY supp_nation, o_year DESC
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_NAME_FRAGMENT))
+        .select("p_partkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_bp = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        j.groupBy("supp_nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            round_half_up(F.sum(cents * (F.lit(100) - disc_bp)) / F.lit(10000.0), 2).alias(
+                "profit"
+            )
+        )
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------------------
+# J1 + A1 — disjunctive-band revenue (TPC-H Q19 shape): three OR'd
+# (brand, size, quantity) bands over the part join.  Scale shape: the
+# disjunction splits into a part-side predicate (brand/size — prunes the
+# broadcast dim) and a join-output predicate (the per-branch quantity
+# bands); Catalyst pushes the common `p_size <= max` and the quantity
+# range envelope to the scans, and the OR evaluates inside the join's
+# generated code — no union-of-three-scans blowup.
+# --------------------------------------------------------------------------------------
+_Q19_BANDS = (
+    ("Brand#11", 15, 5.0, 15.0),
+    ("Brand#14", 30, 15.0, 30.0),
+    ("Brand#16", 50, 25.0, 45.0),
+)
+
+
+@query(
+    "brand_quantity_revenue",
+    family="J1,A1",
+    doc="Revenue from three OR'd (brand, max-size, quantity-band) branches "
+    "(TPC-H Q19 adapted to this schema): the disjunction evaluates inside "
+    "the broadcast part join; one scalar aggregate out.",
+    oracle=f"""
+        SELECT {sql_round_half_up("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE {" OR ".join(
+            f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz}"
+            f" AND l.l_quantity BETWEEN {lo} AND {hi})"
+            for (b, sz, lo, hi) in _Q19_BANDS
+        )}
+    """,
+)
+def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    branch = None
+    for b, sz, lo, hi in _Q19_BANDS:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        branch = cond if branch is None else (branch | cond)
+    # the brand/size half of each branch prunes the broadcast dim: a part
+    # row outside EVERY (brand, size) envelope can never satisfy the OR
+    part_env = None
+    for b, sz, _lo, _hi in _Q19_BANDS:
+        c = (F.col("p_brand") == b) & F.col("p_size").between(1, sz)
+        part_env = c if part_env is None else (part_env | c)
+    j = li.join(F.broadcast(p.filter(part_env)), li.l_partkey == p.p_partkey)
+    return j.filter(branch).agg(
+        round_half_up(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )

@@ -255,3 +255,184 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("id", "rrf_score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------------------
+# MMR — Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+# the diversity-aware post-retrieval stage a RAG pipeline puts between ANN
+# shortlist and prompt assembly.  Greedy: pick argmax λ·rel(c) −
+# (1−λ)·max_{s∈S} sim(c,s), k times.  The greedy loop is UNROLLED to k=3
+# plain dataflow steps, so the whole query stays declarative in BOTH
+# engines (no driver loop, no recursion) and the DuckDB oracle is exact.
+# Scale shape: the O(n) relevance scan is the same brute-force gemm the
+# ANN baseline uses (swap in ann_ivf_topk for the shortlist at corpus
+# scale); everything after the per-query top-20 shortlist is k-row
+# relations — broadcast joins and per-qid windows over ≤20 rows.
+# Determinism: cosines round half-up to 4 BEFORE any comparison, every
+# argmax tie-breaks on vec_id, and scores recompose from the rounded
+# inputs identically in both engines.
+# --------------------------------------------------------------------------------------
+_MMR_QIDS = (10, 20, 30)
+_MMR_SHORTLIST = 20
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    return sql_round_half_up(
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))",
+        4,
+    )
+
+
+@query(
+    "mmr_diversified_rerank",
+    family="RETR,V6,W3",
+    doc=f"MMR re-rank (λ={_MMR_LAMBDA}, k=3, shortlist {_MMR_SHORTLIST}) for "
+    f"query vectors {_MMR_QIDS}: greedy diversity selection unrolled to "
+    "three declarative steps; per-step scores from rounded cosines with "
+    "vec_id tie-breaks.",
+    oracle=f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id IN {_MMR_QIDS}),
+        rel AS (
+          SELECT q.qid, a.vec_id AS cid, {_mmr_cos_sql('a.v', 'q.qv')} AS rel
+          FROM v a CROSS JOIN q WHERE a.vec_id <> q.qid
+        ),
+        shortlist AS (
+          SELECT qid, cid, rel,
+                 row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+          FROM rel QUALIFY rn <= {_MMR_SHORTLIST}
+        ),
+        sv AS (
+          SELECT s.qid, s.cid, s.rel, v.v
+          FROM shortlist s JOIN v ON v.vec_id = s.cid
+        ),
+        sims AS (
+          SELECT a.qid, a.cid AS i, b.cid AS j, {_mmr_cos_sql('a.v', 'b.v')} AS sim
+          FROM sv a JOIN sv b ON a.qid = b.qid AND a.cid <> b.cid
+        ),
+        s1 AS (
+          SELECT qid, cid AS s1, {sql_round_half_up(f'{_MMR_LAMBDA} * rel', 4)} AS score1
+          FROM shortlist WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT sl.qid, sl.cid,
+                 {sql_round_half_up(
+                     f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * sm.sim', 4)} AS score,
+                 row_number() OVER (PARTITION BY sl.qid ORDER BY
+                     {sql_round_half_up(
+                         f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * sm.sim', 4)} DESC,
+                     sl.cid) AS rn2
+          FROM shortlist sl
+          JOIN s1 ON s1.qid = sl.qid AND sl.cid <> s1.s1
+          JOIN sims sm ON sm.qid = sl.qid AND sm.i = sl.cid AND sm.j = s1.s1
+          QUALIFY rn2 = 1
+        ),
+        c3 AS (
+          SELECT sl.qid, sl.cid,
+                 {sql_round_half_up(
+                     f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * greatest(sm1.sim, sm2.sim)', 4)} AS score,
+                 row_number() OVER (PARTITION BY sl.qid ORDER BY
+                     {sql_round_half_up(
+                         f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * greatest(sm1.sim, sm2.sim)', 4)} DESC,
+                     sl.cid) AS rn3
+          FROM shortlist sl
+          JOIN s1 ON s1.qid = sl.qid AND sl.cid <> s1.s1
+          JOIN c2 ON c2.qid = sl.qid AND sl.cid <> c2.cid
+          JOIN sims sm1 ON sm1.qid = sl.qid AND sm1.i = sl.cid AND sm1.j = s1.s1
+          JOIN sims sm2 ON sm2.qid = sl.qid AND sm2.i = sl.cid AND sm2.j = c2.cid
+          QUALIFY rn3 = 1
+        )
+        SELECT qid, step, vec_id, mmr_score FROM (
+          SELECT qid, 1 AS step, s1 AS vec_id, score1 AS mmr_score FROM s1
+          UNION ALL SELECT qid, 2, cid, score FROM c2
+          UNION ALL SELECT qid, 3, cid, score FROM c3
+        ) ORDER BY qid, step
+    """,
+)
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import cosine
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = v.filter(F.col("vec_id").isin(*_MMR_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
+
+    # relevance scan: brute-force cosine vs the 3 broadcast query vectors —
+    # the ANN baseline shape (swap in the IVF shortlist at corpus scale)
+    rel = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), round_half_up(cosine(F.col("v"), F.col("qv")), 4).alias("rel"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    shortlist = rel.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= _MMR_SHORTLIST
+    )
+
+    sv = shortlist.join(v, shortlist.cid == v.vec_id).select("qid", "cid", "rel", "v")
+    a, b = sv.alias("a"), sv.alias("b")
+    sims = (
+        a.join(b, (F.col("a.qid") == F.col("b.qid")) & (F.col("a.cid") != F.col("b.cid")))
+        .select(
+            F.col("a.qid").alias("qid"),
+            F.col("a.cid").alias("i"),
+            F.col("b.cid").alias("j"),
+            round_half_up(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+        )
+    )
+
+    s1 = shortlist.filter(F.col("rn") == 1).select(
+        "qid", F.col("cid").alias("s1"), round_half_up(lam * F.col("rel"), 4).alias("score1")
+    )
+
+    def _argmax(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    c2 = _argmax(
+        shortlist.join(F.broadcast(s1), "qid")
+        .filter(F.col("cid") != F.col("s1"))
+        .join(
+            F.broadcast(sims.withColumnRenamed("i", "cid").withColumnRenamed("j", "s1")),
+            ["qid", "cid", "s1"],
+        )
+        .select("qid", "cid", round_half_up(lam * F.col("rel") - mu * F.col("sim"), 4).alias("score"))
+    ).select("qid", F.col("cid").alias("s2"), F.col("score").alias("score2"))
+
+    sims_i = sims.withColumnRenamed("i", "cid")
+    c3 = _argmax(
+        shortlist.join(F.broadcast(s1), "qid")
+        .join(F.broadcast(c2), "qid")
+        .filter((F.col("cid") != F.col("s1")) & (F.col("cid") != F.col("s2")))
+        .join(
+            F.broadcast(sims_i.withColumnRenamed("j", "s1").withColumnRenamed("sim", "sim1")),
+            ["qid", "cid", "s1"],
+        )
+        .join(
+            F.broadcast(sims_i.withColumnRenamed("j", "s2").withColumnRenamed("sim", "sim2")),
+            ["qid", "cid", "s2"],
+        )
+        .select(
+            "qid",
+            "cid",
+            round_half_up(
+                lam * F.col("rel") - mu * F.greatest(F.col("sim1"), F.col("sim2")), 4
+            ).alias("score"),
+        )
+    ).select("qid", F.col("cid").alias("s3"), F.col("score").alias("score3"))
+
+    out = (
+        s1.select("qid", F.lit(1).alias("step"), F.col("s1").alias("vec_id"), F.col("score1").alias("mmr_score"))
+        .unionByName(
+            c2.select("qid", F.lit(2).alias("step"), F.col("s2").alias("vec_id"), F.col("score2").alias("mmr_score"))
+        )
+        .unionByName(
+            c3.select("qid", F.lit(3).alias("step"), F.col("s3").alias("vec_id"), F.col("score3").alias("mmr_score"))
+        )
+    )
+    return out.orderBy("qid", "step")

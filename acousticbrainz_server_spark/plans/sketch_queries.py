@@ -397,3 +397,208 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         round_half_up(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# Count-Min sketch — the mergeable heavy-hitter COUNTER (Misra-Gries above
+# finds the candidates; CMS answers "how often" for ANY key after one pass).
+# Unlike the HLL/GK queries, the sketch itself crosses the oracle boundary:
+# the d hash rows are plain arithmetic (Knuth multiplicative mod a Mersenne
+# prime) that both engines compute bit-identically, so the cells AND the
+# min-over-rows estimates hash-gate directly — no error-band boolean needed.
+# The CMS guarantee (estimate >= true count, overcount bounded by eN/w) is
+# emitted as the ``overcount`` column, non-negative by construction.
+# At 100 TB: cells are (d x w) longs per partition, merged by summation —
+# the per-key exact counter this replaces would shuffle every distinct key.
+# --------------------------------------------------------------------------------------
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime; (k%P)*a stays < 2^63)
+_CMS_W = 512  # sketch width (buckets per hash row)
+_CMS_ROWS = ((1103515245, 12345), (747796405, 743852806), (69069, 362437))
+_CMS_TOPN = 10
+
+
+def _cms_bucket_sql(key: str, a: str, b: str) -> str:
+    """Bucket expression with a/b as SQL fragments (literals or param columns)."""
+    return f"(((({key}) % {_CMS_P}) * {a} + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+def _cms_bucket_col(key, a: int, b: int):
+    return ((key % _CMS_P) * F.lit(a) + F.lit(b)) % F.lit(_CMS_P) % F.lit(_CMS_W)
+
+
+@query(
+    "countmin_heavy_counts",
+    family="A2,SKETCH",
+    doc=f"Count-Min sketch (d={len(_CMS_ROWS)}, w={_CMS_W}) of per-user event "
+    f"counts, probed for the top-{_CMS_TOPN} users: deterministic "
+    "multiplicative hashes make the estimate itself hash-comparable "
+    "cross-engine; overcount = est - exact >= 0 is the CMS contract.",
+    oracle=f"""
+        WITH params(i, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))}),
+        cells AS (
+          SELECT p.i, {_cms_bucket_sql('e.user_id', 'p.a', 'p.b')} AS bucket,
+                 count(*) AS cnt
+          FROM events e CROSS JOIN params p
+          GROUP BY p.i, bucket
+        ),
+        probes AS (
+          SELECT user_id, count(*) AS n_exact
+          FROM events GROUP BY user_id
+          ORDER BY n_exact DESC, user_id LIMIT {_CMS_TOPN}
+        )
+        SELECT pr.user_id, pr.n_exact,
+               min(c.cnt) AS cms_est,
+               min(c.cnt) - pr.n_exact AS overcount
+        FROM probes pr
+        CROSS JOIN params p
+        JOIN cells c ON c.i = p.i
+         AND c.bucket = {_cms_bucket_sql('pr.user_id', 'p.a', 'p.b')}
+        GROUP BY pr.user_id, pr.n_exact
+        ORDER BY pr.n_exact DESC, pr.user_id
+    """,
+)
+def countmin_heavy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # one pass builds all d rows: posexplode the d bucket expressions so each
+    # event feeds d cells in a single map-side-combined aggregate
+    buckets = F.array(*[_cms_bucket_col(F.col("user_id"), a, b) for a, b in _CMS_ROWS])
+    cells = (
+        ev.select(F.posexplode(buckets).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(_CMS_TOPN)
+    )
+    probe_buckets = probes.select(
+        "user_id",
+        "n_exact",
+        F.posexplode(
+            F.array(*[_cms_bucket_col(F.col("user_id"), a, b) for a, b in _CMS_ROWS])
+        ).alias("i", "bucket"),
+    )
+    est = (
+        probe_buckets.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+    ).orderBy(F.desc("n_exact"), "user_id")
+
+
+# --------------------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the mergeable COUNT(DISTINCT)
+# with set-algebra: keep the k smallest hash values per stream; the k-th
+# smallest estimates the density, and the union of two streams' sketches is
+# the k smallest of the concatenation (no rescan).  Same determinism story
+# as Count-Min: the hash is plain arithmetic, so the estimates hash-gate
+# directly.  Streams with fewer than k distinct keys are EXACT by the
+# standard KMV rule (the sketch holds every value).
+# --------------------------------------------------------------------------------------
+_KMV_K = 32
+_KMV_P = 2147483647
+_KMV_A = 1103515245
+_KMV_B = 12345
+
+
+def _kmv_hash_sql(key: str) -> str:
+    return f"((({key}) % {_KMV_P}) * {_KMV_A} + {_KMV_B}) % {_KMV_P}"
+
+
+def _kmv_hash_col(key):
+    return ((key % _KMV_P) * F.lit(_KMV_A) + F.lit(_KMV_B)) % F.lit(_KMV_P)
+
+
+@query(
+    "kmv_distinct_union",
+    family="A3,SKETCH,SET",
+    doc=f"KMV distinct-user sketch (k={_KMV_K}) per event_type plus the "
+    "merged '__union__' row (k smallest of the concatenated sketches): "
+    "est = (k-1) * P / h_k when the stream holds >= k distinct keys, exact "
+    "count below that.  Deterministic hash -> the estimate hash-gates.",
+    oracle=f"""
+        WITH hashes AS (
+          SELECT event_type, {_kmv_hash_sql('user_id')} AS h
+          FROM events GROUP BY event_type, user_id
+        ),
+        ranked AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM (SELECT DISTINCT event_type, h FROM hashes)
+        ),
+        per_type AS (
+          SELECT event_type,
+                 CAST(max(m) AS BIGINT) AS n_exact,
+                 CASE WHEN max(m) < {_KMV_K} THEN CAST(max(m) AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_KMV_P}.0 / max(CASE WHEN rn = {_KMV_K} THEN h END)
+                 END AS est
+          FROM ranked GROUP BY event_type
+        ),
+        union_ranked AS (
+          SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS m
+          FROM (SELECT DISTINCT h FROM hashes)
+        ),
+        union_row AS (
+          SELECT '__union__' AS event_type,
+                 CAST(max(m) AS BIGINT) AS n_exact,
+                 CASE WHEN max(m) < {_KMV_K} THEN CAST(max(m) AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_KMV_P}.0 / max(CASE WHEN rn = {_KMV_K} THEN h END)
+                 END AS est
+          FROM union_ranked
+        )
+        SELECT event_type, n_exact, {sql_round_half_up('est', 2)} AS kmv_est
+        FROM (SELECT * FROM per_type UNION ALL SELECT * FROM union_row)
+        ORDER BY event_type
+    """,
+)
+def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashes = ev.distinct().select(
+        "event_type", _kmv_hash_col(F.col("user_id")).alias("h")
+    ).distinct()
+
+    def _estimate(n_exact, kth):
+        return (
+            F.when(n_exact < _KMV_K, n_exact.cast("double"))
+            .otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_P)) / kth)
+        )
+
+    # per-type: rn <= k on a per-type window -> Catalyst's WindowGroupLimit
+    # keeps k rows per group map-side; the exact count rides a twin aggregate
+    wt = Window.partitionBy("event_type").orderBy("h")
+    kmin = hashes.withColumn("rn", F.row_number().over(wt)).filter(F.col("rn") <= _KMV_K)
+    kth_per_type = kmin.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth")
+    )
+    m_per_type = hashes.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    per_type = m_per_type.join(F.broadcast(kth_per_type), "event_type").select(
+        "event_type", "n_exact", _estimate(F.col("n_exact"), F.col("kth")).alias("est")
+    )
+
+    # union sketch: k global minima via orderBy+limit — TakeOrderedAndProject
+    # (a distributed per-partition top-k merge on the driver's k rows), NOT a
+    # single-partition window; the global count is a scalar aggregate.  Both
+    # are 1-row/k-row relations, so the final crossJoin is a scalar broadcast.
+    uh = hashes.select("h").distinct()
+    u_kth = uh.orderBy("h").limit(_KMV_K).agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("k_held")
+    )
+    u_m = uh.agg(F.count(F.lit(1)).alias("n_exact"))
+    union_row = u_m.crossJoin(F.broadcast(u_kth)).select(
+        F.lit("__union__").alias("event_type"),
+        "n_exact",
+        _estimate(F.col("n_exact"), F.col("kth")).alias("est"),
+    )
+
+    out = per_type.unionByName(union_row)
+    return out.select(
+        "event_type", "n_exact", round_half_up(F.col("est"), 2).alias("kmv_est")
+    ).orderBy("event_type")

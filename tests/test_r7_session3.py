@@ -1,0 +1,222 @@
+"""Round-7 session-3 property tests: Count-Min / KMV sketch contracts,
+chi-square vs a numpy recompute, greedy-MMR vs a brute-force reference, and
+independent recomputes of the new TPC-H shapes — the semantic invariants the
+cross-engine hash gate cannot express."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+from tests.conftest import SF_SMOKE
+
+_load_all()
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+def test_countmin_never_undercounts(spark):
+    """The CMS contract: estimate >= exact for EVERY probed key (no false
+    negatives is what makes min-over-rows sound)."""
+    out = QUERIES["countmin_heavy_counts"].spark_fn(spark, SF_SMOKE).toPandas()
+    assert len(out) == 10
+    assert (out["cms_est"] >= out["n_exact"]).all()
+    assert (out["overcount"] >= 0).all()
+
+
+def test_countmin_matches_python_reference(spark):
+    """Cells and estimates agree with a from-scratch python CMS over the
+    same stream and hash constants."""
+    from acousticbrainz_server_spark.plans.sketch_queries import (
+        _CMS_P,
+        _CMS_ROWS,
+        _CMS_W,
+    )
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id"])
+    cells = [np.zeros(_CMS_W, dtype=np.int64) for _ in _CMS_ROWS]
+    for k in ev["user_id"].to_numpy():
+        for i, (a, b) in enumerate(_CMS_ROWS):
+            cells[i][((int(k) % _CMS_P) * a + b) % _CMS_P % _CMS_W] += 1
+    out = QUERIES["countmin_heavy_counts"].spark_fn(spark, SF_SMOKE).toPandas()
+    for _, r in out.iterrows():
+        est = min(
+            cells[i][((int(r["user_id"]) % _CMS_P) * a + b) % _CMS_P % _CMS_W]
+            for i, (a, b) in enumerate(_CMS_ROWS)
+        )
+        assert est == r["cms_est"], f"user {r['user_id']}"
+
+
+# --------------------------------------------------------------------- KMV
+
+
+def test_kmv_exact_below_k_and_union_bounds(spark):
+    """Streams holding fewer than k distinct keys report EXACTLY; the union
+    row's exact count equals the global distinct-user count, and every
+    estimate is positive."""
+    from acousticbrainz_server_spark.plans.sketch_queries import _KMV_K
+
+    out = QUERIES["kmv_distinct_union"].spark_fn(spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type", "user_id"])
+    n_all = ev["user_id"].nunique()
+    urow = out[out["event_type"] == "__union__"]
+    assert len(urow) == 1
+    assert int(urow["n_exact"].iloc[0]) == n_all
+    for _, r in out.iterrows():
+        if r["n_exact"] < _KMV_K:
+            assert r["kmv_est"] == pytest.approx(float(r["n_exact"]))
+        assert r["kmv_est"] > 0
+
+
+def test_kmv_estimator_reasonable_at_sf001(spark):
+    """At sf0.01 (150 distinct users > k=32) the estimator path engages and
+    lands within a generous +/-50% of truth — a sanity band, not the hash
+    gate (which pins the exact value)."""
+    out = QUERIES["kmv_distinct_union"].spark_fn(spark, "/root/testdata/sf0.01").toPandas()
+    urow = out[out["event_type"] == "__union__"].iloc[0]
+    assert urow["n_exact"] >= 32  # estimator path, not the exact path
+    assert 0.5 * urow["n_exact"] <= urow["kmv_est"] <= 1.5 * urow["n_exact"]
+
+
+# -------------------------------------------------------------- chi-square
+
+
+def test_chisquare_matches_numpy(spark):
+    """chi2 / dof / Cramer's V agree with a dense numpy recompute of the
+    contingency table."""
+    out = QUERIES["chisquare_independence"].spark_fn(spark, SF_SMOKE).toPandas().iloc[0]
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderpriority", "o_orderstatus"]
+    )
+    ct = pd.crosstab(orders["o_orderpriority"], orders["o_orderstatus"]).to_numpy(
+        dtype=np.float64
+    )
+    n = ct.sum()
+    exp = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2 = ((ct - exp) ** 2 / exp).sum()
+    r, c = ct.shape
+    assert int(out["n"]) == int(n)
+    assert int(out["dof"]) == (r - 1) * (c - 1)
+    assert out["chi2"] == pytest.approx(chi2, abs=2e-4)
+    v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    assert out["cramers_v"] == pytest.approx(v, abs=2e-4)
+
+
+# --------------------------------------------------------------------- MMR
+
+
+def _round_half_up(x: np.ndarray, d: int) -> np.ndarray:
+    s = 10.0**d
+    return np.floor(x * s + 0.5) / s
+
+
+def test_mmr_matches_bruteforce_greedy(spark):
+    """The unrolled 3-step plan picks exactly what a general greedy MMR loop
+    picks under the same rounding and tie-break rules."""
+    from acousticbrainz_server_spark.plans.retrieval_queries import (
+        _MMR_LAMBDA,
+        _MMR_QIDS,
+        _MMR_SHORTLIST,
+    )
+
+    out = (
+        QUERIES["mmr_diversified_rerank"].spark_fn(spark, SF_SMOKE).toPandas()
+    )
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64) for _, r in emb.iterrows()}
+
+    def cos(u, v):
+        return float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    for qid in _MMR_QIDS:
+        qv = vecs[qid]
+        rel = {
+            cid: _round_half_up(np.array([cos(v, qv)]), 4)[0]
+            for cid, v in vecs.items()
+            if cid != qid
+        }
+        short = sorted(rel, key=lambda c: (-rel[c], c))[:_MMR_SHORTLIST]
+        selected, scores = [], []
+        for _step in range(3):
+            best = None
+            for c in short:
+                if c in selected:
+                    continue
+                pen = max(
+                    (_round_half_up(np.array([cos(vecs[c], vecs[s])]), 4)[0] for s in selected),
+                    default=0.0,
+                )
+                sc = _round_half_up(
+                    np.array([_MMR_LAMBDA * rel[c] - (1 - _MMR_LAMBDA) * pen]), 4
+                )[0]
+                if best is None or (sc, -c) > (best[1], -best[0]):
+                    best = (c, sc)
+            selected.append(best[0])
+            scores.append(best[1])
+        got = out[out["qid"] == qid].sort_values("step")
+        assert list(got["vec_id"]) == selected, f"qid {qid}"
+        for want, have in zip(scores, got["mmr_score"]):
+            assert have == pytest.approx(want, abs=1e-9)
+        # diversity sanity: three DISTINCT picks
+        assert len(set(selected)) == 3
+
+
+# ------------------------------------------------------------ TPC-H shapes
+
+
+def test_q6_forecast_matches_pandas(spark):
+    out = QUERIES["forecast_revenue_change"].spark_fn(spark, SF_SMOKE).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    m = (
+        (li["l_shipdate"] >= "1997-01-01")
+        & (li["l_shipdate"] < "1998-01-01")
+        & (li["l_discount"] >= 0.04)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    )
+    sel = li[m]
+    assert int(out["n_lineitems"]) == int(m.sum())
+    assert out["revenue_delta"] == pytest.approx(
+        (sel["l_extendedprice"] * sel["l_discount"]).sum(), abs=0.02
+    )
+
+
+def test_q4_order_priority_check_matches_pandas(spark):
+    out = QUERIES["order_priority_check"].spark_fn(spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"])
+    o = o[(o["o_orderdate"] >= "1996-07-01") & (o["o_orderdate"] < "1996-10-01")]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    late = j[j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=90)]
+    want = (
+        late.drop_duplicates("o_orderkey")
+        .groupby("o_orderpriority")["o_orderkey"]
+        .count()
+        .sort_index()
+    )
+    got = out.set_index("o_orderpriority")["n_orders"].sort_index()
+    assert got.to_dict() == want.to_dict()
+
+
+def test_q19_brand_bands_match_pandas(spark):
+    from acousticbrainz_server_spark.plans.relational import _Q19_BANDS
+
+    out = QUERIES["brand_quantity_revenue"].spark_fn(spark, SF_SMOKE).toPandas().iloc[0]
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    p = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey")
+    m = np.zeros(len(j), dtype=bool)
+    for b, sz, lo, hi in _Q19_BANDS:
+        m |= (
+            (j["p_brand"] == b)
+            & j["p_size"].between(1, sz)
+            & j["l_quantity"].between(lo, hi)
+        ).to_numpy()
+    sel = j[m]
+    assert int(out["n_lineitems"]) == int(m.sum())
+    assert out["revenue"] == pytest.approx(
+        (sel["l_extendedprice"] * (1 - sel["l_discount"])).sum(), abs=0.02
+    )
