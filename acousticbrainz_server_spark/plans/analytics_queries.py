@@ -2727,3 +2727,62 @@ def chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# RANK — the distribution-position window family (percent_rank / cume_dist
+# / ntile / nth_value) in one partitioned pass.  decile_lift_table builds
+# deciles from the two-pass global rank; this is the PARTITIONED twin every
+# within-group percentile report uses — the window key (nation) bounds each
+# partition, so no single-task funnel exists at any scale.  Determinism:
+# the order key is (rounded spend DESC, custkey) — a total order, so the
+# rank family and the tile boundaries are identical cross-engine.
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_suite",
+    family="W3,RANK",
+    doc="Per-nation customer spend positions: percent_rank, cume_dist, "
+    "quartile (ntile 4) and the nation's 3rd-highest spend (nth_value "
+    "over the full-partition frame) in ONE window pass.",
+    oracle=f"""
+        WITH spend AS (
+          SELECT c.c_nationkey, c.c_custkey,
+                 {sql_round_half_up('sum(o.o_totalprice)', 2)} AS spend
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey, c.c_custkey
+        )
+        SELECT c_nationkey, c_custkey, spend,
+               {sql_round_half_up(
+                   'percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)', 6)} AS pct_rank,
+               {sql_round_half_up(
+                   'cume_dist() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey)', 6)} AS cume,
+               CAST(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey) AS INTEGER) AS quartile,
+               nth_value(spend, 3) OVER (
+                 PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS nation_third_spend
+        FROM spend
+        ORDER BY c_nationkey, pct_rank, c_custkey
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(round_half_up(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return spend.select(
+        "c_nationkey",
+        "c_custkey",
+        "spend",
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.nth_value("spend", 3).over(wf).alias("nation_third_spend"),
+    ).orderBy("c_nationkey", "pct_rank", "c_custkey")

@@ -1185,3 +1185,90 @@ def pgm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up(F.col("mean_luma"), 4).alias("mean_luma"),
         "ahash",
     )
+
+
+# --------------------------------------------------------------------------------------
+# Observation API — single-pass audit telemetry on a quality gate.
+# A 100 TB filter stage must report what it dropped WITHOUT a second scan;
+# Spark's Observation/observe() collects named aggregates as the rows
+# stream through the SAME pass that applies the gate (metrics ride the
+# task-completion events — zero extra jobs, zero extra scans).  Two
+# observation points (pre-gate, post-gate) bracket the filter; the query
+# emits their metrics as the audit row.  The DuckDB oracle recomputes the
+# same aggregates declaratively, pinning the observed values exactly.
+# --------------------------------------------------------------------------------------
+_OBS_MIN_CHARS = 120
+_OBS_MIN_ALPHA = 0.55
+
+
+@query(
+    "observed_quality_gate",
+    family="CORPUS,DQ",
+    doc=f"Quality gate (n_chars >= {_OBS_MIN_CHARS}, alpha ratio >= "
+    f"{_OBS_MIN_ALPHA}) with Observation-API audit metrics collected in "
+    "the SAME pass: rows scanned/kept, kept-char sum, mean alpha ratio "
+    "of kept docs (rounded half-up 4).",
+    oracle=f"""
+        WITH scored AS (
+          SELECT n_chars,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha
+          FROM documents
+        ),
+        kept AS (
+          SELECT * FROM scored
+          WHERE n_chars >= {_OBS_MIN_CHARS} AND alpha >= {_OBS_MIN_ALPHA}
+        )
+        SELECT (SELECT count(*) FROM scored) AS n_scanned,
+               (SELECT count(*) FROM kept) AS n_kept,
+               (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM kept) AS kept_chars,
+               {sql_round_half_up('(SELECT avg(alpha) FROM kept)', 4)} AS kept_alpha_mean,
+               {sql_round_half_up(
+                   '(SELECT count(*) FROM kept) * 1.0 / (SELECT count(*) FROM scored)', 4)} AS kept_ratio
+    """,
+)
+def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents").select("text", "n_chars")
+    alpha = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = d.select("n_chars", alpha.alias("alpha"))
+
+    pre = Observation("pre_gate")
+    post = Observation("post_gate")
+    gated = (
+        scored.observe(pre, F.count(F.lit(1)).alias("n_scanned"))
+        .filter((F.col("n_chars") >= _OBS_MIN_CHARS) & (F.col("alpha") >= _OBS_MIN_ALPHA))
+        .observe(
+            post,
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+            F.avg("alpha").alias("kept_alpha_mean"),
+        )
+    )
+    # ONE action drives the gate and populates both observations — the
+    # audit needs no second scan; downstream stages would consume `gated`
+    gated.write.format("noop").mode("overwrite").save()
+    m = {**pre.get, **post.get}
+    row = [
+        (
+            int(m["n_scanned"]),
+            int(m["n_kept"]),
+            int(m["kept_chars"]),
+            float(m["kept_alpha_mean"]),
+            m["n_kept"] / m["n_scanned"],
+        )
+    ]
+    out = spark.createDataFrame(
+        row, "n_scanned BIGINT, n_kept BIGINT, kept_chars BIGINT, kept_alpha_mean DOUBLE, kept_ratio DOUBLE"
+    )
+    return out.select(
+        "n_scanned",
+        "n_kept",
+        "kept_chars",
+        round_half_up(F.col("kept_alpha_mean"), 4).alias("kept_alpha_mean"),
+        round_half_up(F.col("kept_ratio"), 4).alias("kept_ratio"),
+    )

@@ -135,6 +135,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "kmv_distinct_union",
     "chisquare_independence",
     "mmr_diversified_rerank",
+    "observed_quality_gate",
+    "window_rank_suite",
+    "hll_partition_merge",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

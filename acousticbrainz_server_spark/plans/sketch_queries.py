@@ -602,3 +602,72 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n_exact", round_half_up(F.col("est"), 2).alias("kmv_est")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------------------
+# HLL sketch MERGE — the mergeability story approx_distinct_sketch only
+# tells in prose: per-partition sketches union to the global answer with
+# NO rescan (Spark's Datasketches HllSketch binary; at 100 TB each
+# source/day/shard keeps its sketch and any rollup is a cheap union).
+# Oracle strategy as in approx_distinct_sketch: the exact counts
+# hash-gate; each engine asserts its own sketch (including Spark's
+# union-derived estimate) lands inside the error band.
+# --------------------------------------------------------------------------------------
+_HLL_BAND = 0.05
+_HLL_LGK = 14
+
+
+@query(
+    "hll_partition_merge",
+    family="A3,SKETCH",
+    doc="Per-returnflag HLL part sketches + the '__merged__' union row: "
+    "Spark unions the per-flag Datasketches binaries (hll_union_agg) "
+    "instead of rescanning; exact distincts hash-gate, sketch_ok asserts "
+    f"each engine's estimate within ±{_HLL_BAND:.0%} of its exact twin.",
+    oracle=f"""
+        WITH per_flag AS (
+          SELECT l_returnflag AS grp,
+                 count(DISTINCT l_partkey) AS n_exact,
+                 abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                   <= {_HLL_BAND} * count(DISTINCT l_partkey) AS sketch_ok
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        merged AS (
+          SELECT '__merged__' AS grp,
+                 count(DISTINCT l_partkey) AS n_exact,
+                 abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+                   <= {_HLL_BAND} * count(DISTINCT l_partkey) AS sketch_ok
+          FROM lineitem
+        )
+        SELECT grp, n_exact, sketch_ok
+        FROM (SELECT * FROM per_flag UNION ALL SELECT * FROM merged)
+        ORDER BY grp
+    """,
+)
+def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    pairs = li.distinct()
+    per_flag = pairs.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.hll_sketch_agg("l_partkey", F.lit(_HLL_LGK)).alias("sk"),
+    )
+    # the union row NEVER rescans lineitem: it merges the per-flag binaries
+    merged = per_flag.agg(
+        F.sum("n_exact").alias("_"),  # placeholder; exact merged count below
+        F.hll_union_agg("sk").alias("sk"),
+    ).drop("_")
+    merged_exact = pairs.select("l_partkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    merged_row = merged_exact.crossJoin(F.broadcast(merged)).select(
+        F.lit("__merged__").alias("grp"), "n_exact", "sk"
+    )
+    out = per_flag.select("grp", "n_exact", "sk").unionByName(merged_row)
+    return out.select(
+        "grp",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= F.lit(_HLL_BAND) * F.col("n_exact")
+        ).alias("sketch_ok"),
+    ).orderBy("grp")

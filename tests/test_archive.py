@@ -23,17 +23,32 @@ from acousticbrainz_server_spark.sources.dumps import SCHEMA_VERSION, dump_table
 SF = "/root/testdata/sf0.001"
 
 
+def _open_archive_stream(archive_path: str):
+    """Stream the container the way the reference import does (zstd
+    --decompress --stdout | tar r|, db/dump.py:451-460) — falling back to a
+    direct read when the zstd binary is absent from the environment, in
+    which case the packager wrote an uncompressed tar with the identical
+    member layout (sources/archive.py module doc).  The parity surface
+    under test — member list, stamp order, split numbering — is the same
+    either way."""
+    import shutil
+
+    if shutil.which("zstd") is not None:
+        zstd = subprocess.Popen(
+            ["zstd", "--decompress", "--stdout", archive_path],
+            stdout=subprocess.PIPE,
+        )
+        return zstd.stdout, zstd
+    return open(archive_path, "rb"), None
+
+
 def _member_names(archive_path: str) -> list[str]:
-    """Stream member names the way the reference import does
-    (zstd --decompress --stdout | tar r|, db/dump.py:451-460)."""
-    zstd = subprocess.Popen(
-        ["zstd", "--decompress", "--stdout", archive_path],
-        stdout=subprocess.PIPE,
-    )
-    with tarfile.open(fileobj=zstd.stdout, mode="r|") as tar:
+    stream, proc = _open_archive_stream(archive_path)
+    with tarfile.open(fileobj=stream, mode="r|") as tar:
         names = [m.name for m in tar]
-    zstd.stdout.close()
-    zstd.wait()
+    stream.close()
+    if proc is not None:
+        proc.wait()
     return names
 
 
@@ -79,17 +94,16 @@ def test_member_layout_parity(packaged):
 
 def test_stamp_contents(packaged):
     _, archive, _, _, _ = packaged
-    zstd = subprocess.Popen(
-        ["zstd", "--decompress", "--stdout", archive], stdout=subprocess.PIPE
-    )
+    stream, proc = _open_archive_stream(archive)
     seen = {}
-    with tarfile.open(fileobj=zstd.stdout, mode="r|") as tar:
+    with tarfile.open(fileobj=stream, mode="r|") as tar:
         for m in tar:
             base = m.name.split("/")[-1]
             if base in ("SCHEMA_SEQUENCE", "TIMESTAMP", "COPYING"):
                 seen[base] = tar.extractfile(m).read().decode()
-    zstd.stdout.close()
-    zstd.wait()
+    stream.close()
+    if proc is not None:
+        proc.wait()
     assert seen["SCHEMA_SEQUENCE"] == str(SCHEMA_VERSION)
     # db/dump.py:998-1002: isoformat with a space separator
     assert seen["TIMESTAMP"] == "2015-01-01 12:00:00"

@@ -220,3 +220,59 @@ def test_q19_brand_bands_match_pandas(spark):
     assert out["revenue"] == pytest.approx(
         (sel["l_extendedprice"] * (1 - sel["l_discount"])).sum(), abs=0.02
     )
+
+
+# ------------------------------------------------------- Observation API
+
+
+def test_observed_quality_gate_matches_recount(spark):
+    """The observe()-collected metrics equal a plain two-pass recount, and
+    the gate's internal consistency holds (kept <= scanned, ratio exact)."""
+    out = QUERIES["observed_quality_gate"].spark_fn(spark, SF_SMOKE).toPandas().iloc[0]
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["text", "n_chars"])
+    import re as _re
+
+    alpha = docs["text"].map(
+        lambda t: len(_re.sub("[^A-Za-z]", "", t)) / max(len(t), 1)
+    )
+    kept = docs[(docs["n_chars"] >= 120) & (alpha >= 0.55)]
+    assert int(out["n_scanned"]) == len(docs)
+    assert int(out["n_kept"]) == len(kept)
+    assert int(out["kept_chars"]) == int(kept["n_chars"].sum())
+    assert 0 < out["kept_ratio"] <= 1
+    assert out["kept_ratio"] == pytest.approx(len(kept) / len(docs), abs=1e-4)
+
+
+# ------------------------------------------------- window-rank / HLL merge
+
+
+def test_window_rank_suite_invariants(spark):
+    """percent_rank in [0,1] with exactly one 0 per nation, cume_dist ends
+    at 1, quartiles balanced within 1, and nth_value(3) equals the nation's
+    3rd-highest spend."""
+    out = QUERIES["window_rank_suite"].spark_fn(spark, SF_SMOKE).toPandas()
+    for nk, g in out.groupby("c_nationkey"):
+        g = g.sort_values(["pct_rank", "c_custkey"]).reset_index(drop=True)
+        assert g["pct_rank"].iloc[0] == 0.0
+        assert g["pct_rank"].between(0, 1).all()
+        assert g["cume"].iloc[-1] == pytest.approx(1.0)
+        sizes = g["quartile"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        spends = sorted(g["spend"], reverse=True)
+        third = spends[2] if len(spends) >= 3 else None
+        got_third = g["nation_third_spend"].iloc[0]
+        if third is None:
+            assert pd.isna(got_third)
+        else:
+            assert got_third == pytest.approx(third)
+
+
+def test_hll_merge_estimate_close_to_union(spark):
+    """The union-of-binaries estimate tracks the true merged distinct count
+    within the documented band (the sketch_ok column the oracle gates), and
+    per-flag exacts sum to >= the merged exact (overlap)."""
+    out = QUERIES["hll_partition_merge"].spark_fn(spark, SF_SMOKE).toPandas()
+    assert out["sketch_ok"].all()
+    merged = out[out["grp"] == "__merged__"]["n_exact"].iloc[0]
+    flags = out[out["grp"] != "__merged__"]["n_exact"]
+    assert flags.sum() >= merged >= flags.max()
