@@ -723,3 +723,144 @@ def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# CDC — content-defined chunking dedup (the Rabin/FastCDC family: LBFS,
+# Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. ATC'16).  Chunk
+# boundaries are picked by CONTENT (a rolling window hash hitting a
+# divisor), not by offset, so an insertion near the top of a document
+# shifts every byte yet leaves all downstream chunk hashes intact — the
+# property fixed-size blocks lack and the reason storage dedup and
+# incremental corpus sync use CDC.  Here: an 8-char polynomial window
+# hash, boundary when h % DIV == 0, chunks hashed with md5 and counted
+# corpus-wide; the report is per-source chunk-level duplication.
+# Scale shape: the position explode is ONE codegen stage off the scan
+# (bounded 8 ascii+substr terms per position); chunk reassembly is a
+# per-doc window (partitioned by doc_id); the only corpus-wide shuffle
+# is the chunk-hash count — 16-byte keys, map-side combined.
+# Determinism: integer polynomial hash, md5 hex, integer counts; the one
+# ratio rounds from integer sums.
+# --------------------------------------------------------------------------------------
+_CDC_W = 8  # rolling window (chars)
+_CDC_P = 2147483647
+_CDC_DIV = 32  # boundary divisor -> ~32-char mean chunks on this corpus
+
+
+def _cdc_hash_spark(text, i):
+    h = F.lit(0).cast("long")
+    for j in range(_CDC_W):
+        h = h + F.ascii(F.substr(text, i + F.lit(j), F.lit(1))).cast("long") * F.lit(
+            31 ** (_CDC_W - 1 - j)
+        )
+    return h % F.lit(_CDC_P)
+
+
+def _cdc_hash_sql(text: str, i: str) -> str:
+    terms = " + ".join(
+        f"CAST(ord(substr({text}, ({i}) + {j}, 1)) AS BIGINT) * {31 ** (_CDC_W - 1 - j)}"
+        for j in range(_CDC_W)
+    )
+    return f"(({terms}) % {_CDC_P})"
+
+
+@query(
+    "cdc_chunk_dedup",
+    family="DEDUP,E2",
+    doc=f"Content-defined chunking (window {_CDC_W}, divisor {_CDC_DIV}) + "
+    "chunk-hash dedup: per-source chunk counts, corpus-wide duplicate "
+    "chunk instances, and the duplicated-byte ratio.",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, source, text, length(text) AS len FROM documents
+        ),
+        cuts AS (
+          SELECT doc_id, i
+          FROM (
+            SELECT doc_id, unnest(range(1, len - {_CDC_W - 2})) AS i, text
+            FROM d WHERE len >= {_CDC_W}
+          )
+          WHERE {_cdc_hash_sql('text', 'i')} % {_CDC_DIV} = 0
+        ),
+        spans AS (
+          SELECT doc_id,
+                 coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+                 i AS e
+          FROM cuts
+          UNION ALL
+          SELECT d.doc_id, coalesce(mc.mx, 0) + 1 AS s, d.len AS e
+          FROM d LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cuts GROUP BY doc_id) mc
+            ON mc.doc_id = d.doc_id
+          WHERE coalesce(mc.mx, 0) < d.len
+        ),
+        chunks AS (
+          SELECT d.source, md5(substr(d.text, sp.s, sp.e - sp.s + 1)) AS ch,
+                 sp.e - sp.s + 1 AS nbytes
+          FROM spans sp JOIN d ON d.doc_id = sp.doc_id
+        ),
+        freq AS (SELECT ch, count(*) AS n FROM chunks GROUP BY ch)
+        SELECT c.source,
+               count(*) AS n_chunks,
+               CAST(sum(c.nbytes) AS BIGINT) AS n_bytes,
+               count(*) FILTER (WHERE f.n > 1) AS dup_chunks,
+               {sql_round_half_up(
+                   'CAST(coalesce(sum(c.nbytes) FILTER (WHERE f.n > 1), 0) AS DOUBLE)'
+                   ' / sum(c.nbytes)', 4)} AS dup_byte_ratio
+        FROM chunks c JOIN freq f ON f.ch = c.ch
+        GROUP BY c.source
+        ORDER BY c.source
+    """,
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import repartition_if_narrow
+
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text", F.length("text").alias("len")
+    )
+    long_docs = d.filter(F.col("len") >= _CDC_W)
+    pos = long_docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.col("len") - _CDC_W + 1)).alias("i"),
+    )
+    cuts = pos.filter(_cdc_hash_spark(F.col("text"), F.col("i")) % _CDC_DIV == 0).select(
+        "doc_id", "i"
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("i")
+    mid = cuts.select(
+        "doc_id",
+        (F.coalesce(F.lag("i").over(wd), F.lit(0)) + 1).alias("s"),
+        F.col("i").alias("e"),
+    )
+    mx = cuts.groupBy("doc_id").agg(F.max("i").alias("mx"))
+    tail = (
+        d.join(mx, "doc_id", "left")
+        .withColumn("mx", F.coalesce(F.col("mx"), F.lit(0)))
+        .filter(F.col("mx") < F.col("len"))
+        .select("doc_id", (F.col("mx") + 1).alias("s"), F.col("len").alias("e"))
+    )
+    spans = mid.unionByName(tail)
+    chunks = spans.join(d, "doc_id").select(
+        "source",
+        F.md5(F.substr("text", F.col("s"), F.col("e") - F.col("s") + 1)).alias("ch"),
+        (F.col("e") - F.col("s") + 1).alias("nbytes"),
+    )
+    freq = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    j = chunks.join(freq, "ch")
+    dup = F.col("n") > 1
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("nbytes").cast("long").alias("n_bytes"),
+            F.count(F.when(dup, 1)).alias("dup_chunks"),
+            round_half_up(
+                F.coalesce(F.sum(F.when(dup, F.col("nbytes"))), F.lit(0)).cast("double")
+                / F.sum("nbytes"),
+                4,
+            ).alias("dup_byte_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -138,6 +138,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "observed_quality_gate",
     "window_rank_suite",
     "hll_partition_merge",
+    "cdc_chunk_dedup",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",
