@@ -57,6 +57,15 @@ TARGETS_DOCUMENTS = (
     "containment_neardup",
     "duplicate_span_report",
     "ngram_jaccard_neardup",
+    # r7 session-3: the sketch-quality eval joined the >2x tail at sf0.1
+    "simhash_recall_eval",
+    # r7 session-3: CDC chunking (position explode + chunk-hash shuffle)
+    "cdc_chunk_dedup",
+)
+TARGETS_EMBEDDINGS = (
+    # multi-stage serving pipeline (coarse assign + PQ encode + probe + ADC):
+    # per-stage floors at sf0.1; the encode/scan work grows linearly
+    "ann_ivf_pq_topk",
 )
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -124,6 +133,18 @@ def build_scaled() -> None:
         os.path.join(DST, "documents.parquet"),
     )
 
+    # embeddings: vec_id-shifted replicas (vectors repeat — the ANN serving
+    # cost is per-row encode/probe/ADC arithmetic, which only needs VOLUME;
+    # labels keep the class structure)
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    vid_span = pc.max(emb["vec_id"]).as_py() + 1
+    pq.write_table(
+        pa.concat_tables(
+            shifted(emb, k, [("vec_id", vid_span)]) for k in range(REPLICAS)
+        ),
+        os.path.join(DST, "embeddings.parquet"),
+    )
+
     for t in ALL_TABLES:
         p = os.path.join(DST, f"{t}.parquet")
         if not os.path.exists(p):
@@ -184,7 +205,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     report = {}
-    for name in TARGETS_LINEITEM + TARGETS_DOCUMENTS:
+    for name in TARGETS_LINEITEM + TARGETS_DOCUMENTS + TARGETS_EMBEDDINGS:
         if only and name not in only:
             continue
         spec = QUERIES[name]
