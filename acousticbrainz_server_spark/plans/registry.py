@@ -139,6 +139,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "window_rank_suite",
     "hll_partition_merge",
     "cdc_chunk_dedup",
+    "bitmap_distinct_rollup",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

@@ -671,3 +671,50 @@ def hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_HLL_BAND) * F.col("n_exact")
         ).alias("sketch_ok"),
     ).orderBy("grp")
+
+
+# --------------------------------------------------------------------------------------
+# Bitmap EXACT distinct — the third point on the distinct-count design
+# space (exact COUNT(DISTINCT) shuffles every key; HLL/KMV approximate in
+# O(sketch); Spark-4 bitmaps are EXACT in O(domain/8) bytes when the key
+# domain is dense integers — user ids, order keys).  Per (group, bucket)
+# the ids collapse to a 4KB bitmap via bitmap_construct_agg (map-side
+# combined like any aggregate), counts come from bitmap_count, and the
+# cross-group rollup ORs the bitmaps (bitmap_or_agg) — set algebra without
+# a rescan, like the HLL merge, but exact.  The oracle is plain
+# count(DISTINCT): the bitmap path must reproduce it bit-for-bit.
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_distinct_rollup",
+    family="A3,SKETCH,SET",
+    doc="Exact distinct users per event_type via Spark-4 bitmap aggregates "
+    "(bitmap_bit_position -> bitmap_construct_agg -> bitmap_count), plus "
+    "the '__all__' row from bitmap_or_agg over the per-type bitmaps — "
+    "mergeable EXACT distinct; the oracle is plain COUNT(DISTINCT).",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events
+        ORDER BY event_type
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = ev.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct")
+    )
+    # the union row never rescans events: per-bucket bitmaps OR together
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
+        .select(F.lit("__all__").alias("event_type"), "n_distinct")
+    )
+    return per_type.unionByName(merged).orderBy("event_type")

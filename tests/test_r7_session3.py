@@ -340,3 +340,20 @@ def test_cdc_boundary_shift_resistance():
         assert base[1:] == shifted[-(len(base) - 1):]
         checked += 1
     assert checked >= 5  # the corpus must actually exercise the property
+
+
+# ------------------------------------------------------------------ bitmap
+
+
+def test_bitmap_distinct_exactness(spark):
+    """Bitmap counts are EXACT (not estimates): per-type rows equal pandas
+    nunique, and the OR-merged '__all__' row equals the global nunique."""
+    out = QUERIES["bitmap_distinct_rollup"].spark_fn(spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type", "user_id"])
+    for _, r in out.iterrows():
+        if r["event_type"] == "__all__":
+            assert int(r["n_distinct"]) == ev["user_id"].nunique()
+        else:
+            assert int(r["n_distinct"]) == ev[ev["event_type"] == r["event_type"]][
+                "user_id"
+            ].nunique()
