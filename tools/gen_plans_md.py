@@ -28,6 +28,10 @@ PICKS = {
     "pmi_copurchase": "pairs stream from chained Generate nodes (no self-join); the basket exchange is runtime-reused by all three consumers (the static plan prints the subtree per consumer; the executed plan shows ReusedExchange); marginals attach via AQE-sized joins",
     "recursive_cte_reachability": "UnionLoop recursion over a once-materialized adjacency — iteration inside Catalyst",
     "paragraph_dedup": "narrow paragraph build; ONE shuffle on the 8-byte paragraph hash",
+    "mmr_diversified_rerank": "greedy MMR unrolled to three declarative steps; everything after the shortlist is broadcast k-row joins",
+    "cdc_chunk_dedup": "content-defined boundaries in one codegen stage off the scan; chunk-hash shuffle on 16-byte keys",
+    "countmin_heavy_counts": "posexplode feeds d sketch rows through ONE map-combined aggregate; probes join broadcast cells",
+    "bitmap_distinct_rollup": "exact distinct as mergeable per-bucket bitmaps; the union row ORs bitmaps, never rescans",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
