@@ -140,6 +140,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "hll_partition_merge",
     "cdc_chunk_dedup",
     "bitmap_distinct_rollup",
+    "skew_isolated_join",
+    "incremental_agg_merge",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

@@ -2669,3 +2669,144 @@ def brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# J1 + LAYOUT — skew-isolated join: the classic hot-key split.  AQE's
+# skew-join handles shuffle-side skew by splitting oversized partitions,
+# but the canonical manual pattern still matters at 100 TB when the hot
+# keys are known (catalog stats / heavy-hitter sketch): route the hot
+# keys' facts through a BROADCAST of just their dim rows (no shuffle at
+# all for the heavy mass), and only the cold long-tail through the
+# ordinary shuffle join.  The result must be EXACTLY the plain join —
+# the oracle enforces it.
+# --------------------------------------------------------------------------------------
+_SKEW_HOT_K = 5
+
+
+@query(
+    "skew_isolated_join",
+    family="J1,LAYOUT",
+    doc=f"events x customer with the top-{_SKEW_HOT_K} hottest user keys "
+    "routed through a broadcast-dim join (their dim rows only) and the "
+    "cold tail through the shuffle join; union then rollup per market "
+    "segment.  Identical output to the plain join by construction.",
+    oracle=f"""
+        WITH hot AS (
+          SELECT user_id FROM (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT {_SKEW_HOT_K}
+          )
+        )
+        SELECT c.c_mktsegment,
+               count(*) AS n_events,
+               {sql_round_half_up('sum(e.value)', 2)} AS sum_value,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+)
+def skew_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(_SKEW_HOT_K)
+        .select("user_id")
+    )
+    # hot path: facts for the heavy keys never shuffle — their (tiny) dim
+    # slice broadcasts onto them; at 100 TB this is the mass of the data
+    hot_dim = cust.join(
+        F.broadcast(hot.withColumnRenamed("user_id", "c_custkey")), "c_custkey", "left_semi"
+    )
+    hot_facts = ev.join(F.broadcast(hot), "user_id", "left_semi")
+    hot_joined = hot_facts.join(
+        F.broadcast(hot_dim), hot_facts.user_id == hot_dim.c_custkey
+    ).select("user_id", "value", "c_mktsegment")
+    # cold path: the long tail takes the ordinary shuffle join
+    cold_facts = ev.join(F.broadcast(hot), "user_id", "left_anti")
+    cold_joined = cold_facts.join(
+        cust, cold_facts.user_id == cust.c_custkey
+    ).select("user_id", "value", "c_mktsegment")
+    return (
+        hot_joined.unionByName(cold_joined)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# A-family — incremental aggregate-state MERGE: the materialized-view
+# maintenance discipline.  A 100 TB rollup is never recomputed from
+# scratch; yesterday's per-key state (count / sum / max — all mergeable
+# monoids) FULL-OUTER-merges with the delta batch's state.  The oracle
+# recomputes from the full table: merged-incremental == recomputed is
+# exactly the correctness contract of incremental maintenance.  Sums are
+# integer cents so the split point cannot introduce fp-order drift.
+# --------------------------------------------------------------------------------------
+_INC_SPLIT = "1999-01-01"
+_INC_TOP = 200
+
+
+@query(
+    "incremental_agg_merge",
+    family="A2,A8,CDC",
+    doc=f"Per-customer order state (n, sum cents, latest date) built as "
+    f"base (< {_INC_SPLIT}) MERGED with delta (>= {_INC_SPLIT}) via "
+    "full-outer monoid combination; must equal the full recompute "
+    f"(the oracle).  Top-{_INC_TOP} customers by (n, custkey).",
+    oracle=f"""
+        SELECT o_custkey,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+               max(o_orderdate) AS latest_order
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY n_orders DESC, o_custkey
+        LIMIT {_INC_TOP}
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    split = F.lit(_INC_SPLIT).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.max("o_orderdate").alias("m"),
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < split))
+    delta = state(o.filter(F.col("o_orderdate") >= split))
+    merged = (
+        base.withColumnsRenamed({"n": "n_b", "s": "s_b", "m": "m_b"})
+        .join(
+            delta.withColumnsRenamed({"n": "n_d", "s": "s_d", "m": "m_d"}),
+            "o_custkey",
+            "full_outer",
+        )
+        .select(
+            "o_custkey",
+            (F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))).alias(
+                "n_orders"
+            ),
+            (F.coalesce(F.col("s_b"), F.lit(0)) + F.coalesce(F.col("s_d"), F.lit(0))).alias(
+                "sum_cents"
+            ),
+            F.greatest(F.col("m_b"), F.col("m_d")).alias("latest_order"),
+        )
+    )
+    return merged.orderBy(F.desc("n_orders"), "o_custkey").limit(_INC_TOP)

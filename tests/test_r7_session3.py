@@ -357,3 +357,65 @@ def test_bitmap_distinct_exactness(spark):
             assert int(r["n_distinct"]) == ev[ev["event_type"] == r["event_type"]][
                 "user_id"
             ].nunique()
+
+
+def test_cdc_chunker_hypothesis():
+    """Randomized CDC invariants: chunks reassemble to the input exactly,
+    and prepending a prefix never changes any chunk after the first
+    boundary (hypothesis over random ascii-ish strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list("abcdefgh XYZ.,\n"))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=400), st.text(alphabet=alphabet, min_size=1, max_size=40))
+    def _run(text, prefix):
+        chunks = _cdc_chunks_py(text)
+        assert "".join(chunks) == text
+        assert all(chunks)  # no empty chunks
+        shifted = _cdc_chunks_py(prefix + text)
+        assert "".join(shifted) == prefix + text
+        if len(chunks) >= 2:
+            # every chunk after the first reappears as the shifted tail
+            assert shifted[-(len(chunks) - 1):] == chunks[1:]
+
+    _run()
+
+
+# ----------------------------------------- skew isolation / incremental merge
+
+
+def test_skew_split_is_exact_partition(spark):
+    """The hot/cold split is a disjoint cover: hot facts + cold facts ==
+    all facts, and the query equals a plain-join recompute in pandas."""
+    out = QUERIES["skew_isolated_join"].spark_fn(spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id", "value"])
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = ev.merge(cust, left_on="user_id", right_on="c_custkey")
+    want = j.groupby("c_mktsegment").agg(
+        n_events=("user_id", "size"), n_users=("user_id", "nunique")
+    )
+    got = out.set_index("c_mktsegment")
+    assert got["n_events"].to_dict() == want["n_events"].to_dict()
+    assert got["n_users"].to_dict() == want["n_users"].to_dict()
+    assert int(out["n_events"].sum()) == len(j)
+
+
+def test_incremental_merge_split_invariance(spark):
+    """The incremental-maintenance contract: merging base+delta states
+    must give the same answer for ANY split date — compare the registered
+    split against two alternate splits recomputed via the same plan."""
+    from acousticbrainz_server_spark.plans import relational as R
+
+    base_out = (
+        QUERIES["incremental_agg_merge"].spark_fn(spark, SF_SMOKE).toPandas()
+    )
+    orig = R._INC_SPLIT
+    try:
+        for alt in ("1996-06-15", "2001-01-01"):
+            R._INC_SPLIT = alt
+            alt_out = QUERIES["incremental_agg_merge"].spark_fn(spark, SF_SMOKE).toPandas()
+            pd.testing.assert_frame_equal(base_out, alt_out)
+    finally:
+        R._INC_SPLIT = orig
