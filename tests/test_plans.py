@@ -746,3 +746,50 @@ def test_containment_matches_bruteforce(spark):
                 assert (a, b) not in got
     assert (0, 1) in got  # the substring pair is directed: 0 inside 1, not 1 inside 0
     assert (1, 0) not in got
+
+
+def test_q19_part_envelope_prunes_broadcast_dim(spark):
+    """brand_quantity_revenue: the (brand, size) half of the disjunction
+    must reach the part scan as PushedFilters (Or(...)) so the broadcast
+    dim ships only candidate parts, and the join side stays broadcast."""
+    plan = _plan(QUERIES["brand_quantity_revenue"].spark_fn(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    part_scan_lines = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert part_scan_lines and "Or(" in part_scan_lines[0]
+
+
+def test_skew_split_hot_path_has_no_shuffle_join(spark):
+    """skew_isolated_join: the hot branch must be broadcast joins only;
+    the plan must contain NO sort-merge join for it (the cold tail may
+    plan either way under AQE)."""
+    plan = _plan(QUERIES["skew_isolated_join"].spark_fn(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2  # hot facts x hot dim + semis
+
+
+def test_cdc_single_scan_position_explode(spark):
+    """cdc_chunk_dedup: the boundary scan is ONE Generate (explode) off the
+    documents scan — no join in the position/hash stage; the chunk-hash
+    rollup aggregates with map-side combine."""
+    plan = _plan(QUERIES["cdc_chunk_dedup"].spark_fn(spark, SF_SMOKE))
+    assert "Generate explode" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_kmv_union_uses_take_ordered_not_global_window(spark):
+    """kmv_distinct_union: the union sketch's k global minima must come
+    from TakeOrderedAndProject (distributed top-k), never a
+    single-partition Window sort."""
+    plan = _plan(QUERIES["kmv_distinct_union"].spark_fn(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bitmap_rollup_merges_without_rescan(spark):
+    """bitmap_distinct_rollup: the union row must reuse the per-(type,
+    bucket) bitmap exchange, not rescan events.  AQE stitches ReusedExchange
+    at runtime, so execute first and inspect the final adaptive plan."""
+    df = QUERIES["bitmap_distinct_rollup"].spark_fn(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or plan.count("FileScan parquet") == 1
