@@ -2786,3 +2786,195 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.nth_value("spend", 3).over(wf).alias("nation_third_spend"),
     ).orderBy("c_nationkey", "pct_rank", "c_custkey")
+
+
+# --------------------------------------------------------------------------------------
+# RANK — RFM segmentation: the classic customer scoring (recency /
+# frequency / monetary quartiles composed into a segment code).  One
+# per-customer rollup, three ntile windows over it (each a total order
+# with custkey tie-break, so the bucket boundaries are cross-engine
+# deterministic), a string segment code out.  Scale: the windows rank the
+# AGGREGATED per-customer relation (one row per customer), partitionable
+# by any coarse key at 100 TB via the two-pass rank if customers outgrow
+# a sort — here the single-sort form is the honest small-table plan and
+# the rank<=k note in functions/rank.py documents the swap.
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segmentation",
+    family="RANK,A2",
+    doc="Per-customer RFM quartiles (recency by latest order date, "
+    "frequency by order count, monetary by cents sum; each ntile(4) over "
+    "a total order) composed into a 3-digit segment; output is the "
+    "segment distribution with averages.",
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 max(o_orderdate) AS last_order,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+          SELECT o_custkey, n_orders, cents,
+                 ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+                 ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+                 ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+          FROM per_cust
+        )
+        SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR)) AS segment,
+               count(*) AS n_customers,
+               {sql_round_half_up('avg(n_orders)', 4)} AS avg_orders,
+               {sql_round_half_up('avg(cents) / 100.0', 2)} AS avg_spend
+        FROM scored
+        GROUP BY segment
+        ORDER BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
+    # bounded-window: ranks the per-customer AGGREGATE (one row per
+    # customer, 1.5k-15k across scales); at true scale this swaps to the
+    # two-pass range-partitioned rank in functions/rank.py
+    wr = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    # bounded-window: same bounded per-customer aggregate as above
+    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    # bounded-window: same bounded per-customer aggregate as above
+    wm = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "n_orders",
+        "cents",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+            ).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round_half_up(F.avg("n_orders"), 4).alias("avg_orders"),
+            round_half_up(F.avg("cents") / 100.0, 2).alias("avg_spend"),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# RANK — top-k WITH TIES (rank() <= k), the ANSI FETCH FIRST k ROWS WITH
+# TIES semantic that row_number-based top-k silently breaks: when the
+# boundary value repeats, every peer must survive.  topk_per_group is the
+# row_number face; this is the ties face — both engines must agree on the
+# gap semantics too (1,1,3 — rank jumps past tie groups).
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "topk_with_ties",
+    family="RANK,W3",
+    doc="Per-priority three latest order DATES with ties kept (rank() "
+    "<= 3 over orderdate desc): tie groups survive whole and rank gaps "
+    "(1,1,3) are preserved; rollup = orders per surviving (priority, "
+    "date, rank).",
+    oracle="""
+        WITH r AS (
+          SELECT o_orderpriority, o_orderdate,
+                 rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate DESC) AS rnk
+          FROM orders
+        )
+        SELECT o_orderpriority, o_orderdate, CAST(rnk AS BIGINT) AS rnk,
+               count(*) AS n_orders
+        FROM r WHERE rnk <= 3
+        GROUP BY o_orderpriority, o_orderdate, rnk
+        ORDER BY o_orderpriority, rnk, o_orderdate
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderdate")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_orderdate"))
+    return (
+        o.withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("o_orderpriority", "o_orderdate", "rnk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority", "rnk", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# SEQ — cohort LTV curve: cumulative revenue per acquisition cohort by
+# customer age in months (cohort_retention's monetary sibling).  The
+# cohort month comes from a per-customer MIN, ages are integer month
+# arithmetic (identical in both engines — no interval types cross the
+# oracle), and the cumulative sum windows over the per-(cohort, age)
+# rollup — a relation bounded by months², never by customers.
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_curve",
+    family="SEQ,A8",
+    doc="Revenue LTV curve per acquisition cohort: integer cents summed "
+    "per (cohort month, age month), then a cumulative window per cohort "
+    "over the bounded age axis.",
+    oracle="""
+        WITH firsts AS (
+          SELECT o_custkey,
+                 min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+          FROM orders GROUP BY o_custkey
+        ),
+        facts AS (
+          SELECT f.cohort_m,
+                 (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m AS age_m,
+                 CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        ),
+        rolled AS (
+          SELECT cohort_m, age_m, count(*) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM facts GROUP BY cohort_m, age_m
+        )
+        SELECT CAST(cohort_m AS BIGINT) AS cohort_m, CAST(age_m AS BIGINT) AS age_m,
+               n_orders,
+               CAST(sum(cents) OVER (PARTITION BY cohort_m ORDER BY age_m) AS BIGINT) AS cum_cents
+        FROM rolled
+        ORDER BY cohort_m, age_m
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    facts = o.join(firsts, "o_custkey").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m"), "cents"
+    )
+    rolled = facts.groupBy("cohort_m", "age_m").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    return (
+        rolled.select(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            F.col("age_m").cast("long").alias("age_m"),
+            "n_orders",
+            F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        )
+        .orderBy("cohort_m", "age_m")
+    )

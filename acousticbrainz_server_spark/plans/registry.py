@@ -142,6 +142,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bitmap_distinct_rollup",
     "skew_isolated_join",
     "incremental_agg_merge",
+    "rfm_segmentation",
+    "topk_with_ties",
+    "cohort_ltv_curve",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

@@ -419,3 +419,51 @@ def test_incremental_merge_split_invariance(spark):
             pd.testing.assert_frame_equal(base_out, alt_out)
     finally:
         R._INC_SPLIT = orig
+
+
+# ------------------------------------------- RFM / ties / LTV invariants
+
+
+def test_rfm_quartiles_balanced_and_complete(spark):
+    out = QUERIES["rfm_segmentation"].spark_fn(spark, SF_SMOKE).toPandas()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_custkey"])
+    n_cust = orders["o_custkey"].nunique()
+    assert int(out["n_customers"].sum()) == n_cust
+    # every segment digit is a valid quartile
+    for seg in out["segment"]:
+        assert len(seg) == 3 and all(c in "1234" for c in seg)
+
+
+def test_topk_with_ties_keeps_peers(spark):
+    """Recompute with pandas: every order whose date ties a top-3 rank
+    date must appear; rank gaps preserved."""
+    out = QUERIES["topk_with_ties"].spark_fn(spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderpriority", "o_orderdate"])
+    for pri, g in o.groupby("o_orderpriority"):
+        dates = sorted(g["o_orderdate"].unique())[::-1]
+        got = out[out["o_orderpriority"] == pri].sort_values("o_orderdate", ascending=False)
+        # rank of the i-th distinct date = 1 + #orders on strictly later dates
+        counts = g["o_orderdate"].value_counts()
+        expect = []
+        before = 0
+        for d in dates:
+            rnk = before + 1
+            if rnk > 3:
+                break
+            expect.append((d, rnk, int(counts[d])))
+            before += int(counts[d])
+        assert [
+            (r["o_orderdate"], int(r["rnk"]), int(r["n_orders"]))
+            for _, r in got.sort_values(["rnk", "o_orderdate"]).iterrows()
+        ] == [(d, r, n) for d, r, n in sorted(expect, key=lambda x: (x[1], x[0]))]
+
+
+def test_cohort_ltv_monotone_and_totals(spark):
+    out = QUERIES["cohort_ltv_curve"].spark_fn(spark, SF_SMOKE).toPandas()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    total_cents = int(np.floor(orders["o_totalprice"] * 100 + 0.5).sum())
+    finals = out.sort_values("age_m").groupby("cohort_m")["cum_cents"].last()
+    assert int(finals.sum()) == total_cents
+    for _, g in out.groupby("cohort_m"):
+        c = g.sort_values("age_m")["cum_cents"].to_numpy()
+        assert (np.diff(c) > 0).all() or len(c) == 1
