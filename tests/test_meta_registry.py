@@ -1,0 +1,85 @@
+"""Registry-wide meta-tests: every entry must stay driver-consumable.
+
+The driver gate samples a prefix of the registry; a typo'd window name, an
+oracle that stopped parsing after a DuckDB upgrade, or a duplicate output
+column (the compare sorts columns by name) would silently weaken coverage.
+These checks run in seconds and pin the whole surface:
+
+- every DRIVER_ORDER_HEAD name is actually registered;
+- no duplicate registry names (the decorator raises, but HEAD typos don't);
+- every oracle EXPLAINs in DuckDB against the real sf0.001 views (parse +
+  bind + plan — no execution), so oracle SQL can't rot unnoticed;
+- every oracle projects no duplicate column names.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from acousticbrainz_server_spark.plans.registry import (
+    DRIVER_ORDER_HEAD,
+    QUERIES,
+    _load_all,
+)
+from acousticbrainz_server_spark.sources.tables import TESTDATA_TABLES
+from tests.conftest import SF_SMOKE
+
+_load_all()
+
+
+def test_driver_window_names_all_registered():
+    missing = [n for n in DRIVER_ORDER_HEAD if n not in QUERIES]
+    assert not missing, f"DRIVER_ORDER_HEAD typos: {missing}"
+
+
+def test_driver_window_has_no_duplicates():
+    seen, dups = set(), []
+    for n in DRIVER_ORDER_HEAD:
+        if n in seen:
+            dups.append(n)
+        seen.add(n)
+    assert not dups, f"duplicate window entries: {dups}"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_every_oracle_explains_in_duckdb(duck):
+    """Parse/bind/plan every oracle (EXPLAIN — no execution).  Catches SQL
+    rot, renamed fixture paths, and engine-version drift in one sweep."""
+    bad = []
+    for name, spec in sorted(QUERIES.items()):
+        if spec.oracle is None:
+            continue
+        try:
+            duck.execute(f"EXPLAIN {spec.oracle}")
+        except Exception as e:  # noqa: BLE001 — collecting the full report
+            bad.append(f"{name}: {type(e).__name__}: {str(e).splitlines()[0]}")
+    assert not bad, "oracles failing EXPLAIN:\n" + "\n".join(bad)
+
+
+def test_every_oracle_projects_unique_columns(duck):
+    """The driver compare sorts columns BY NAME before hashing — duplicate
+    names would make the hash ambiguous."""
+    bad = []
+    for name, spec in sorted(QUERIES.items()):
+        if spec.oracle is None:
+            continue
+        try:
+            cols = [d[0] for d in duck.execute(
+                f"SELECT * FROM ({spec.oracle}) LIMIT 0"
+            ).description]
+        except Exception:
+            continue  # covered by the EXPLAIN test
+        if len(cols) != len(set(cols)):
+            bad.append(f"{name}: {cols}")
+    assert not bad, "duplicate output columns:\n" + "\n".join(bad)
