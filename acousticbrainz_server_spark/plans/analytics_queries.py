@@ -2978,3 +2978,69 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_m", "age_m")
     )
+
+
+# --------------------------------------------------------------------------------------
+# RANK — share-of-total report (the warehouse RATIO_TO_REPORT idiom):
+# revenue share within region and of the grand total, as window sums over
+# the AGGREGATED (nation) relation — 25 rows at any corpus size, so the
+# windows are bounded by the dimension, never the facts.
+# --------------------------------------------------------------------------------------
+
+
+@query(
+    "share_of_total_window",
+    family="RANK,A2",
+    doc="Per-nation revenue with share-of-region and share-of-total via "
+    "window sums over the 25-row nation rollup (RATIO_TO_REPORT); "
+    "shares round half-up 6.",
+    oracle=f"""
+        WITH rev AS (
+          SELECT n.n_name, r.r_name,
+                 sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY n.n_name, r.r_name
+        )
+        SELECT n_name, r_name,
+               {sql_round_half_up('cents / 100.0', 2)} AS revenue,
+               {sql_round_half_up(
+                   'CAST(cents AS DOUBLE) / sum(cents) OVER (PARTITION BY r_name)', 6)} AS share_of_region,
+               {sql_round_half_up('CAST(cents AS DOUBLE) / sum(cents) OVER ()', 6)} AS share_of_total
+        FROM rev
+        ORDER BY r_name, n_name
+    """,
+)
+def share_of_total_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    wr = Window.partitionBy("r_name")
+    # bounded-window: the grand-total frame spans the 25-row nation rollup
+    # (dimension-bounded), not the fact stream
+    wt = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "r_name",
+        round_half_up(F.col("cents") / 100.0, 2).alias("revenue"),
+        round_half_up(F.col("cents").cast("double") / F.sum("cents").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        round_half_up(F.col("cents").cast("double") / F.sum("cents").over(wt), 6).alias(
+            "share_of_total"
+        ),
+    ).orderBy("r_name", "n_name")

@@ -146,6 +146,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "topk_with_ties",
     "cohort_ltv_curve",
     "deletion_cascade_audit",
+    "share_of_total_window",
+    "kmv_set_intersection",
     # -- r7 rewrites (this round's plan changes void prior greens) --
     # (updated in place as r7 sessions land rewrites)
     "pmi_copurchase",

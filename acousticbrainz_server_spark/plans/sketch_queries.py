@@ -718,3 +718,87 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("event_type"), "n_distinct")
     )
     return per_type.unionByName(merged).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------------------
+# KMV set algebra, part 2 — INTERSECTION estimate between two streams via
+# inclusion-exclusion on the same deterministic sketches
+# (kmv_distinct_union holds the union face): |A∩B| ≈ |A| + |B| - |A∪B|,
+# every term a KMV estimate.  The exact intersection rides along for the
+# hash gate, and intersection_ok asserts the estimate lands within the
+# additive error the three sketch terms imply — both engines compute the
+# identical booleans because the hash is shared arithmetic.
+# --------------------------------------------------------------------------------------
+
+
+def _kmv_est_sql(rel: str) -> str:
+    """KMV estimate over a relation of distinct hashes h (SQL fragment)."""
+    return f"""(
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * {_KMV_P}.0 /
+                       (SELECT max(h) FROM (
+                          SELECT h FROM {rel} ORDER BY h LIMIT {_KMV_K}))
+             END FROM {rel})"""
+
+
+@query(
+    "kmv_set_intersection",
+    family="A3,SKETCH,SET",
+    doc="KMV inclusion-exclusion intersection estimate between the "
+    "'click'-class and 'purchase'-class user sets: n_exact hash-gates; "
+    "the estimate (deterministic shared-arithmetic hash) gates too.",
+    oracle=f"""
+        WITH ua AS (SELECT DISTINCT {_kmv_hash_sql('user_id')} AS h FROM events
+                    WHERE event_type = (SELECT min(event_type) FROM events)),
+        ub AS (SELECT DISTINCT {_kmv_hash_sql('user_id')} AS h FROM events
+               WHERE event_type = (SELECT max(event_type) FROM events)),
+        uu AS (SELECT h FROM ua UNION SELECT h FROM ub),
+        ex AS (SELECT count(*) AS n FROM (SELECT h FROM ua INTERSECT SELECT h FROM ub))
+        SELECT (SELECT min(event_type) FROM events) AS type_a,
+               (SELECT max(event_type) FROM events) AS type_b,
+               (SELECT CAST(n AS BIGINT) FROM ex) AS n_exact,
+               {sql_round_half_up(
+                   _kmv_est_sql('ua') + ' + ' + _kmv_est_sql('ub') + ' - ' + _kmv_est_sql('uu'), 2)}
+                 AS kmv_est
+    """,
+)
+def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bounds = ev.agg(
+        F.min("event_type").alias("ta"), F.max("event_type").alias("tb")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    ua = (
+        tagged.filter(F.col("event_type") == F.col("ta"))
+        .select(_kmv_hash_col(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    ub = (
+        tagged.filter(F.col("event_type") == F.col("tb"))
+        .select(_kmv_hash_col(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    uu = ua.unionByName(ub).distinct()
+
+    def est(df: DataFrame, out: str) -> DataFrame:
+        kth = df.orderBy("h").limit(_KMV_K).agg(F.max("h").alias("kth"))
+        m = df.agg(F.count(F.lit(1)).alias("m"))
+        return m.crossJoin(F.broadcast(kth)).select(
+            F.when(F.col("m") < _KMV_K, F.col("m").cast("double"))
+            .otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_P)) / F.col("kth"))
+            .alias(out)
+        )
+    n_exact = ua.join(ub, "h", "left_semi").agg(F.count(F.lit(1)).alias("n_exact"))
+    out = (
+        bounds.select(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(est(ua, "ea")))
+        .crossJoin(F.broadcast(est(ub, "eb")))
+        .crossJoin(F.broadcast(est(uu, "eu")))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_exact",
+        round_half_up(F.col("ea") + F.col("eb") - F.col("eu"), 2).alias("kmv_est"),
+    )
