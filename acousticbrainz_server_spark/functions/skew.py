@@ -43,6 +43,45 @@ def salted_join(
     return salted_big.join(salted_small, [on, "_salt"], how).drop("_salt")
 
 
+def hot_cold_split_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    fact_key: str,
+    dim_key: str,
+    hot_keys: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The known-hot-key split: route the hot keys' facts through an
+    all-broadcast path and only the cold long tail through the shuffle join.
+
+    AQE's skew-join splits oversized SHUFFLE partitions, but when the hot
+    keys are known up front (catalog stats, a heavy-hitter sketch) the
+    stronger plan is to never shuffle the heavy mass at all: semi-join the
+    facts against the broadcast hot-key set, broadcast just those keys' dim
+    rows onto them, and let only the tail take the ordinary join.  Returns
+    ``(hot_joined, cold_joined)`` — the caller unions and aggregates; the
+    pair is exactly equivalent to ``facts JOIN dim ON fact_key = dim_key``.
+
+    ``hot_keys`` is a small (broadcastable) single-column DataFrame of key
+    values; its column name is irrelevant.
+
+    Plan contract (pinned by tests/test_plans.py): the hot branch contains
+    ONLY BroadcastHashJoins — no sort-merge join, no exchange of the hot
+    facts.
+    """
+    hot = hot_keys.select(F.col(hot_keys.columns[0]).alias(fact_key))
+    hot_dim = dim.join(
+        F.broadcast(hot.withColumnRenamed(fact_key, dim_key)), dim_key, "left_semi"
+    )
+    hot_facts = facts.join(F.broadcast(hot), fact_key, "left_semi")
+    hot_joined = hot_facts.join(
+        F.broadcast(hot_dim), hot_facts[fact_key] == hot_dim[dim_key]
+    )
+    cold_facts = facts.join(F.broadcast(hot), fact_key, "left_anti")
+    cold_joined = cold_facts.join(dim, cold_facts[fact_key] == dim[dim_key])
+    return hot_joined, cold_joined
+
+
 def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
     """Two-phase count per key: partial counts on (key, salt), final sum on
     key.  For algebraic aggregates Spark's partial aggregation already does

@@ -1253,13 +1253,17 @@ def observed_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit needs no second scan; downstream stages would consume `gated`
     gated.write.format("noop").mode("overwrite").save()
     m = {**pre.get, **post.get}
+    # Mirror the oracle's NULL handling on the empty edge cases: sum/avg over
+    # zero kept rows observe as None (oracle: coalesce(sum,0) / NULL avg), and
+    # an empty table makes the ratio NULL rather than raising ZeroDivisionError.
+    n_scanned, n_kept = int(m["n_scanned"]), int(m["n_kept"])
     row = [
         (
-            int(m["n_scanned"]),
-            int(m["n_kept"]),
-            int(m["kept_chars"]),
-            float(m["kept_alpha_mean"]),
-            m["n_kept"] / m["n_scanned"],
+            n_scanned,
+            n_kept,
+            int(m["kept_chars"] or 0),
+            float(m["kept_alpha_mean"]) if n_kept > 0 else None,
+            n_kept / n_scanned if n_scanned > 0 else None,
         )
     ]
     out = spark.createDataFrame(

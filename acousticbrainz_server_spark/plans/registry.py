@@ -76,80 +76,22 @@ def _load_all() -> None:
 # green the packed-lane rewrite voids).  Names absent from this list keep
 # registration order after it; names listed but not registered are ignored.
 #
-# ROUND-7 WINDOW (the r6 verdict's #1 item): the 21 queries with no valid
-# driver row — 19 new-in-r6 (dump archive, TPC-H Q18/Q21/Q22 shapes,
-# paragraph dedup, Welch t-test, Adamic-Adar, VARIANT, recursive CTE,
-# XML, UDTF, k-core, Benford, fuzzy blocking, transpose, streaming Python
-# source, MinHash recall eval, WAV/PGM codecs) + the 2 rewritten simhash
-# plans.  Next come the 11 NEW-in-r7 queries (simhash recall eval, TPC-H
-# Q5/Q7/Q10/Q14/Q15/Q16 shapes, interval merge, Matryoshka recall, Zipf
-# fit, native session_window) and the 7 r7 plan rewrites (rewrite voids
-# green); the remaining slots rotate re-checks of the oldest greens (the
-# r3-green vector/text tail, then the r2 relational core).  After this
-# window every pre-r7 query has a driver CORRECTNESS row and no
-# rewrite-voided green is outstanding.
+# ROUND-8 WINDOW (the r7 verdict's #1 item): the r7 gate sampled positions
+# 0-49 and stopped at rfm_segmentation, leaving exactly 12 queries without
+# a currently-valid driver row — the 7 r7 plan rewrites (rewrite voids the
+# older green) and the 5 post-close additions the driver never sampled.
+# They go FIRST.  Next the 3 queries whose plans this round touches
+# (mmr_diversified_rerank: shared _MMR_MU literal; observed_quality_gate:
+# oracle-mirroring null handling; skew_isolated_join: refactor onto
+# functions/skew.hot_cold_split_join) plus any new r8 queries, then the
+# rotation fills remaining slots with the oldest greens (r3 vector/text
+# tail, then the r2 relational core).  After this window every registered
+# query holds a CURRENTLY-VALID driver row.  History: r1-r2 relational/
+# vector core; r3 extensions; r4 re-checks + sketches/streaming; r5
+# export/ingest + 43 extensions; r6 the 47 session-2/3 additions; r7 the
+# 19 r6-new + simhash rewrites + 29 r7-new (50/50 green).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- round 7 window: the 19 never-driver-checked (new in r6) --
-    "dump_archive_roundtrip",
-    "large_order_customers",
-    "dormant_rich_customers",
-    "slow_fulfillment_suppliers",
-    "paragraph_dedup",
-    "ab_welch_ttest",
-    "link_prediction_adamic_adar",
-    "variant_props_rollup",
-    "recursive_cte_reachability",
-    "xml_roundtrip",
-    "python_udtf_chunk_profile",
-    "kcore_peeling",
-    "benford_digit_profile",
-    "fuzzy_name_match_report",
-    "transpose_metrics_matrix",
-    "streaming_python_source_rollup",
-    "minhash_recall_eval",
-    "wav_decode_features",
-    "pgm_decode_features",
-    # -- r5 greens voided by the r6 packed-lane rewrite --
-    "simhash_fingerprint",
-    "simhash_neardup",
-    # -- new in r7 --
-    "simhash_recall_eval",
-    "top_supplier_revenue",
-    "part_supplier_diversity",
-    "interval_merge_spans",
-    "matryoshka_recall_eval",
-    "zipf_token_slope",
-    "regional_supplier_volume",
-    "nation_trade_volume",
-    "returned_item_losses",
-    "promo_revenue_share",
-    "customer_order_distribution",
-    "session_window_native",
-    # -- new in r7 session 3 --
-    "order_priority_check",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "product_type_profit",
-    "brand_quantity_revenue",
-    "countmin_heavy_counts",
-    "kmv_distinct_union",
-    "chisquare_independence",
-    "mmr_diversified_rerank",
-    "observed_quality_gate",
-    "window_rank_suite",
-    "hll_partition_merge",
-    "cdc_chunk_dedup",
-    "bitmap_distinct_rollup",
-    "skew_isolated_join",
-    "incremental_agg_merge",
-    "rfm_segmentation",
-    "topk_with_ties",
-    "cohort_ltv_curve",
-    "deletion_cascade_audit",
-    "share_of_total_window",
-    "kmv_set_intersection",
-    # -- r7 rewrites (this round's plan changes void prior greens) --
-    # (updated in place as r7 sessions land rewrites)
+    # -- the 7 r7 plan rewrites whose older greens the rewrite voided --
     "pmi_copurchase",
     "triangle_count",
     "prefix_filter_jaccard",
@@ -157,6 +99,19 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "containment_neardup",
     "duplicate_span_report",
     "benchmark_contamination",
+    # -- the 5 post-r7-close additions the driver has never sampled --
+    "topk_with_ties",
+    "cohort_ltv_curve",
+    "deletion_cascade_audit",
+    "share_of_total_window",
+    "kmv_set_intersection",
+    # -- r8 plan touches (this round's changes void the r7 greens) --
+    "mmr_diversified_rerank",
+    "observed_quality_gate",
+    "skew_isolated_join",
+    "bm25_retrieval",
+    # -- new in r8 --
+    # (updated in place as r8 sessions land queries)
     # -- rotation: oldest greens age back in (r3 vector/text tail, then
     #    the r2 relational core) --
     "knn_exact_topk",
@@ -192,6 +147,8 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "topk_per_group",
     "cohort_retention",
     "semi_join_window",
+    "content_hash_dedup",
+    "first_per_key_dedup",
 )
 
 

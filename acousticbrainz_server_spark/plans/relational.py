@@ -2718,19 +2718,15 @@ def skew_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     # hot path: facts for the heavy keys never shuffle — their (tiny) dim
-    # slice broadcasts onto them; at 100 TB this is the mass of the data
-    hot_dim = cust.join(
-        F.broadcast(hot.withColumnRenamed("user_id", "c_custkey")), "c_custkey", "left_semi"
+    # slice broadcasts onto them; at 100 TB this is the mass of the data.
+    # cold path: the long tail takes the ordinary shuffle join.
+    from ..functions.skew import hot_cold_split_join
+
+    hot_j, cold_j = hot_cold_split_join(
+        ev, cust, fact_key="user_id", dim_key="c_custkey", hot_keys=hot
     )
-    hot_facts = ev.join(F.broadcast(hot), "user_id", "left_semi")
-    hot_joined = hot_facts.join(
-        F.broadcast(hot_dim), hot_facts.user_id == hot_dim.c_custkey
-    ).select("user_id", "value", "c_mktsegment")
-    # cold path: the long tail takes the ordinary shuffle join
-    cold_facts = ev.join(F.broadcast(hot), "user_id", "left_anti")
-    cold_joined = cold_facts.join(
-        cust, cold_facts.user_id == cust.c_custkey
-    ).select("user_id", "value", "c_mktsegment")
+    hot_joined = hot_j.select("user_id", "value", "c_mktsegment")
+    cold_joined = cold_j.select("user_id", "value", "c_mktsegment")
     return (
         hot_joined.unionByName(cold_joined)
         .groupBy("c_mktsegment")

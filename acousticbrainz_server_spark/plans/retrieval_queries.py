@@ -275,6 +275,14 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_QIDS = (10, 20, 30)
 _MMR_SHORTLIST = 20
 _MMR_LAMBDA = 0.7
+# Diversity weight as its OWN literal, not computed 1 - λ: Spark's
+# F.lit(1.0 - 0.7) is 0.30000000000000004 while the oracle's parsed "0.3"
+# is a different double, and with 4-decimal-quantized rel/sim the score
+# 0.7*rel - μ*sim can land exactly on the floor(x*1e4+0.5) boundary where
+# one ulp flips the rounded score (and thus the greedy argmax).  Both
+# engines must multiply by the IDENTICAL double: F.lit(_MMR_MU) on the
+# Spark side, repr(_MMR_MU) in the oracle f-string.
+_MMR_MU = 0.3
 
 
 def _mmr_cos_sql(a: str, b: str) -> str:
@@ -319,10 +327,10 @@ def _mmr_cos_sql(a: str, b: str) -> str:
         c2 AS (
           SELECT sl.qid, sl.cid,
                  {sql_round_half_up(
-                     f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * sm.sim', 4)} AS score,
+                     f'{_MMR_LAMBDA} * sl.rel - {_MMR_MU!r} * sm.sim', 4)} AS score,
                  row_number() OVER (PARTITION BY sl.qid ORDER BY
                      {sql_round_half_up(
-                         f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * sm.sim', 4)} DESC,
+                         f'{_MMR_LAMBDA} * sl.rel - {_MMR_MU!r} * sm.sim', 4)} DESC,
                      sl.cid) AS rn2
           FROM shortlist sl
           JOIN s1 ON s1.qid = sl.qid AND sl.cid <> s1.s1
@@ -332,10 +340,10 @@ def _mmr_cos_sql(a: str, b: str) -> str:
         c3 AS (
           SELECT sl.qid, sl.cid,
                  {sql_round_half_up(
-                     f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * greatest(sm1.sim, sm2.sim)', 4)} AS score,
+                     f'{_MMR_LAMBDA} * sl.rel - {_MMR_MU!r} * greatest(sm1.sim, sm2.sim)', 4)} AS score,
                  row_number() OVER (PARTITION BY sl.qid ORDER BY
                      {sql_round_half_up(
-                         f'{_MMR_LAMBDA} * sl.rel - {1 - _MMR_LAMBDA:.1f} * greatest(sm1.sim, sm2.sim)', 4)} DESC,
+                         f'{_MMR_LAMBDA} * sl.rel - {_MMR_MU!r} * greatest(sm1.sim, sm2.sim)', 4)} DESC,
                      sl.cid) AS rn3
           FROM shortlist sl
           JOIN s1 ON s1.qid = sl.qid AND sl.cid <> s1.s1
@@ -360,7 +368,7 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("vec_id").isin(*_MMR_QIDS)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    lam, mu = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
+    lam, mu = F.lit(_MMR_LAMBDA), F.lit(_MMR_MU)
 
     # relevance scan: brute-force cosine vs the 3 broadcast query vectors —
     # the ANN baseline shape (swap in the IVF shortlist at corpus scale)

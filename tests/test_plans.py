@@ -761,9 +761,30 @@ def test_q19_part_envelope_prunes_broadcast_dim(spark):
 
 
 def test_skew_split_hot_path_has_no_shuffle_join(spark):
-    """skew_isolated_join: the hot branch must be broadcast joins only;
-    the plan must contain NO sort-merge join for it (the cold tail may
-    plan either way under AQE)."""
+    """skew_isolated_join: the hot branch must be broadcast joins only —
+    build the hot sub-plan separately via the shared planner and assert it
+    contains NO sort-merge join at all (the cold tail may plan either way
+    under AQE)."""
+    from acousticbrainz_server_spark.functions.skew import hot_cold_split_join
+    from acousticbrainz_server_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    cust = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(5)
+        .select("user_id")
+    )
+    hot_j, cold_j = hot_cold_split_join(
+        ev, cust, fact_key="user_id", dim_key="c_custkey", hot_keys=hot
+    )
+    hot_plan = _plan(hot_j)
+    assert "SortMergeJoin" not in hot_plan  # the docstring's actual invariant
+    assert "BroadcastHashJoin" in hot_plan
+    # whole-query sanity: the registered plan keeps the broadcast pair
     plan = _plan(QUERIES["skew_isolated_join"].spark_fn(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2  # hot facts x hot dim + semis
 

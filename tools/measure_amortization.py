@@ -61,6 +61,11 @@ TARGETS_DOCUMENTS = (
     "simhash_recall_eval",
     # r7 session-3: CDC chunking (position explode + chunk-hash shuffle)
     "cdc_chunk_dedup",
+    # r8: crossed 2x at sf0.1 in the r7 judge run (1.35s vs 0.576s) — the
+    # only compute-tail member without a measured curve.  Dominant cost is
+    # the tokenize+count pass (dl/avgdl over every doc), which grows
+    # linearly; the posting rows stay bounded by the query-term dimension.
+    "bm25_retrieval",
 )
 TARGETS_EMBEDDINGS = (
     # multi-stage serving pipeline (coarse assign + PQ encode + probe + ADC):
