@@ -80,10 +80,11 @@ def _load_all() -> None:
 # 0-49 and stopped at rfm_segmentation, leaving exactly 12 queries without
 # a currently-valid driver row — the 7 r7 plan rewrites (rewrite voids the
 # older green) and the 5 post-close additions the driver never sampled.
-# They go FIRST.  Next the 3 queries whose plans this round touches
+# They go FIRST.  Next the queries whose plans this round touches
 # (mmr_diversified_rerank: shared _MMR_MU literal; observed_quality_gate:
 # oracle-mirroring null handling; skew_isolated_join: refactor onto
-# functions/skew.hot_cold_split_join) plus any new r8 queries, then the
+# functions/skew.hot_cold_split_join; bm25_retrieval + rrf_hybrid_search:
+# zero-token-shuffle postings rewrite) plus any new r8 queries, then the
 # rotation fills remaining slots with the oldest greens (r3 vector/text
 # tail, then the r2 relational core).  After this window every registered
 # query holds a CURRENTLY-VALID driver row.  History: r1-r2 relational/
@@ -110,6 +111,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "observed_quality_gate",
     "skew_isolated_join",
     "bm25_retrieval",
+    "rrf_hybrid_search",
     # -- new in r8 --
     # (updated in place as r8 sessions land queries)
     # -- rotation: oldest greens age back in (r3 vector/text tail, then

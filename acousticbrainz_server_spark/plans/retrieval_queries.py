@@ -36,37 +36,74 @@ _DENSE_QUERY_VEC = 0  # vec_id whose embedding is the dense query
 _TOPN = 50
 
 
-def _tf_dl(d: DataFrame, terms: list[str]) -> tuple[DataFrame, DataFrame]:
-    """(tf, dl) from ONE token explode and ONE shuffle.
+def _term_count(toks, term: str):
+    """Occurrences of one literal term in the token array — a codegen array
+    scan, no explode, no shuffle."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
-    Non-query terms are masked to NULL before the (doc, term) aggregate, so
-    the single grouped pass yields both the per-doc matched-term frequencies
-    (rows with a term) and the total document length (sum of all counts per
-    doc).  The previous shape ran the explode twice — once for dl, once
-    semi-join-filtered for tf — doubling the scan+explode cost that
-    dominates this query.  The masked literal IN stays in whole-stage
-    codegen (the query-term set is a handful of literals; no join needed).
+
+def _postings(d: DataFrame, qterms: list[tuple[int, str]]) -> tuple[DataFrame, DataFrame]:
+    """(tf, stats) with ZERO token-level shuffles.
+
+    The query-term set is a plan-time literal, so per-term frequencies are
+    per-doc array expressions (``size(filter(tokens, = term))``) in the one
+    scan projection — no token ever leaves its scan task.  ``stats`` folds
+    the corpus aggregates (n_docs, avgdl) AND every per-term document
+    frequency (``sum(tf_i > 0)``) into a single map-side-combined 1-row
+    aggregate, so idf needs no per-term join: tf rows pick their df out of
+    the broadcast stats row by term index.  ``tf`` is the matched postings
+    in long form (doc_id, dl, qid, i, tf>0) via ``stack`` — the only rows
+    that reach any downstream shuffle.  Replaces the previous
+    explode+(doc,term)-agg shape, whose all-token hash aggregate was the
+    measured linear-cost driver (sf1 curve 4.0x its oracle; this shape
+    measures ~1x and wins at sf1).
     """
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    masked = F.when(F.col("t").isin(terms), F.col("t"))
-    g = (
-        tok.groupBy("doc_id", masked.alias("t"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_term_count(toks, t).alias(f"tf_{i}") for i, (_, t) in enumerate(qterms)],
+    ).localCheckpoint(eager=False)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qterms))
+        ],
     )
-    dl = g.groupBy("doc_id").agg(F.sum("n").cast("long").alias("dl"))
-    tf = g.filter(F.col("t").isNotNull()).select("doc_id", "t", F.col("n").alias("tf"))
-    return tf, dl
+    stack_expr = "stack({n}, {args}) as (qid, t, i, tf)".format(
+        n=len(qterms),
+        args=", ".join(f"{q}, '{t}', {i}, tf_{i}" for i, (q, t) in enumerate(qterms)),
+    )
+    tf = base.selectExpr("doc_id", "dl", stack_expr).filter(F.col("tf") > 0)
+    return tf, stats
+
+
+def _bm25_term_score(n_terms: int):
+    """Per-posting BM25 contribution; df resolved from the broadcast stats
+    row by the posting's term index (a tiny literal CASE)."""
+    df_col = F.coalesce(
+        *[F.when(F.col("i") == i, F.col(f"df_{i}")) for i in range(n_terms)]
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5))
+    return (
+        idf
+        * F.col("tf")
+        * (_K1 + 1)
+        / (F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
 
 
 @query(
     "bm25_retrieval",
     family="TXT,RETR,A2",
     doc="BM25 document scoring (Lucene idf variant) for a small query-term "
-    "set: tf from one (doc, term) agg, df over the broadcast-semi-joined "
-    "matching terms only, dl/avgdl from token counts; top-10 docs per query "
-    "by the rounded score.  The scan-side term filter is the posting-list "
-    "prune — non-matching tokens never shuffle.",
+    "set: per-term tf as codegen array expressions in the scan projection "
+    "(no token explode), corpus stats AND per-term df folded into one "
+    "broadcast 1-row aggregate, matched postings stacked long; top-10 docs "
+    "per query by the rounded score.  The scan-side term count is the "
+    "posting-list prune — no token ever leaves its scan task.",
     oracle=f"""
         WITH qt(qid, term) AS (VALUES {_QT_VALUES}),
         tok AS (
@@ -104,23 +141,13 @@ def _tf_dl(d: DataFrame, terms: list[str]) -> tuple[DataFrame, DataFrame]:
 )
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
-    qt = spark.createDataFrame(_QUERY_TERMS, "qid INT, term STRING")
-    tf, dl = _tf_dl(d, sorted({t for _, t in _QUERY_TERMS}))
-    # corpus stats stay IN-PLAN as a broadcast 1-row dimension instead of a
-    # driver collect: one job end-to-end, AQE pipelines the whole thing
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_score = idf * F.col("tf") * (_K1 + 1) / (
-        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
-    )
+    tf, stats = _postings(d, _QUERY_TERMS)
+    # corpus stats + per-term df stay IN-PLAN as ONE broadcast 1-row
+    # dimension instead of a driver collect or per-term join
     scored = (
-        tf.join(F.broadcast(qt.withColumnRenamed("term", "t")), "t")
-        .join(F.broadcast(df_), "t")
-        .join(F.broadcast(dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .groupBy("qid", "doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        .agg(F.sum(_bm25_term_score(len(_QUERY_TERMS))).alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
@@ -197,19 +224,12 @@ def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lexical list: the BM25 pipeline restricted to query 1's terms,
     # ranked to the fusion depth
     d = repartition_if_narrow(load_table(spark, sf_dir, "documents"))
-    tf, dl = _tf_dl(d, sorted({t for q, t in _QUERY_TERMS if q == 1}))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_score = idf * F.col("tf") * (_K1 + 1) / (
-        F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
-    )
+    q1_terms = [(q, t) for q, t in _QUERY_TERMS if q == 1]
+    tf, stats = _postings(d, q1_terms)
     bm_scored = (
-        tf.join(F.broadcast(df_), "t")
-        .join(F.broadcast(dl), "doc_id")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("score"))
+        .agg(F.sum(_bm25_term_score(len(q1_terms))).alias("score"))
     )
     bmr = (
         # bounded-window: rank<=k filter right below — Catalyst rewrites this to

@@ -351,23 +351,25 @@ def test_pq_assign_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_bm25_single_pass_tf_dl(spark):
-    # the posting-list prune is a literal IN mask applied BEFORE the one
-    # (doc, term) aggregate: non-matching tokens collapse into the per-doc
-    # NULL group (still counted toward dl), so ONE explode and ONE shuffle
-    # feed both tf and dl.  The checkpoint hides the explode from the final
-    # plan, so assert the helper's semantics directly.
-    from acousticbrainz_server_spark.plans.retrieval_queries import _tf_dl
+def test_bm25_postings_zero_token_shuffle(spark):
+    # per-term tf is a codegen array expression in the scan projection and
+    # per-term df folds into the 1-row stats aggregate, so no token-level
+    # row ever reaches an exchange.  Assert the helper's semantics (tf only
+    # for matched terms, dl counts ALL tokens, df = docs containing term)
+    # and that the postings side of the plan carries no Exchange at all.
+    from acousticbrainz_server_spark.plans.retrieval_queries import _postings
 
     d = spark.createDataFrame(
         [(1, "spark fast spark table"), (2, "slow slow slow")], "doc_id long, text string"
     )
-    tf, dl = _tf_dl(d, ["spark", "table"])
-    assert {(r["doc_id"], r["t"]): r["tf"] for r in tf.collect()} == {
-        (1, "spark"): 2, (1, "table"): 1,
+    tf, stats = _postings(d, [(1, "spark"), (2, "table")])
+    assert {(r["doc_id"], r["t"]): (r["qid"], r["tf"]) for r in tf.collect()} == {
+        (1, "spark"): (1, 2), (1, "table"): (2, 1),
     }
-    # dl counts ALL tokens, matched or not
-    assert {r["doc_id"]: r["dl"] for r in dl.collect()} == {1: 4, 2: 3}
+    s = stats.collect()[0]
+    assert (s["n_docs"], s["avgdl"], s["df_0"], s["df_1"]) == (2, 3.5, 1, 1)
+    # matched postings come straight off the (checkpointed) scan — no shuffle
+    assert "Exchange" not in _plan(tf)
     assert "CartesianProduct" not in _plan(QUERIES["bm25_retrieval"].spark_fn(spark, SF_SMOKE))
 
 
