@@ -113,7 +113,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bm25_retrieval",
     "rrf_hybrid_search",
     # -- new in r8 --
-    # (updated in place as r8 sessions land queries)
+    "streaming_incremental_corpus",
     # -- rotation: oldest greens age back in (r3 vector/text tail, then
     #    the r2 relational core) --
     "knn_exact_topk",

@@ -609,3 +609,155 @@ def streaming_python_source_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("event_id").cast("long").alias("last_id"),
         round_half_up(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 composed flagship — incremental corpus build: stream -> gate -> dedup -> pack
+# --------------------------------------------------------------------------------------
+_SIC_QUALITY_MIN = 0.5   # same gate threshold as corpus_build_pipeline
+_SIC_PACK_BUDGET = 1024  # tokens per pack, same policy as pack_training_batches
+_SIC_BATCHES = 4
+
+
+def _sic_oracle() -> str:
+    from ..functions.scalar import sql_round_half_up
+    from ..functions.text import sql_quality_score
+
+    q = sql_quality_score("text")
+    return f"""
+        WITH gated AS (
+          SELECT doc_id, source, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+          WHERE lang = 'en' AND {sql_round_half_up(q, 4)} >= {_SIC_QUALITY_MIN}
+        ),
+        ded AS (
+          SELECT sha256(text) AS digest, min(doc_id) AS doc_id,
+                 CAST(count(*) AS BIGINT) AS n_copies
+          FROM gated GROUP BY sha256(text)
+        ),
+        win AS (
+          SELECT d.doc_id, g.source, g.n_tokens, d.n_copies
+          FROM ded d JOIN gated g ON g.doc_id = d.doc_id
+        )
+        SELECT doc_id, source, n_tokens, n_copies,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tokens) / {_SIC_PACK_BUDGET}) AS INTEGER) AS pack_id
+        FROM win
+    """
+
+
+@query(
+    "streaming_incremental_corpus",
+    family="§2.11,TXT,DEDUP,E2,QUALITY",
+    doc="The incremental corpus-build pipeline END-TO-END as one checkpointed "
+    "streaming job — the composed flagship chaining the certified pieces: "
+    "documents pre-split into 4 files stream with maxFilesPerTrigger=1 (four "
+    "real micro-batches); each batch passes the stateless quality gate "
+    "(lang='en' AND rounded quality_score >= 0.5), content-hashes, and "
+    "foreachBatch-MERGEs into a persisted dedup state keyed by sha256(text) "
+    "with the monoid (min(struct(doc_id, source, n_tokens)), sum(n_copies)) "
+    "— associative and commutative, so the final state is independent of "
+    "batch order and equals the batch dedup.  After the backlog drains, the "
+    "kept set packs per source shard by the sequential token-budget policy "
+    "(pack_training_batches).  The hash match against the pure-batch oracle "
+    "certifies the whole incremental path: gate, merge, and pack.",
+    oracle=_sic_oracle(),
+)
+def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score, token_count
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_inc_corpus", tag)
+    src_dir = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(base, "ckpt_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        ).repartition(_SIC_BATCHES).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def merge(batch_df, batch_id):
+        # stateless gate + hash, then MERGE into the dedup state with a
+        # commutative monoid: min(struct) picks the globally-lowest doc_id
+        # (struct comparison is field-order lexicographic), counts add.
+        # Write-then-swap keeps the read side atomic — with a Delta/Iceberg
+        # sink this body is one MERGE INTO.
+        s = batch_df.sparkSession
+        gated = (
+            batch_df.filter(
+                (F.col("lang") == "en")
+                & (round_half_up(quality_score(F.col("text")), 4) >= _SIC_QUALITY_MIN)
+            )
+            .select(
+                F.sha2(F.col("text"), 256).alias("digest"),
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("source"),
+                    token_count(F.col("text")).cast("long").alias("n_tokens"),
+                ).alias("w"),
+            )
+        )
+        batch_state = gated.groupBy("digest").agg(
+            F.min("w").alias("w"), F.count(F.lit(1)).cast("long").alias("n_copies")
+        )
+        merged = batch_state
+        if os.path.exists(state_dir):
+            merged = (
+                s.read.parquet(state_dir)
+                .unionByName(batch_state)
+                .groupBy("digest")
+                .agg(F.min("w").alias("w"), F.sum("n_copies").cast("long").alias("n_copies"))
+            )
+        nxt = os.path.join(base, "state_next")
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(nxt, state_dir)
+
+    with _stream_state_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(merge)
+            # fresh checkpoint per invocation: each run replays the whole
+            # bounded backlog (the gate recomputes from scratch); a
+            # production deployment would PIN this path and keep the state
+            # table, making restarts resume exactly-once from the offset log
+            .option("checkpointLocation", os.path.join(base, "ckpt_" + uuid.uuid4().hex[:8]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    st = spark.read.parquet(state_dir).select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.source").alias("source"),
+        F.col("w.n_tokens").alias("n_tokens"),
+        "n_copies",
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return st.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_copies",
+        F.floor(prefix_excl / _SIC_PACK_BUDGET).cast("int").alias("pack_id"),
+    )

@@ -264,3 +264,57 @@ def test_offsets_tws_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_corpus_matches_batch(spark):
+    """The composed incremental flagship: 4 real micro-batches of gate ->
+    hash -> monoid MERGE must equal the one-shot batch computation of the
+    same pipeline (order-independence of the dedup monoid), and packs obey
+    the sequential budget policy."""
+    from acousticbrainz_server_spark.functions.scalar import round_half_up
+    from acousticbrainz_server_spark.functions.text import quality_score, token_count
+    from acousticbrainz_server_spark.plans.registry import QUERIES
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _SIC_PACK_BUDGET,
+        _SIC_QUALITY_MIN,
+    )
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["streaming_incremental_corpus"].spark_fn(spark, sf)
+    rows = got.collect()
+    assert rows, "pipeline kept zero docs"
+
+    # one-shot batch twin of the incremental path
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents").filter(
+        (F.col("lang") == "en")
+        & (round_half_up(quality_score(F.col("text")), 4) >= _SIC_QUALITY_MIN)
+    )
+    ded = (
+        d.select(
+            F.sha2("text", 256).alias("digest"),
+            F.struct("doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")).alias("w"),
+        )
+        .groupBy("digest")
+        .agg(F.min("w").alias("w"), F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select("w.doc_id", "w.source", "w.n_tokens", "n_copies")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = ded.select(
+        "doc_id", "source", "n_tokens", "n_copies",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _SIC_PACK_BUDGET)
+        .cast("int").alias("pack_id"),
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, expect))
+
+    # pack invariant: within (source, pack) the token prefix stays under
+    # budget + one doc's overshoot (sequential fill)
+    by_pack = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+        by_pack.setdefault((r["source"], r["pack_id"]), []).append(r["n_tokens"])
+    for (src, pid), toks in by_pack.items():
+        assert sum(toks) - toks[-1] < _SIC_PACK_BUDGET + max(toks), (src, pid)
