@@ -18,7 +18,7 @@ PICKS = {
     "minhash_lsh_neardup": "banded bucket join — no cross product; signatures ride the join",
     "triangle_count": "degree-oriented wedges; packed-long broadcast semi probe",
     "global_rank_twopass": "every Window partitions on _pid — no single-partition funnel",
-    "bm25_retrieval": "posting-list prune; doc-length stats broadcast",
+    "bm25_retrieval": "zero-token-shuffle postings: per-term tf as array exprs in the scan projection; df folded into the 1-row stats broadcast",
     "band_join_boundaries": "inequality-only join correctly planned as BroadcastNestedLoopJoin",
     "bucketed_join_rollup": "co-bucketed tables join with zero Exchange",
     "skyline_pareto": "O(n log n) sweep replaces the quadratic dominance NOT-EXISTS",
