@@ -114,6 +114,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "rrf_hybrid_search",
     # -- new in r8 --
     "streaming_incremental_corpus",
+    "cheapest_supplier_per_part",
+    "important_parts_value_share",
+    "dominant_part_suppliers",
     # -- rotation: oldest greens age back in (r3 vector/text tail, then
     #    the r2 relational core) --
     "knn_exact_topk",

@@ -2806,3 +2806,203 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy(F.desc("n_orders"), "o_custkey").limit(_INC_TOP)
+
+
+# --------------------------------------------------------------------------------------
+# TPC-H Q2 shape — min-equality join-back (scalar MIN subquery, ties kept)
+# --------------------------------------------------------------------------------------
+_Q2_REGION = "ASIA"
+
+
+@query(
+    "cheapest_supplier_per_part",
+    family="J2,A2,O4",
+    doc="The TPC-H Q2 composition adapted to this schema: for each part, the "
+    "supplier(s) in one region offering the MINIMUM average effective price "
+    "(correlated scalar-MIN subquery decorrelated to a grouped join-back).  "
+    "Unlike latest_per_group's row_number top-1, the min-EQUALITY join "
+    "keeps ties — the Q2 semantics.  The region restriction broadcasts "
+    "through nation->supplier BEFORE the per-(part,supplier) aggregate, so "
+    "the big fact scan aggregates only in-region rows; the min relation "
+    "re-joins on (partkey, rounded price) — same shuffle key as the "
+    "aggregate that produced it, no extra exchange.  Top 100 by price desc "
+    "then part/supplier for a bounded result.",
+    oracle=f"""
+        WITH rs AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey AND r_name = '{_Q2_REGION}'
+        ),
+        ps AS (
+          SELECT l_partkey, l_suppkey,
+                 {sql_round_half_up('avg(l_extendedprice * (1 - l_discount))', 2)} AS eff_price
+          FROM lineitem JOIN rs ON s_suppkey = l_suppkey
+          GROUP BY l_partkey, l_suppkey
+        ),
+        mn AS (SELECT l_partkey, min(eff_price) AS min_price FROM ps GROUP BY l_partkey)
+        SELECT p.p_partkey, p.p_brand, ps.eff_price, rs.s_name, rs.n_name,
+               {sql_round_half_up('rs.s_acctbal', 2)} AS s_acctbal
+        FROM ps
+        JOIN mn ON mn.l_partkey = ps.l_partkey AND ps.eff_price = mn.min_price
+        JOIN rs ON rs.s_suppkey = ps.l_suppkey
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        ORDER BY ps.eff_price DESC, p.p_partkey, rs.s_name
+        LIMIT 100
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    part = load_table(spark, sf_dir, "part")
+    rs = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # region prune BEFORE the fact aggregate: the supplier dim broadcasts
+    ps = (
+        li.join(F.broadcast(rs.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            round_half_up(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "eff_price"
+            )
+        )
+    )
+    # min join-back on the SAME key the aggregate shuffled on (ties kept —
+    # the scalar-subquery equality, not a window top-1)
+    mn = ps.groupBy("l_partkey").agg(F.min("eff_price").alias("min_price"))
+    return (
+        ps.join(mn, "l_partkey")
+        .filter(F.col("eff_price") == F.col("min_price"))
+        .join(F.broadcast(rs), ps.l_suppkey == rs.s_suppkey)
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "eff_price",
+            "s_name",
+            "n_name",
+            round_half_up(F.col("s_acctbal"), 2).alias("s_acctbal"),
+        )
+        .orderBy(F.desc("eff_price"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------------------
+# TPC-H Q11 shape — HAVING against a global scalar from the SAME aggregation input
+# --------------------------------------------------------------------------------------
+_Q11_MEAN_MULT = 1.5  # a part is "important" above this multiple of the mean share
+
+
+@query(
+    "important_parts_value_share",
+    family="A2,J2,O4",
+    doc="The TPC-H Q11 composition: per-part total value (price x quantity "
+    "over the lineitem fact) kept only where it exceeds a multiple of the "
+    "MEAN per-part value — a HAVING predicate against scalar subqueries "
+    "(global total AND part count) computed from the same aggregation "
+    "input.  TPC-H's literal 'fraction of total' threshold is scale-"
+    "dependent (0.0001/SF); the mean-relative form keeps selectivity "
+    "stable at every SF, with the identical plan shape.  Spark-first: ONE "
+    "per-part aggregate; the global scalars re-aggregate the per-part "
+    "partials (tiny) instead of rescanning the fact, and cross back as a "
+    "broadcast 1-row relation.  Cents-integer arithmetic end-to-end.",
+    oracle=f"""
+        WITH pv AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS value_cents
+          FROM lineitem
+          GROUP BY l_partkey
+        ),
+        tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM pv)
+        SELECT l_partkey, value_cents
+        FROM pv CROSS JOIN tot
+        WHERE value_cents * n_parts > {_Q11_MEAN_MULT} * total_cents
+        ORDER BY value_cents DESC, l_partkey
+    """,
+)
+def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(cents * F.col("l_quantity").cast("long")).cast("long").alias("value_cents")
+    )
+    tot = pv.agg(
+        F.sum("value_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
+    # integer cross-multiplication (value * n > mult * total) avoids the
+    # float division a mean-share compare would need
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") > _Q11_MEAN_MULT * F.col("total_cents"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# TPC-H Q20 shape — nested semi-join chain gated by a correlated aggregate threshold
+# --------------------------------------------------------------------------------------
+_Q20_MEAN_MULT = 2  # supplier dominates a part at > this multiple of the mean supplier share
+
+
+@query(
+    "dominant_part_suppliers",
+    family="J5,A2,J2",
+    doc="The TPC-H Q20 composition: suppliers who, for at least one part, "
+    "shipped MORE than twice the mean per-supplier quantity of that part — "
+    "a nested decorrelation: per-(part,supplier) quantity joined against "
+    "the per-part total AND supplier count (same shuffle key, no extra "
+    "exchange), the qualifying pairs collapse to a supplier key set that "
+    "SEMI-joins the supplier dim.  The correlated 'threshold(sum(...)) "
+    "WHERE same part' subquery never executes per-row — it is one grouped "
+    "relation reused by every pair.  (TPC-H's literal 0.5*sum threshold "
+    "assumes the partsupp skew this schema lacks; the mean-relative form "
+    "keeps the shape with stable selectivity.)  Integer cross-multiply — "
+    "no float division crosses the engines.",
+    oracle=f"""
+        WITH pq AS (
+          SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS supp_qty
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty, count(*) AS n_supp
+               FROM pq GROUP BY l_partkey),
+        qualifying AS (
+          SELECT DISTINCT pq.l_suppkey
+          FROM pq JOIN pt ON pt.l_partkey = pq.l_partkey
+          WHERE pq.supp_qty * pt.n_supp > {_Q20_MEAN_MULT} * pt.part_qty
+        )
+        SELECT s_suppkey, s_name, {sql_round_half_up('s_acctbal', 2)} AS s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+        ORDER BY s_suppkey
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("supp_qty")
+    )
+    # per-part totals from the (part,supplier) partials — no fact rescan;
+    # the join back lands on the key pq already shuffled on
+    pt = pq.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    qualifying = (
+        pq.join(pt, "l_partkey")
+        .filter(F.col("supp_qty") * F.col("n_supp") > _Q20_MEAN_MULT * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(qualifying), sup.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", round_half_up(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
