@@ -353,19 +353,26 @@ def _fk_oracle() -> str:
     "fk_integrity_audit",
     family="DQ,J4",
     doc="Referential-integrity audit: for every FK edge in the schema, total "
-    "child rows and orphan rows (child keys with no parent).  Each edge "
-    "is a left join against the DISTINCT parent-key set — dimension key "
-    "sets broadcast, the two fact-sized parents (orders at 1.5M/SF, part) "
-    "reduce to their key column before the join so the shuffle carries "
-    "8-byte keys, and the per-edge result is a single aggregate row.  "
-    "The audit is the batch generalization of the reference's dataset "
-    "validation (db/dataset.py check_recordings).",
+    "child rows and orphan rows (child keys with no parent).  Per-edge "
+    "independent branches (they schedule concurrently in one job), but "
+    "each join's child side pre-aggregates to (key, count) with map-side "
+    "combine, so raw fact rows never reach the join — measured at the 10x "
+    "corpus this halves the data-growth slope (0.8 vs 1.5 s/decade; the "
+    "one-union-join alternative lost to branch parallelism, see SCALE.md "
+    "r8).  Dimension key sets broadcast; fact parents reduce to their key "
+    "column.  The audit is the batch generalization of the reference's "
+    "dataset validation (db/dataset.py check_recordings).",
     oracle=_fk_oracle(),
 )
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out: DataFrame | None = None
     for label, child, ckey, parent, pkey in _FK_EDGES:
-        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ckey).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         p = (
             load_table(spark, sf_dir, parent)
             .select(F.col(pkey).alias("k"))
@@ -375,8 +382,10 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = (
             c.join(p, "k", "left")
             .agg(
-                F.count(F.lit(1)).alias("child_rows"),
-                F.count(F.when(F.col("present").isNull(), 1)).alias("orphan_rows"),
+                F.sum("cnt").alias("child_rows"),
+                F.sum(F.when(F.col("present").isNull(), F.col("cnt")).otherwise(0)).alias(
+                    "orphan_rows"
+                ),
             )
             .select(F.lit(label).alias("relation"), "child_rows", "orphan_rows")
         )

@@ -72,6 +72,23 @@ TARGETS_EMBEDDINGS = (
     # per-stage floors at sf0.1; the encode/scan work grows linearly
     "ann_ivf_pq_topk",
 )
+# r8: the remaining >2x-at-sf0.1 compute-tail members without a cell —
+# events/lineitem/mixed readers measured against the scale_sweep full
+# corpus (.scale/sf1full, every table 10x key-shifted) so each >2x query
+# in the BENCHRATIO audit carries a measured curve.
+DST_FULL = "/root/repo/.scale/sf1full"
+TARGETS_FULLCORPUS = (
+    "anomaly_zscore_days",        # events: bounded offset-explode baseline join
+    "fk_integrity_audit",         # lineitem+dims: broadcast key-set semi probes
+    "mmr_diversified_rerank",     # embeddings: greedy unrolled to 3 argmax steps
+    "frequent_items_sketch",      # events: Misra-Gries mergeable partials
+    "ivf_recall_eval",            # embeddings: sampled recall vs brute truth
+    "brand_quantity_revenue",     # lineitem: two-key rollup
+    "abc_analysis",               # lineitem: Pareto class windows
+    "slow_fulfillment_suppliers", # lineitem+orders+supplier join
+    "ingest_pipeline_composed",   # documents: the composed JSON ingest
+    "similarity_vectors",         # events->12-metric wide select
+)
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -210,15 +227,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     report = {}
-    for name in TARGETS_LINEITEM + TARGETS_DOCUMENTS + TARGETS_EMBEDDINGS:
+    groups = [(n, DST) for n in TARGETS_LINEITEM + TARGETS_DOCUMENTS + TARGETS_EMBEDDINGS]
+    if os.path.exists(os.path.join(DST_FULL, "_READY")):
+        groups += [(n, DST_FULL) for n in TARGETS_FULLCORPUS]
+    for name, dst in groups:
         if only and name not in only:
             continue
         spec = QUERIES[name]
         try:
             s01 = time_spark(spec, spark, SRC)
-            s1 = time_spark(spec, spark, DST)
+            s1 = time_spark(spec, spark, dst)
             d01 = time_duck(spec, SRC)
-            d1 = time_duck(spec, DST)
+            d1 = time_duck(spec, dst)
         except Exception as e:  # one failed cell must not kill the sweep
             report[name] = {"error": f"{type(e).__name__}: {e}"}
             print(name, json.dumps(report[name]), flush=True)
