@@ -112,6 +112,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "skew_isolated_join",
     "bm25_retrieval",
     "rrf_hybrid_search",
+    "fk_integrity_audit",
     # -- new in r8 --
     "streaming_incremental_corpus",
     "cheapest_supplier_per_part",
