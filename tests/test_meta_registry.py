@@ -83,3 +83,34 @@ def test_every_oracle_projects_unique_columns(duck):
         if len(cols) != len(set(cols)):
             bad.append(f"{name}: {cols}")
     assert not bad, "duplicate output columns:\n" + "\n".join(bad)
+
+
+def test_perf_artifact_names_are_registered():
+    """AMORTIZATION.json / SCALESWEEP.json rows and the amortization tool's
+    target lists must reference real registered queries — artifact names
+    must not rot when queries are renamed."""
+    import json
+    import os
+
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname, key in (("AMORTIZATION.json", "queries"), ("SCALESWEEP.json", "queries")):
+        rows = json.load(open(os.path.join(root, fname)))[key]
+        unknown = set(rows) - set(QUERIES)
+        assert not unknown, f"{fname} references unregistered queries: {unknown}"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_amortization", os.path.join(root, "tools", "measure_amortization.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    targets = (
+        set(mod.TARGETS_LINEITEM)
+        | set(mod.TARGETS_DOCUMENTS)
+        | set(mod.TARGETS_EMBEDDINGS)
+        | set(mod.TARGETS_FULLCORPUS)
+    )
+    assert targets <= set(QUERIES), targets - set(QUERIES)
