@@ -115,6 +115,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "fk_integrity_audit",
     # -- new in r8 --
     "streaming_incremental_corpus",
+    "streaming_watermark_audit",
     "cheapest_supplier_per_part",
     "important_parts_value_share",
     "dominant_part_suppliers",

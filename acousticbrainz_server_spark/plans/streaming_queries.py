@@ -761,3 +761,129 @@ def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFram
         "n_copies",
         F.floor(prefix_excl / _SIC_PACK_BUDGET).cast("int").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 depth — watermark late-data audit: drop + holdback accounting under append mode
+# --------------------------------------------------------------------------------------
+_WMA_DELAY_US = 2 * 86_400_000_000   # 2-day watermark
+_WMA_RECENT_US = 5 * 86_400_000_000  # the last 5 days arrive in the final file
+_WMA_SINK = "streaming_watermark_audit_sink"
+
+
+def _wma_oracle() -> str:
+    d, r = _WMA_DELAY_US, _WMA_RECENT_US
+    return f"""
+        WITH e AS (
+          SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us, CAST(ts AS DATE) AS day
+          FROM events
+        ),
+        mx AS (SELECT max(us) AS max_us FROM e),
+        cls AS (
+          SELECT e.*,
+                 CASE WHEN us > max_us - {r} THEN 'recent'
+                      WHEN event_id % 10 = 0 THEN 'late'
+                      ELSE 'ontime' END AS cls
+          FROM e CROSS JOIN mx
+        ),
+        f0 AS (SELECT * FROM cls WHERE cls = 'ontime' AND event_id % 7 <> 0),
+        latewm AS (SELECT max(us) - {d} AS wm FROM f0),
+        kept AS (
+          SELECT day, event_type FROM cls WHERE cls IN ('ontime', 'recent')
+          UNION ALL
+          SELECT day, event_type FROM cls CROSS JOIN latewm
+          WHERE cls = 'late' AND epoch_us(CAST(day AS TIMESTAMP)) + 86400000000 > wm
+        )
+        SELECT day, event_type, count(*) AS n_events
+        FROM kept CROSS JOIN mx
+        WHERE epoch_us(CAST(day AS TIMESTAMP)) + 86400000000 <= max_us - {d}
+        GROUP BY day, event_type
+    """
+
+
+@query(
+    "streaming_watermark_audit",
+    family="§2.11,P9,A8",
+    doc="Late-data semantics under append mode, CERTIFIED: events split into "
+    "4 mtime-ordered files (bulk on-time; spacer; a 10% late sample; the "
+    "final 5 days) stream one file per micro-batch through a 2-day "
+    "watermark and daily windows.  The oracle encodes Spark's exact "
+    "two-watermark contract, established empirically (SCALE.md r8): the "
+    "LATE-EVENT filter at batch k uses the watermark from data through "
+    "batch k-2 (so the late file is filtered against max(f0) - 2d), "
+    "EVICTION at batch k uses data through k-1, and availableNow fires a "
+    "final no-data batch that flushes every window closed by the last "
+    "file's clock (end <= max(all) - 2d) while HOLDING BACK newer windows. "
+    " The hash match proves all three: dropped late rows absent, kept "
+    "late rows counted, unfinalized windows absent.",
+    oracle=_wma_oracle(),
+)
+def streaming_watermark_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources.tables import load_table
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_wm_audit", tag)
+    src_dir = os.path.join(base, "src")
+    for stale in _glob.glob(os.path.join(base, "ckpt_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar probe, not a data pull
+        cut = F.lit(max_ts) - F.expr(f"INTERVAL {_WMA_RECENT_US // 86_400_000_000} DAYS")
+        recent = F.col("ts") > cut
+        late = (F.col("event_id") % 10 == 0) & ~recent
+        splits = [
+            ("f0", ~late & ~recent & (F.col("event_id") % 7 != 0)),
+            ("f1", ~late & ~recent & (F.col("event_id") % 7 == 0)),
+            ("f2", late),
+            ("f3", recent),
+        ]
+        import time as _time
+
+        now = _time.time()
+        for i, (name, pred) in enumerate(splits):
+            tmp = os.path.join(base, f"tmp_{name}")
+            ev.filter(pred).repartition(1).write.mode("overwrite").parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            dst = os.path.join(src_dir, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # mtime IS the stream order: one file per micro-batch, ascending
+            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+        open(os.path.join(src_dir, "_DONE"), "w").write("ok\n")
+
+    schema = spark.read.parquet(os.path.join(src_dir, "f0.parquet")).schema
+    days = _WMA_DELAY_US // 86_400_000_000
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "f*.parquet")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{days} days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.to_date("w.start").alias("day"), "event_type", "n_events")
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_WMA_SINK)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt_" + uuid.uuid4().hex[:8]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(_WMA_SINK)

@@ -318,3 +318,43 @@ def test_streaming_incremental_corpus_matches_batch(spark):
         by_pack.setdefault((r["source"], r["pack_id"]), []).append(r["n_tokens"])
     for (src, pid), toks in by_pack.items():
         assert sum(toks) - toks[-1] < _SIC_PACK_BUDGET + max(toks), (src, pid)
+
+
+def test_streaming_watermark_audit_drop_and_holdback(spark):
+    """The late-data audit must be NON-VACUOUS: at sf0.001 the model predicts
+    (a) at least one late row dropped (absent from its window's count),
+    (b) at least one late row kept, and (c) at least one trailing window
+    held back (never emitted).  Recompute the model in pandas and compare
+    exactly."""
+    import pandas as pd
+
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_watermark_audit"].spark_fn(spark, sf).toPandas()
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "event_type").toPandas()
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    mx = ev.ts.max()
+    recent = ev.ts > mx - pd.Timedelta(days=5)
+    late = (ev.event_id % 10 == 0) & ~recent
+    f0 = ev[~late & ~recent & (ev.event_id % 7 != 0)]
+    late_wm = f0.ts.max() - pd.Timedelta(days=2)
+    final_wm = mx - pd.Timedelta(days=2)
+    ev["day"] = ev.ts.dt.floor("D")
+    w_end = ev.day + pd.Timedelta(days=1)
+    kept = ev[(~late | (w_end > late_wm))]
+    emitted = kept[kept.day + pd.Timedelta(days=1) <= final_wm]
+    expect = emitted.groupby([emitted.day.dt.date, "event_type"]).size()
+
+    got = {(r.day, r.event_type): r.n_events for r in out.itertuples()}
+    exp = {(d, t): int(n) for (d, t), n in expect.items()}
+    assert got == exp
+    # non-vacuity
+    n_dropped = int((late & (w_end <= late_wm)).sum())
+    n_kept_late = int((late & (w_end > late_wm) & (w_end <= final_wm)).sum())
+    n_heldback = int((ev.day + pd.Timedelta(days=1) > final_wm).sum())
+    assert n_dropped > 0 and n_kept_late > 0 and n_heldback > 0, (
+        n_dropped, n_kept_late, n_heldback)
