@@ -79,6 +79,8 @@ def embedding_neardup_pairs(
         b = hyperplane_lsh_buckets(b, dim, vec_col="vb").withColumnRenamed("bucket", "bucket_b")
         pairs = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
     else:
+        # allpairs-by-design: the brute-force cosine BASELINE (eval/golden
+        # path over bounded slices); use_lsh=True is the 100 TB path above
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")).filter(
         F.col("cosine_sim") >= threshold

@@ -1717,8 +1717,9 @@ def categorical_mi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hb = entropy(mb, "nb").withColumnRenamed("h", "hb")
     hab = entropy(joint.withColumn("n", F.col("n").cast("double")), "n").withColumnRenamed("h", "hab")
     return (
-        ha.crossJoin(hb)
-        .crossJoin(hab)
+        # 1-row entropy scalars — broadcast keeps the cross trivially local
+        ha.crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hab))
         .select(
             round_half_up(F.col("ha"), 6).alias("h_type"),
             round_half_up(F.col("hb"), 6).alias("h_dow"),

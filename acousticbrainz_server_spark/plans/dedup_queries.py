@@ -187,7 +187,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        a.crossJoin(b)
+        # the vec_id<100 slice is a bounded 100-row relation
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", round_half_up(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= 0.3)

@@ -487,7 +487,7 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append(
             keep.agg(F.count(F.lit(1)).alias("n_nodes"))
-            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
             .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
         )
     out = rows[0]

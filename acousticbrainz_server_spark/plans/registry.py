@@ -113,6 +113,10 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "bm25_retrieval",
     "rrf_hybrid_search",
     "fk_integrity_audit",
+    "categorical_mi_entropy",
+    "kcore_peeling",
+    "tfidf_top_terms",
+    "embedding_neardup",
     # -- new in r8 --
     "streaming_incremental_corpus",
     "streaming_watermark_audit",

@@ -327,7 +327,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    scored = tf.join(df, "term").crossJoin(n).select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         round_half_up(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
