@@ -154,12 +154,15 @@ def test_pii_redact_behavior(spark):
 def test_tfidf_no_forced_broadcast_and_group_limits(spark):
     # the document-frequency relation is vocabulary-sized (unbounded at web
     # scale) so the tf-df join must NOT carry a broadcast hint — AQE picks the
-    # strategy at runtime; N must fold in as a plan-side aggregate (no
-    # separate driver count job); the top-3 ranking must push a
-    # WindowGroupLimit below the full sort
+    # strategy at runtime; N folds in as a plan-side 1-row aggregate whose
+    # crossJoin IS broadcast (the only sanctioned hint in this plan); the
+    # top-3 ranking must push a WindowGroupLimit below the full sort
     df = QUERIES["tfidf_top_terms"].spark_fn(spark, SF_SMOKE)
     optimized = _optimized(df)
-    assert "broadcast" not in optimized.lower()  # no ResolvedHint/JoinHint
+    hinted = [l for l in optimized.splitlines() if "hint" in l.lower()]
+    assert len(hinted) == 1 and "Join Cross" in hinted[0], hinted  # the 1-row N scalar only
+    inner = [l for l in optimized.splitlines() if "Join Inner" in l]
+    assert inner and all("hint" not in l.lower() for l in inner), inner  # tf-df join unhinted
     plan = _plan(df)
     assert "WindowGroupLimit" in plan
 
