@@ -88,6 +88,10 @@ TARGETS_FULLCORPUS = (
     "slow_fulfillment_suppliers", # lineitem+orders+supplier join
     "ingest_pipeline_composed",   # documents: the composed JSON ingest
     "similarity_vectors",         # events->12-metric wide select
+    # r8 session-1 additions (the three TPC-H decorrelation shapes)
+    "cheapest_supplier_per_part",
+    "important_parts_value_share",
+    "dominant_part_suppliers",
 )
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
