@@ -2990,13 +2990,14 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").cast("long").alias("supp_qty")
     )
-    # per-part totals from the (part,supplier) partials — no fact rescan;
-    # the join back lands on the key pq already shuffled on
-    pt = pq.groupBy("l_partkey").agg(
-        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
-    )
+    # the correlated per-part aggregate as a window over the pair partials
+    # (bounded: suppliers-per-part rows per partition) — no fact rescan, no
+    # join-back, one fewer exchange than the grouped-join form (measured
+    # faster at sf0.1 AND the 10x corpus, identical results)
+    w = Window.partitionBy("l_partkey")
     qualifying = (
-        pq.join(pt, "l_partkey")
+        pq.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
         .filter(F.col("supp_qty") * F.col("n_supp") > _Q20_MEAN_MULT * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
