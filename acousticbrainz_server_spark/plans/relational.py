@@ -2862,7 +2862,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # region prune BEFORE the fact aggregate: the supplier dim broadcasts
+    # region prune BEFORE the fact aggregate.  The broadcast here is the
+    # single-column in-region supplier KEY SET (suppkeys only, ~1/5 of the
+    # supplier table) — a few MB per 1M suppliers, the standard dim-filter
+    # probe; the full rs/part relations are NOT hinted (see join-back below)
     ps = (
         li.join(F.broadcast(rs.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
@@ -2875,11 +2878,15 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min join-back on the SAME key the aggregate shuffled on (ties kept —
     # the scalar-subquery equality, not a window top-1)
     mn = ps.groupBy("l_partkey").agg(F.min("eff_price").alias("min_price"))
+    # no broadcast hints on rs/part here: both are SF-proportional relations
+    # (supplier- and part-table sized), so a hard hint would force an
+    # executor-memory cliff at scale — AQE picks broadcast when the
+    # post-min-filter side is actually small, shuffle-hash otherwise
     return (
         ps.join(mn, "l_partkey")
         .filter(F.col("eff_price") == F.col("min_price"))
-        .join(F.broadcast(rs), ps.l_suppkey == rs.s_suppkey)
-        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(rs, ps.l_suppkey == rs.s_suppkey)
+        .join(part, ps.l_partkey == part.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -2896,7 +2903,11 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------------------
 # TPC-H Q11 shape — HAVING against a global scalar from the SAME aggregation input
 # --------------------------------------------------------------------------------------
-_Q11_MEAN_MULT = 1.5  # a part is "important" above this multiple of the mean share
+# a part is "important" above 3/2 x the mean share; kept as an integer
+# ratio so the HAVING compare stays bigint-vs-bigint end-to-end (a 1.5
+# literal would promote both sides to double and silently lose exactness
+# past 2^53 cents)
+_Q11_MULT_NUM, _Q11_MULT_DEN = 3, 2
 
 
 @query(
@@ -2923,7 +2934,7 @@ _Q11_MEAN_MULT = 1.5  # a part is "important" above this multiple of the mean sh
         tot AS (SELECT sum(value_cents) AS total_cents, count(*) AS n_parts FROM pv)
         SELECT l_partkey, value_cents
         FROM pv CROSS JOIN tot
-        WHERE value_cents * n_parts > {_Q11_MEAN_MULT} * total_cents
+        WHERE {_Q11_MULT_DEN} * value_cents * n_parts > {_Q11_MULT_NUM} * total_cents
         ORDER BY value_cents DESC, l_partkey
     """,
 )
@@ -2936,11 +2947,14 @@ def important_parts_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pv.agg(
         F.sum("value_cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
     )
-    # integer cross-multiplication (value * n > mult * total) avoids the
-    # float division a mean-share compare would need
+    # integer cross-multiplication (den * value * n > num * total) keeps the
+    # compare bigint-vs-bigint — no float division, no double promotion
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("value_cents") * F.col("n_parts") > _Q11_MEAN_MULT * F.col("total_cents"))
+        .filter(
+            F.lit(_Q11_MULT_DEN) * F.col("value_cents") * F.col("n_parts")
+            > F.lit(_Q11_MULT_NUM) * F.col("total_cents")
+        )
         .select("l_partkey", "value_cents")
         .orderBy(F.desc("value_cents"), "l_partkey")
     )
@@ -3006,4 +3020,199 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.join(F.broadcast(qualifying), sup.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", round_half_up(F.col("s_acctbal"), 2).alias("s_acctbal"))
         .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------------------
+# TPC-H Q21 shape — EXISTS + NOT-EXISTS self-correlations on the same fact, one aggregate
+# --------------------------------------------------------------------------------------
+_Q21_NATION = "NATION_7"
+_Q21_LATE_DAYS = 365  # a line is "late" if shipped > this long after the order date
+
+
+@query(
+    "waiting_suppliers",
+    family="J4,J5,A2",
+    doc="The TPC-H Q21 composition ('suppliers who kept waiting orders'): "
+    "count, per supplier in one nation, the late lineitems of finalized "
+    "multi-supplier orders where that supplier was the ONLY late one.  The "
+    "classic form is two correlated self-subqueries on the fact — EXISTS "
+    "(another supplier in the order) AND NOT EXISTS (another LATE supplier) "
+    "— per outer row; both decorrelate into ONE per-order aggregate pass: "
+    "n_supp > 1 encodes the EXISTS, distinct-late-supplier-count = 1 "
+    "encodes the NOT-EXISTS (the outer row is itself late, so it IS that "
+    "one).  Spark-first: lineitem joins status-filtered orders on "
+    "l_orderkey and BOTH downstream aggregates — (orderkey, suppkey) then "
+    "(orderkey) — reuse that exchange (HashPartitioning(orderkey) "
+    "satisfies both ClusteredDistributions), so the fact shuffles exactly "
+    "once; the two-level agg replaces count(DISTINCT) and avoids the "
+    "Expand operator; the per-supplier rollup (<= |supplier| rows) joins "
+    "the nation-filtered dim WITHOUT a broadcast hint (supplier is "
+    "SF-proportional — AQE decides).  This schema has no receipt/commit "
+    "dates, so 'late' is ship-lag > {d} days (reference analog: the "
+    "J4 work-queue anti-joins, db/data.py:950-981).".format(d=_Q21_LATE_DAYS),
+    oracle=f"""
+        WITH lo AS (
+          SELECT l_orderkey, l_suppkey,
+                 (l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY) AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+        ),
+        ps AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN late THEN 1 ELSE 0 END) AS any_late,
+                 CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+          FROM lo GROUP BY l_orderkey, l_suppkey
+        ),
+        po AS (
+          SELECT l_orderkey, count(*) AS n_supp,
+                 CAST(sum(any_late) AS BIGINT) AS n_late,
+                 min(CASE WHEN any_late = 1 THEN l_suppkey END) AS late_supp,
+                 CAST(sum(late_lines) AS BIGINT) AS total_late_lines
+          FROM ps GROUP BY l_orderkey
+        ),
+        bysupp AS (
+          SELECT late_supp AS s_key, CAST(sum(total_late_lines) AS BIGINT) AS numwait
+          FROM po WHERE n_supp > 1 AND n_late = 1 GROUP BY late_supp
+        )
+        SELECT s_name, numwait
+        FROM bysupp
+        JOIN supplier ON s_suppkey = s_key
+        JOIN nation ON n_nationkey = s_nationkey AND n_name = '{_Q21_NATION}'
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q21_NATION)
+    # both sides fact-sized at scale: one sort-merge exchange on orderkey...
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    # ...which BOTH aggregates below reuse (group keys ⊇ {orderkey}): the
+    # two-level shape replaces two count(DISTINCT)s — no Expand, map-side
+    # combinable partials
+    ps = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("any_late"),
+        F.sum(F.col("late").cast("int")).cast("long").alias("late_lines"),
+    )
+    po = ps.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").cast("long").alias("n_late"),
+        F.min(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("late_lines").cast("long").alias("total_late_lines"),
+    )
+    bysupp = (
+        po.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("total_late_lines").cast("long").alias("numwait"))
+    )
+    # bysupp <= |supplier| rows; supplier is SF-proportional — no hard
+    # broadcast hint, AQE picks the strategy (nation, 25 rows, does hint)
+    return (
+        bysupp.join(sup, bysupp.late_supp == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------------------
+# TPC-H Q22 shape — NOT EXISTS anti-join + substring bucketing + global-avg scalar gate
+# --------------------------------------------------------------------------------------
+_Q22_CODES = ("03", "13", "17", "18", "23", "29", "31")
+_Q22_IDLE_DAYS = 180  # "idle" = no order in the trailing window of the order-date range
+_Q22_CODES_SQL = ", ".join(f"'{c}'" for c in _Q22_CODES)
+
+
+@query(
+    "idle_customer_balance",
+    family="J4,A1,A2",
+    doc="The TPC-H Q22 composition ('global sales opportunity'): per "
+    "country-code bucket, count and total balance of above-average-balance "
+    "customers with NO recent orders.  Three classic sub-shapes in one "
+    "query: substring bucketing over an IN-set (this schema has no c_phone "
+    "— the code is the last 2 digits of the fixed-width c_name, same "
+    "substring+IN shape), a scalar-subquery gate (avg balance over the "
+    "POSITIVE-balance members of the same filtered scan), and a NOT-EXISTS "
+    "decorrelated to a left-anti join.  Spark-first: the gate and the "
+    "recency cutoff are 1-row broadcast relations (no driver collect); "
+    "recent orders pre-aggregate to DISTINCT custkeys (map-combined, <= "
+    "|customer| rows) before the anti-join so raw order rows never reach "
+    "it; the trailing-{d}-day cutoff is derived from max(o_orderdate), so "
+    "selectivity is scale-stable (TPC-H's literal date would go degenerate "
+    "as the generated date range shifts).  Balances cross the engines as "
+    "integer cents.  (Reference analog: the J4 unprocessed anti-join, "
+    "db/data.py:950-981.)".format(d=_Q22_IDLE_DAYS),
+    oracle=f"""
+        WITH cand AS (
+          SELECT c_custkey, substr(c_name, 17, 2) AS cntrycode, c_acctbal
+          FROM customer
+          WHERE substr(c_name, 17, 2) IN ({_Q22_CODES_SQL})
+        ),
+        gate AS (SELECT avg(c_acctbal) AS avg_bal FROM cand WHERE c_acctbal > 0),
+        cutoff AS (
+          SELECT max(o_orderdate) - INTERVAL {_Q22_IDLE_DAYS} DAY AS cut FROM orders
+        ),
+        recent AS (
+          SELECT DISTINCT o_custkey FROM orders CROSS JOIN cutoff
+          WHERE o_orderdate > cut
+        ),
+        idle AS (
+          SELECT cand.cntrycode, cand.c_acctbal
+          FROM cand CROSS JOIN gate
+          WHERE cand.c_acctbal > gate.avg_bal
+            AND cand.c_custkey NOT IN (SELECT o_custkey FROM recent)
+        )
+        SELECT cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tot_cents
+        FROM idle
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+    """,
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    code = F.substring(F.col("c_name"), 17, 2)
+    cand = cust.filter(code.isin(*_Q22_CODES)).select(
+        "c_custkey", code.alias("cntrycode"), "c_acctbal"
+    )
+    # scalar gate + recency cutoff as 1-row broadcast relations — the
+    # decorrelated scalar subqueries never touch the driver
+    gate = cand.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr(f"INTERVAL {_Q22_IDLE_DAYS} DAYS")).alias("cut")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") > F.col("cut"))
+        .select("o_custkey")
+        .distinct()  # map-combined down to <= |customer| keys pre-anti-join
+    )
+    idle = (
+        cand.crossJoin(F.broadcast(gate))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cand.c_custkey == recent.o_custkey, "left_anti")
+    )
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    return (
+        idle.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(cents).cast("long").alias("tot_cents"),
+        )
+        .orderBy("cntrycode")
     )

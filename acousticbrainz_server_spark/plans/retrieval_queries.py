@@ -65,7 +65,10 @@ def _postings(d: DataFrame, qterms: list[tuple[int, str]]) -> tuple[DataFrame, D
         *[_term_count(toks, t).alias(f"tf_{i}") for i, (_, t) in enumerate(qterms)],
     ).localCheckpoint(eager=False)
     stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        # count("dl"), not count(*): a NULL-text doc has dl NULL (size of a
+        # NULL token array) and must not count toward n_docs — the oracle's
+        # dl CTE derives from unnest, which emits no row for such docs.
+        F.count("dl").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")

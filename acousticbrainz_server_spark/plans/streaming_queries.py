@@ -815,7 +815,11 @@ def _wma_oracle() -> str:
     "final no-data batch that flushes every window closed by the last "
     "file's clock (end <= max(all) - 2d) while HOLDING BACK newer windows. "
     " The hash match proves all three: dropped late rows absent, kept "
-    "late rows counted, unfinalized windows absent.",
+    "late rows counted, unfinalized windows absent.  CONTRACT VERSION: the "
+    "two-watermark lag and mtime-ordered maxFilesPerTrigger=1 pickup were "
+    "established on Spark 4.1.2 — if this gate goes red after a Spark "
+    "upgrade with no code change, diagnose as a CONTRACT CHANGE (re-derive "
+    "the lag constants per SCALE.md r8), not a regression.",
     oracle=_wma_oracle(),
 )
 def streaming_watermark_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
