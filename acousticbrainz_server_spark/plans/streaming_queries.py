@@ -648,50 +648,31 @@ def _sic_oracle() -> str:
     """
 
 
-@query(
-    "streaming_incremental_corpus",
-    family="§2.11,TXT,DEDUP,E2,QUALITY",
-    doc="The incremental corpus-build pipeline END-TO-END as one checkpointed "
-    "streaming job — the composed flagship chaining the certified pieces: "
-    "documents pre-split into 4 files stream with maxFilesPerTrigger=1 (four "
-    "real micro-batches); each batch passes the stateless quality gate "
-    "(lang='en' AND rounded quality_score >= 0.5), content-hashes, and "
-    "foreachBatch-MERGEs into a persisted dedup state keyed by sha256(text) "
-    "with the monoid (min(struct(doc_id, source, n_tokens)), sum(n_copies)) "
-    "— associative and commutative, so the final state is independent of "
-    "batch order and equals the batch dedup.  After the backlog drains, the "
-    "kept set packs per source shard by the sequential token-budget policy "
-    "(pack_training_batches).  The hash match against the pure-batch oracle "
-    "certifies the whole incremental path: gate, merge, and pack.",
-    oracle=_sic_oracle(),
-)
-def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
+def _sic_merge_fn(state_dir: str):
+    """foreachBatch body for the incremental-corpus MERGE, reusable by the
+    registered query (fresh state per invocation) and by the restart
+    certification tests (pinned checkpoint + kill + resume).
+
+    IDEMPOTENT UNDER REPLAY: foreachBatch with a non-transactional sink is
+    at-least-once — a crash between the state swap and the checkpoint's
+    offset commit replays that batch on restart.  The state records the
+    last applied batch_id (``_LAST_BATCH``, swapped atomically WITH the
+    data); a replayed batch_id is skipped, upgrading the merge to
+    effectively-once — the txnVersion pattern a Delta MERGE sink applies
+    internally.  Batch ids are monotone per checkpoint, including across
+    restarts, which is exactly the scope of the guard.
+    """
     import os
     import shutil
-    import tempfile
-    import uuid
-
-    from pyspark.sql import Window
 
     from ..functions.text import quality_score, token_count
 
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), "abspark_inc_corpus", tag)
-    src_dir = os.path.join(base, "src")
-    state_dir = os.path.join(base, "state")
-    shutil.rmtree(state_dir, ignore_errors=True)
-    import glob as _glob
-
-    for stale in _glob.glob(os.path.join(base, "ckpt_*")):
-        shutil.rmtree(stale, ignore_errors=True)
-    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "lang", "text"
-        ).repartition(_SIC_BATCHES).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
+    marker = os.path.join(state_dir, "_LAST_BATCH")
 
     def merge(batch_df, batch_id):
+        # replay guard: batch already folded into the committed state
+        if os.path.exists(marker) and int(open(marker).read()) >= batch_id:
+            return
         # stateless gate + hash, then MERGE into the dedup state with a
         # commutative monoid: min(struct) picks the globally-lowest doc_id
         # (struct comparison is field-order lexicographic), counts add.
@@ -723,26 +704,36 @@ def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFram
                 .groupBy("digest")
                 .agg(F.min("w").alias("w"), F.sum("n_copies").cast("long").alias("n_copies"))
             )
-        nxt = os.path.join(base, "state_next")
+        nxt = state_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
+        # the batch-id marker swaps atomically with the data (underscore
+        # prefix: parquet readers ignore it as metadata)
+        with open(os.path.join(nxt, "_LAST_BATCH"), "w") as f:
+            f.write(str(batch_id))
         shutil.rmtree(state_dir, ignore_errors=True)
         os.rename(nxt, state_dir)
 
-    with _stream_state_partitions(spark):
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src_dir)
-            .writeStream.foreachBatch(merge)
-            # fresh checkpoint per invocation: each run replays the whole
-            # bounded backlog (the gate recomputes from scratch); a
-            # production deployment would PIN this path and keep the state
-            # table, making restarts resume exactly-once from the offset log
-            .option("checkpointLocation", os.path.join(base, "ckpt_" + uuid.uuid4().hex[:8]))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    return merge
+
+
+def _sic_start_stream(spark: SparkSession, src_dir: str, state_dir: str, ckpt: str):
+    """One availableNow pass over the file backlog, one file per micro-batch,
+    MERGEing into ``state_dir``; resumes from ``ckpt``'s offset log."""
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(_sic_merge_fn(state_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _sic_pack(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Final per-source sequential token packing over the merged state."""
+    from pyspark.sql import Window
 
     st = spark.read.parquet(state_dir).select(
         F.col("w.doc_id").alias("doc_id"),
@@ -761,6 +752,57 @@ def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFram
         "n_copies",
         F.floor(prefix_excl / _SIC_PACK_BUDGET).cast("int").alias("pack_id"),
     )
+
+@query(
+    "streaming_incremental_corpus",
+    family="§2.11,TXT,DEDUP,E2,QUALITY",
+    doc="The incremental corpus-build pipeline END-TO-END as one checkpointed "
+    "streaming job — the composed flagship chaining the certified pieces: "
+    "documents pre-split into 4 files stream with maxFilesPerTrigger=1 (four "
+    "real micro-batches); each batch passes the stateless quality gate "
+    "(lang='en' AND rounded quality_score >= 0.5), content-hashes, and "
+    "foreachBatch-MERGEs into a persisted dedup state keyed by sha256(text) "
+    "with the monoid (min(struct(doc_id, source, n_tokens)), sum(n_copies)) "
+    "— associative and commutative, so the final state is independent of "
+    "batch order and equals the batch dedup.  After the backlog drains, the "
+    "kept set packs per source shard by the sequential token-budget policy "
+    "(pack_training_batches).  The hash match against the pure-batch oracle "
+    "certifies the whole incremental path: gate, merge, and pack.",
+    oracle=_sic_oracle(),
+)
+
+def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_inc_corpus", tag)
+    src_dir = os.path.join(base, "src")
+    state_dir = os.path.join(base, "state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    for stale in _glob.glob(os.path.join(base, "ckpt_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", "text"
+        ).repartition(_SIC_BATCHES).write.mode("overwrite").parquet(src_dir)
+
+    with _stream_state_partitions(spark):
+        # fresh checkpoint per invocation: each run replays the whole
+        # bounded backlog (the gate recomputes from scratch); the PINNED-
+        # checkpoint production path — kill mid-backlog, restart, resume
+        # from the offset log with the state carried — is certified by
+        # tests/test_streaming.py::test_incremental_corpus_restart_*
+        q = _sic_start_stream(
+            spark, src_dir, state_dir, os.path.join(base, "ckpt_" + uuid.uuid4().hex[:8])
+        )
+        q.awaitTermination()
+
+    return _sic_pack(spark, state_dir)
 
 
 # --------------------------------------------------------------------------------------

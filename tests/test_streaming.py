@@ -358,3 +358,110 @@ def test_streaming_watermark_audit_drop_and_holdback(spark):
     n_heldback = int((ev.day + pd.Timedelta(days=1) > final_wm).sum())
     assert n_dropped > 0 and n_kept_late > 0 and n_heldback > 0, (
         n_dropped, n_kept_late, n_heldback)
+
+
+def _sic_batch_twin(spark, sf):
+    """One-shot batch state of the incremental-corpus pipeline: the monoid
+    dedup (min-struct, sum-copies) over the gated corpus."""
+    from acousticbrainz_server_spark.functions.scalar import round_half_up
+    from acousticbrainz_server_spark.functions.text import quality_score, token_count
+    from acousticbrainz_server_spark.plans.streaming_queries import _SIC_QUALITY_MIN
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    d = load_table(spark, sf, "documents").filter(
+        (F.col("lang") == "en")
+        & (round_half_up(quality_score(F.col("text")), 4) >= _SIC_QUALITY_MIN)
+    )
+    return (
+        d.select(
+            F.sha2("text", 256).alias("digest"),
+            F.struct(
+                "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+            ).alias("w"),
+        )
+        .groupBy("digest")
+        .agg(F.min("w").alias("w"), F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select("digest", "w.doc_id", "w.source", "w.n_tokens", "n_copies")
+    )
+
+
+def _sic_state_rows(spark, state_dir):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(state_dir)
+            .select("digest", "w.doc_id", "w.source", "w.n_tokens", "n_copies")
+            .collect(),
+        )
+    )
+
+
+def test_incremental_corpus_restart_resumes_from_checkpoint(spark, tmp_path):
+    """The PINNED-checkpoint production path: kill the stream mid-backlog,
+    restart against the same checkpoint + state table, and the resumed
+    state must equal the one-shot batch dedup — offsets resume from the
+    log, already-merged batches are not re-applied."""
+    import shutil
+    import time
+
+    from acousticbrainz_server_spark.plans.streaming_queries import _sic_start_stream
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")  # PINNED: both runs share it
+    load_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", "text"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    # run 1: stop as soon as >=2 micro-batches committed (mid-backlog kill)
+    q = _sic_start_stream(spark, src, state, ckpt)
+    deadline = time.time() + 120
+    while time.time() < deadline and q.isActive:
+        done = [p for p in q.recentProgress if p["numInputRows"] is not None]
+        if len(done) >= 2:
+            q.stop()
+            break
+        time.sleep(0.05)
+    q.awaitTermination(120)
+    batches_run1 = len({p["batchId"] for p in q.recentProgress})
+    mid_state = _sic_state_rows(spark, state)
+
+    # run 2: SAME checkpoint, SAME state dir — resume and drain the backlog
+    q2 = _sic_start_stream(spark, src, state, ckpt)
+    q2.awaitTermination(120)
+
+    expect = sorted(map(tuple, _sic_batch_twin(spark, sf).collect()))
+    got = _sic_state_rows(spark, state)
+    assert got == expect, (
+        f"resumed state != one-shot batch (run1 committed {batches_run1} batches)"
+    )
+    # the kill was mid-backlog more often than not; when the race let run 1
+    # finish, the equality above still certifies restart-no-double-apply
+    if batches_run1 < 4:
+        assert mid_state != expect  # run 1 really stopped with partial state
+
+
+def test_incremental_corpus_merge_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch replayed after a crash between
+    the state swap and the offset commit must be a no-op (the _LAST_BATCH
+    guard), not a double-count of n_copies."""
+    from acousticbrainz_server_spark.plans.streaming_queries import _sic_merge_fn
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "state")
+    merge = _sic_merge_fn(state)
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang", "text")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    merge(half1, 0)
+    merge(half2, 1)
+    after = _sic_state_rows(spark, state)
+    merge(half2, 1)  # replay of the last committed batch
+    merge(half1, 0)  # stale replay of an older batch
+    assert _sic_state_rows(spark, state) == after
+    # and the state is the true batch dedup
+    assert after == sorted(map(tuple, _sic_batch_twin(spark, sf).collect()))
