@@ -76,90 +76,80 @@ def _load_all() -> None:
 # green the packed-lane rewrite voids).  Names absent from this list keep
 # registration order after it; names listed but not registered are ignored.
 #
-# ROUND-8 WINDOW (the r7 verdict's #1 item): the r7 gate sampled positions
-# 0-49 and stopped at rfm_segmentation, leaving exactly 12 queries without
-# a currently-valid driver row — the 7 r7 plan rewrites (rewrite voids the
-# older green) and the 5 post-close additions the driver never sampled.
-# They go FIRST.  Next the queries whose plans this round touches
-# (mmr_diversified_rerank: shared _MMR_MU literal; observed_quality_gate:
-# oracle-mirroring null handling; skew_isolated_join: refactor onto
-# functions/skew.hot_cold_split_join; bm25_retrieval + rrf_hybrid_search:
-# zero-token-shuffle postings rewrite) plus any new r8 queries, then the
-# rotation fills remaining slots with the oldest greens (r3 vector/text
-# tail, then the r2 relational core).  After this window every registered
-# query holds a CURRENTLY-VALID driver row.  History: r1-r2 relational/
-# vector core; r3 extensions; r4 re-checks + sketches/streaming; r5
-# export/ingest + 43 extensions; r6 the 47 session-2/3 additions; r7 the
-# 19 r6-new + simhash rewrites + 29 r7-new (50/50 green).
+# ROUND-9 WINDOW (the r8 verdict's #1 item — freshness rotation).  With
+# zero rewrite-voided rows outstanding after r8, the window's job is
+# (a) this round's plan touches FIRST (a touch voids the older green):
+# the two new TPC-H shapes (Q21 waiting_suppliers, Q22
+# idle_customer_balance), the bm25 NULL-text n_docs parity fix (+
+# rrf_hybrid_search, which shares _postings), the Q11 integral-compare
+# and Q2 broadcast-hint-drop fixes, and the incremental-corpus flagship
+# whose MERGE gained the replay-idempotence guard; then (b) the OLDEST
+# currently-valid greens.  Ground truth from the CORRECTNESS_r1-r8 union
+# (latest row per query): 7 rows are r2-vintage, 12 r3, 44 r4 — older
+# than the r4/r5 floor the r8 verdict assumed.  This window clears ALL
+# r2/r3 rows plus the alphabetically-first 24 of the r4 block; the
+# remaining 20 r4 rows rotate in r10, after which the registry floor is
+# r5.  History: r1-r2 relational/vector core; r3 extensions; r4
+# re-checks + sketches/streaming; r5 export/ingest + 43 extensions; r6
+# the 47 session-2/3 additions; r7 the 19 r6-new + simhash rewrites +
+# 29 r7-new; r8 the 12 stale + r8 touches/new + oldest rotation (50/50
+# green every round).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- the 7 r7 plan rewrites whose older greens the rewrite voided --
-    "pmi_copurchase",
-    "triangle_count",
-    "prefix_filter_jaccard",
-    "degree_distribution",
-    "containment_neardup",
-    "duplicate_span_report",
-    "benchmark_contamination",
-    # -- the 5 post-r7-close additions the driver has never sampled --
-    "topk_with_ties",
-    "cohort_ltv_curve",
-    "deletion_cascade_audit",
-    "share_of_total_window",
-    "kmv_set_intersection",
-    # -- r8 plan touches (this round's changes void the r7 greens) --
-    "mmr_diversified_rerank",
-    "observed_quality_gate",
-    "skew_isolated_join",
+    # -- new in r9 --
+    "waiting_suppliers",
+    "idle_customer_balance",
+    # -- r9 plan touches (void the r8 greens) --
     "bm25_retrieval",
     "rrf_hybrid_search",
-    "fk_integrity_audit",
-    "categorical_mi_entropy",
-    "kcore_peeling",
-    "tfidf_top_terms",
-    "embedding_neardup",
-    # -- new in r8 --
-    "streaming_incremental_corpus",
-    "streaming_watermark_audit",
-    "cheapest_supplier_per_part",
     "important_parts_value_share",
-    "dominant_part_suppliers",
-    # -- rotation: oldest greens age back in (r3 vector/text tail, then
-    #    the r2 relational core) --
-    "knn_exact_topk",
-    "knn_postprocess",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "decay_weighted_vector",
-    "circle_of_fifths_embedding",
-    "probability_vector",
-    "token_stats",
-    "text_quality",
-    "submission_offset",
-    "latest_per_group",
-    "small_quantity_revenue",
-    "pricing_summary",
-    "join_multiway_rollup",
-    "anti_join_unprocessed",
-    "asof_latest_purchase",
-    "count_global",
-    "count_per_key",
-    "point_lookup_batch",
-    "daily_stats_rollup",
-    "shipping_priority_topk",
-    "format_track_length_full",
-    "rollup_revenue",
-    "event_type_pivot",
-    "value_percentiles",
-    "events_within_window",
-    "sessionize_events",
-    "salted_count_per_key",
-    "daily_moving_average",
-    "user_event_gaps",
-    "topk_per_group",
+    "cheapest_supplier_per_part",
+    "streaming_incremental_corpus",
+    # -- rotation: the 7 r2-vintage rows (oldest valid greens) --
     "cohort_retention",
-    "semi_join_window",
+    "daily_moving_average",
+    "events_within_window",
+    "salted_count_per_key",
+    "topk_per_group",
+    "user_event_gaps",
+    "value_percentiles",
+    # -- the 12 r3-vintage rows --
     "content_hash_dedup",
+    "content_upsert",
+    "corpus_filter",
+    "document_chunks",
+    "event_type_pivot",
+    "language_id",
+    "pack_training_batches",
+    "pii_redact",
+    "semi_join_window",
+    "sessionize_events",
+    "slugify_names_nfkd",
+    "stratified_sample",
+    # -- the alphabetically-first 24 of the 44 r4-vintage rows --
+    "ann_brute_cosine_topk",
+    "approx_distinct_sketch",
+    "approx_quantile_sketch",
+    "bpm_circle_embedding",
+    "bucketed_join_rollup",
+    "class_normalization_cut",
+    "count_distinct_split",
+    "dataset_snapshot_flat",
+    "dataset_validation",
+    "duplicate_cap",
+    "embedding_quantize_int8",
+    "equidepth_histogram",
+    "feature_projection_defaults",
     "first_per_key_dedup",
+    "first_tag_element",
+    "format_track_length",
+    "funnel_stages",
+    "highlevel_class_map",
+    "history_limit_reverse",
+    "ingest_validation",
+    "job_queue_state",
+    "json_path_projection",
+    "left_join_keep_unmatched",
+    "map_collect_per_key",
 )
 
 

@@ -8,13 +8,19 @@ parquet tables, and writes ``BENCHRATIO.json``:
     {"sf": 0.1,
      "queries": {"q": {"warm": s, "cold": s, "duck": s, "ratio": warm/duck}},
      "totals": {...},
+     "guards": {...},              # exchange-bound class: numeric ceilings
      "worst": [[q, ratio], ...]}   # compute-bound tail, ratio desc
 
 ``ratio`` is warm-Spark / DuckDB — the number the 2x audit reads.  Queries
 without a SQL oracle (streaming, committed-model pipelines) get duck=null and
 no ratio.  Usage:
 
-    python tools/bench_ratio.py [sf_dir] [--bench BENCH.json] [--out FILE]
+    python tools/bench_ratio.py [sf_dir] [--bench BENCH.json ...] [--draws N] [--out FILE]
+
+Min-over-draws doctrine (r8 verdict): pass ``--bench`` several times (one
+per measured draw) and/or ``--draws N`` to run bench.py N times; per-query
+warm is the MIN across draws, so one contended window cannot inflate the
+committed per-query ratios.
 """
 
 from __future__ import annotations
@@ -29,6 +35,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
 from acousticbrainz_server_spark.sources.tables import TESTDATA_TABLES
+
+# Exchange-bound acceptance, made EXECUTABLE (r8 verdict #2).  These six
+# queries are formally accepted >2x-vs-DuckDB constants: linear in data, no
+# superlinear stage, no collect, no skew cliff — the gap is exchange
+# serialization a fused single-process engine never pays (SCALE.md).  The
+# acceptance is bounded by numeric warm-sf0.1 ceilings: +25% over the r8
+# judge-measured warm times.  A breach prints here and lands in the
+# artifact's "guards" block — visible without reading SCALE.md prose.
+# Ceilings apply to the min-over-draws warm time at sf0.1 on a quiet box.
+EXCHANGE_BOUND_CEILINGS_SF01 = {
+    "pmi_copurchase": 1.52,
+    "degree_distribution": 1.55,
+    "abc_analysis": 1.60,
+    "slow_fulfillment_suppliers": 1.26,
+    "fk_integrity_audit": 1.84,
+    "dominant_part_suppliers": 1.27,
+}
 
 
 def duck_times(sf_dir: str, runs: int = 2) -> dict[str, float]:
@@ -56,13 +79,17 @@ def duck_times(sf_dir: str, runs: int = 2) -> dict[str, float]:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    bench_file = None
+    bench_files: list[str] = []
+    draws = 0
     out_file = "BENCHRATIO.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     i = 0
     while i < len(args):
         if args[i] == "--bench":
-            bench_file = args[i + 1]
+            bench_files.append(args[i + 1])
+            i += 2
+        elif args[i] == "--draws":
+            draws = int(args[i + 1])
             i += 2
         elif args[i] == "--out":
             out_file = args[i + 1]
@@ -73,9 +100,8 @@ def main() -> None:
 
     _load_all()
 
-    if bench_file:
-        bench = json.load(open(bench_file))
-    else:
+    benches: list[dict] = [json.load(open(f)) for f in bench_files]
+    for _ in range(max(draws, 0 if benches else 1)):
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
         proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
@@ -83,10 +109,19 @@ def main() -> None:
             text=True,
             env=env,
         )
-        bench = json.loads(proc.stdout.strip().splitlines()[-1])
+        benches.append(json.loads(proc.stdout.strip().splitlines()[-1]))
 
-    warm = bench["queries"]
-    cold = bench.get("queries_cold", {})
+    bench = benches[0]
+    # min over draws, per query: one contended window cannot inflate ratios
+    warm: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    for b in benches:
+        for n, v in b["queries"].items():
+            if v is not None and v >= 0 and (n not in warm or v < warm[n]):
+                warm[n] = v
+        for n, v in b.get("queries_cold", {}).items():
+            if v is not None and v >= 0 and (n not in cold or v < cold[n]):
+                cold[n] = v
     duck = duck_times(sf_dir)
 
     queries: dict[str, dict] = {}
@@ -105,13 +140,32 @@ def main() -> None:
     worst = sorted(ratios, key=lambda kv: -kv[1])[:15]
     total_warm = round(sum(q["warm"] for q in queries.values() if q["warm"] and q["warm"] > 0), 3)
     total_duck = round(sum(q["duck"] for q in queries.values() if q["duck"]), 3)
+
+    # executable acceptance guards for the exchange-bound class
+    guards = {}
+    for n, ceiling in EXCHANGE_BOUND_CEILINGS_SF01.items():
+        w = warm.get(n)
+        guards[n] = {
+            "warm": w,
+            "ceiling": ceiling,
+            "pass": (w is not None and w <= ceiling),
+        }
+    guards_pass = all(g["pass"] for g in guards.values())
+
     result = {
         "sf": bench.get("sf"),
+        "draws": len(benches),
         "totals": {
             "spark_warm": total_warm,
             "spark_cold": bench.get("value_cold"),
             "duck": total_duck,
             "suite_ratio": round(total_warm / total_duck, 3) if total_duck else None,
+        },
+        "guards": {
+            "doctrine": "exchange-bound class: min-over-draws warm sf0.1 <= ceiling "
+            "(+25% over r8 judge-measured); breach = regression, not acceptance",
+            "pass": guards_pass,
+            "queries": guards,
         },
         # compute-bound tail: warm >= 1s AND >2x duck (fixed-overhead
         # sub-second queries are scheduling floor, not plan defects)
@@ -125,7 +179,18 @@ def main() -> None:
     }
     with open(out_file, "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({"out": out_file, "totals": result["totals"], "tail_over_2x": result["tail_over_2x"]}))
+    print(
+        json.dumps(
+            {
+                "out": out_file,
+                "draws": len(benches),
+                "totals": result["totals"],
+                "guards_pass": guards_pass,
+                "guard_breaches": [n for n, g in guards.items() if not g["pass"]],
+                "tail_over_2x": result["tail_over_2x"],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
