@@ -87,9 +87,12 @@ def _load_all() -> None:
 # currently-valid greens.  Ground truth from the CORRECTNESS_r1-r8 union
 # (latest row per query): 7 rows are r2-vintage, 12 r3, 44 r4 — older
 # than the r4/r5 floor the r8 verdict assumed.  This window clears ALL
-# r2/r3 rows plus the alphabetically-first 24 of the r4 block; the
-# remaining 20 r4 rows rotate in r10, after which the registry floor is
-# r5.  History: r1-r2 relational/vector core; r3 extensions; r4
+# r2/r3 rows plus the alphabetically-first 22 of the r4 block; the
+# remaining 22 r4 rows (left_join_keep_unmatched onward) rotate in r10,
+# after which the registry floor is r5.  The two watermark audits also
+# ride this window: the update-mode audit is new in r9 and the append
+# audit's source builder moved into the shared _wma_build_src helper
+# (code motion — re-certified anyway).  History: r1-r2 relational/vector core; r3 extensions; r4
 # re-checks + sketches/streaming; r5 export/ingest + 43 extensions; r6
 # the 47 session-2/3 additions; r7 the 19 r6-new + simhash rewrites +
 # 29 r7-new; r8 the 12 stale + r8 touches/new + oldest rotation (50/50
@@ -98,12 +101,15 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # -- new in r9 --
     "waiting_suppliers",
     "idle_customer_balance",
+    "streaming_watermark_update_audit",
     # -- r9 plan touches (void the r8 greens) --
     "bm25_retrieval",
     "rrf_hybrid_search",
     "important_parts_value_share",
     "cheapest_supplier_per_part",
     "streaming_incremental_corpus",
+    # source-builder extracted into _wma_build_src (code motion; re-certify)
+    "streaming_watermark_audit",
     # -- rotation: the 7 r2-vintage rows (oldest valid greens) --
     "cohort_retention",
     "daily_moving_average",
@@ -148,8 +154,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "ingest_validation",
     "job_queue_state",
     "json_path_projection",
-    "left_join_keep_unmatched",
-    "map_collect_per_key",
 )
 
 

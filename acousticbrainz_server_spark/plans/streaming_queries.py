@@ -813,6 +813,73 @@ _WMA_RECENT_US = 5 * 86_400_000_000  # the last 5 days arrive in the final file
 _WMA_SINK = "streaming_watermark_audit_sink"
 
 
+def _wma_build_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the 4-file mtime-ordered watermark-audit backlog (shared
+    by the append- and update-mode audits): f0 bulk on-time (event_id%7!=0),
+    f1 on-time spacer (%7==0), f2 the 10% late sample, f3 the final
+    ``_WMA_RECENT_US`` days.  Idempotent per (sf_dir, pid)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_wm_audit", tag)
+    src_dir = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar probe, not a data pull
+        cut = F.lit(max_ts) - F.expr(f"INTERVAL {_WMA_RECENT_US // 86_400_000_000} DAYS")
+        recent = F.col("ts") > cut
+        late = (F.col("event_id") % 10 == 0) & ~recent
+        splits = [
+            ("f0", ~late & ~recent & (F.col("event_id") % 7 != 0)),
+            ("f1", ~late & ~recent & (F.col("event_id") % 7 == 0)),
+            ("f2", late),
+            ("f3", recent),
+        ]
+        import time as _time
+
+        now = _time.time()
+        for i, (name, pred) in enumerate(splits):
+            tmp = os.path.join(base, f"tmp_{name}")
+            ev.filter(pred).repartition(1).write.mode("overwrite").parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            dst = os.path.join(src_dir, f"{name}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # mtime IS the stream order: one file per micro-batch, ascending
+            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+        open(os.path.join(src_dir, "_DONE"), "w").write("ok\n")
+    return base, src_dir
+
+
+def _wma_windowed_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """The audit's streaming aggregation: one file per micro-batch through a
+    ``_WMA_DELAY_US`` watermark into daily x event_type counts."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(src_dir, "f0.parquet")).schema
+    days = _WMA_DELAY_US // 86_400_000_000
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "f*.parquet")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", f"{days} days")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.to_date("w.start").alias("day"), "event_type", "n_events")
+    )
+
+
 def _wma_oracle() -> str:
     d, r = _WMA_DELAY_US, _WMA_RECENT_US
     return f"""
@@ -866,62 +933,14 @@ def _wma_oracle() -> str:
 )
 def streaming_watermark_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
-    import hashlib
     import os
     import shutil
-    import tempfile
     import uuid
 
-    from ..sources.tables import load_table
-
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), "abspark_wm_audit", tag)
-    src_dir = os.path.join(base, "src")
+    base, src_dir = _wma_build_src(spark, sf_dir)
     for stale in _glob.glob(os.path.join(base, "ckpt_*")):
         shutil.rmtree(stale, ignore_errors=True)
-    if not os.path.exists(os.path.join(src_dir, "_DONE")):
-        shutil.rmtree(src_dir, ignore_errors=True)
-        os.makedirs(src_dir)
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "event_type"
-        )
-        max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar probe, not a data pull
-        cut = F.lit(max_ts) - F.expr(f"INTERVAL {_WMA_RECENT_US // 86_400_000_000} DAYS")
-        recent = F.col("ts") > cut
-        late = (F.col("event_id") % 10 == 0) & ~recent
-        splits = [
-            ("f0", ~late & ~recent & (F.col("event_id") % 7 != 0)),
-            ("f1", ~late & ~recent & (F.col("event_id") % 7 == 0)),
-            ("f2", late),
-            ("f3", recent),
-        ]
-        import time as _time
-
-        now = _time.time()
-        for i, (name, pred) in enumerate(splits):
-            tmp = os.path.join(base, f"tmp_{name}")
-            ev.filter(pred).repartition(1).write.mode("overwrite").parquet(tmp)
-            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
-            dst = os.path.join(src_dir, f"{name}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            # mtime IS the stream order: one file per micro-batch, ascending
-            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
-        open(os.path.join(src_dir, "_DONE"), "w").write("ok\n")
-
-    schema = spark.read.parquet(os.path.join(src_dir, "f0.parquet")).schema
-    days = _WMA_DELAY_US // 86_400_000_000
-    agg = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "f*.parquet")
-        .parquet(src_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", f"{days} days")
-        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.to_date("w.start").alias("day"), "event_type", "n_events")
-    )
+    agg = _wma_windowed_stream(spark, src_dir)
     with _stream_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -933,3 +952,97 @@ def streaming_watermark_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(_WMA_SINK)
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 depth — UPDATE-mode emission accounting over the same 4-file backlog
+# --------------------------------------------------------------------------------------
+
+
+def _wmu_oracle() -> str:
+    d, r = _WMA_DELAY_US, _WMA_RECENT_US
+    return f"""
+        WITH e AS (
+          SELECT event_id, event_type, epoch_ns(ts) // 1000 AS us, CAST(ts AS DATE) AS day
+          FROM events
+        ),
+        mx AS (SELECT max(us) AS max_us FROM e),
+        fls AS (
+          SELECT e.*,
+                 CASE WHEN us > max_us - {r} THEN 3
+                      WHEN event_id % 10 = 0 THEN 2
+                      WHEN event_id % 7 <> 0 THEN 0
+                      ELSE 1 END AS k
+          FROM e CROSS JOIN mx
+        ),
+        -- late filter at batch k uses the watermark from data through k-2:
+        -- k=2 sees wm(f0); k=3 sees wm(f0 UNION f1); k<=1 sees none
+        wm2 AS (SELECT max(us) - {d} AS wm FROM fls WHERE k = 0),
+        wm3 AS (SELECT max(us) - {d} AS wm FROM fls WHERE k <= 1),
+        kept AS (
+          SELECT day, event_type, k FROM fls WHERE k <= 1
+          UNION ALL
+          SELECT day, event_type, k FROM fls CROSS JOIN wm2
+          WHERE k = 2 AND epoch_us(CAST(day AS TIMESTAMP)) + 86400000000 > wm
+          UNION ALL
+          SELECT day, event_type, k FROM fls CROSS JOIN wm3
+          WHERE k = 3 AND epoch_us(CAST(day AS TIMESTAMP)) + 86400000000 > wm
+        ),
+        touched AS (SELECT DISTINCT k, day, event_type FROM kept)
+        SELECT CAST(t.k AS INTEGER) AS batch_id, t.day, t.event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM touched t
+        JOIN kept s ON s.day = t.day AND s.event_type = t.event_type AND s.k <= t.k
+        GROUP BY t.k, t.day, t.event_type
+    """
+
+
+@query(
+    "streaming_watermark_update_audit",
+    family="§2.11,P9,A8",
+    doc="UPDATE-mode emission accounting over the SAME 4-file backlog as the "
+    "append-mode audit — the other half of the late-data contract.  Each "
+    "micro-batch emits exactly the (day, event_type) windows its kept rows "
+    "TOUCH, carrying the new CUMULATIVE count; untouched windows are not "
+    "re-emitted, the final no-data batch emits nothing (no flush in update "
+    "mode), and the late filter applies the same k-2 watermark lag as "
+    "append mode (established by minimal repro, Spark 4.1.2 — SCALE.md r9). "
+    " The one-batch lag between the late filter and eviction makes "
+    "post-eviction state re-creation IMPOSSIBLE (any row for an evicted "
+    "window is always late-filtered: evict_wm(j) <= late_wm(k) for all "
+    "j < k), so cumulative counts are simply running kept-row totals — the "
+    "oracle encodes that proof.  batch_id is part of the output: the "
+    "per-batch emission schedule is the certified contract, not just the "
+    "final counts.",
+    oracle=_wmu_oracle(),
+)
+def streaming_watermark_update_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os
+    import shutil
+    import uuid
+
+    base, src_dir = _wma_build_src(spark, sf_dir)
+    for stale in _glob.glob(os.path.join(base, "updckpt_*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    out_dir = os.path.join(base, "upd_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    agg = _wma_windowed_stream(spark, src_dir)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(int(batch_id)).cast("int")).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(base, "updckpt_" + uuid.uuid4().hex[:8]))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "batch_id", "day", "event_type", F.col("n_events").cast("long").alias("n_events")
+    )

@@ -465,3 +465,59 @@ def test_incremental_corpus_merge_replay_is_idempotent(spark, tmp_path):
     assert _sic_state_rows(spark, state) == after
     # and the state is the true batch dedup
     assert after == sorted(map(tuple, _sic_batch_twin(spark, sf).collect()))
+
+
+def test_streaming_watermark_update_audit_schedule(spark):
+    """Update-mode emission schedule: each batch emits exactly its touched
+    windows with cumulative kept counts; the late file's drops are absent;
+    the final no-data batch emits nothing."""
+    import pandas as pd
+
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    _load_all()
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["streaming_watermark_update_audit"].spark_fn(spark, sf).toPandas()
+
+    ev = load_table(spark, sf, "events").select("event_id", "ts", "event_type").toPandas()
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    mx = ev.ts.max()
+    recent = ev.ts > mx - pd.Timedelta(days=5)
+    late = (ev.event_id % 10 == 0) & ~recent
+    k = pd.Series(1, index=ev.index)
+    k[~late & ~recent & (ev.event_id % 7 != 0)] = 0
+    k[late] = 2
+    k[recent] = 3
+    ev["k"] = k
+    ev["day"] = ev.ts.dt.floor("D")
+    w_end = ev.day + pd.Timedelta(days=1)
+    wm2 = ev.loc[ev.k == 0, "ts"].max() - pd.Timedelta(days=2)
+    wm3 = ev.loc[ev.k <= 1, "ts"].max() - pd.Timedelta(days=2)
+    keep = pd.Series(True, index=ev.index)
+    keep[(ev.k == 2) & (w_end <= wm2)] = False
+    keep[(ev.k == 3) & (w_end <= wm3)] = False
+    kept = ev[keep]
+
+    expect = {}
+    for kb in range(4):
+        batch_rows = kept[kept.k == kb]
+        touched = set(zip(batch_rows.day.dt.date, batch_rows.event_type))
+        upto = kept[kept.k <= kb]
+        cum = upto.groupby([upto.day.dt.date, "event_type"]).size()
+        for key in touched:
+            expect[(kb, *key)] = int(cum[key])
+
+    got = {(r.batch_id, r.day, r.event_type): r.n_events for r in out.itertuples()}
+    assert got == expect
+    # schedule invariants: no emission from the final no-data batch; the
+    # late batch dropped something; some window updated across batches
+    assert out.batch_id.max() <= 3
+    n_dropped = int(((ev.k == 2) & (w_end <= wm2)).sum())
+    assert n_dropped > 0
+    multi = out.groupby(["day", "event_type"]).size()
+    assert (multi > 1).any(), "no window was updated by more than one batch"
+    # cumulative counts strictly increase per window across batches
+    for (_, _), g in out.groupby(["day", "event_type"]):
+        seq = g.sort_values("batch_id")["n_events"].tolist()
+        assert seq == sorted(seq) and len(set(seq)) == len(seq)
