@@ -3050,7 +3050,12 @@ _Q21_LATE_DAYS = 365  # a line is "late" if shipped > this long after the order 
     "the nation-filtered dim WITHOUT a broadcast hint (supplier is "
     "SF-proportional — AQE decides).  This schema has no receipt/commit "
     "dates, so 'late' is ship-lag > {d} days (reference analog: the "
-    "J4 work-queue anti-joins, db/data.py:950-981).".format(d=_Q21_LATE_DAYS),
+    "J4 work-queue anti-joins, db/data.py:950-981).  Completes the "
+    "Q21-lite slow_fulfillment_suppliers (same decorrelation core) with "
+    "the full literal composition: o_orderstatus='F' restriction, "
+    "LINE-level numwait (a supplier with 2 late lines in one qualifying "
+    "order counts 2), the single-nation dim filter, and the "
+    "numwait-desc top-100 output contract.".format(d=_Q21_LATE_DAYS),
     oracle=f"""
         WITH lo AS (
           SELECT l_orderkey, l_suppkey,
@@ -3154,7 +3159,12 @@ _Q22_CODES_SQL = ", ".join(f"'{c}'" for c in _Q22_CODES)
     "selectivity is scale-stable (TPC-H's literal date would go degenerate "
     "as the generated date range shifts).  Balances cross the engines as "
     "integer cents.  (Reference analog: the J4 unprocessed anti-join, "
-    "db/data.py:950-981.)".format(d=_Q22_IDLE_DAYS),
+    "db/data.py:950-981.)  Completes the Q22-lite dormant_rich_customers "
+    "(same gate + anti-join core, grouped by nation with a FIXED literal "
+    "cutoff) with the full literal composition: substring+IN-set country "
+    "bucketing, the gate computed over the SAME code-filtered candidate "
+    "scan (not all customers), per-code output, and the scale-stable "
+    "trailing-window recency cutoff.".format(d=_Q22_IDLE_DAYS),
     oracle=f"""
         WITH cand AS (
           SELECT c_custkey, substr(c_name, 17, 2) AS cntrycode, c_acctbal
