@@ -92,6 +92,11 @@ TARGETS_FULLCORPUS = (
     "cheapest_supplier_per_part",
     "important_parts_value_share",
     "dominant_part_suppliers",
+    # r9 additions: Q21 full form (lineitem+orders join, single fact
+    # exchange) and Q22 full form (customer+orders anti-join; sub-second
+    # at sf0.1, measured anyway for the curve record)
+    "waiting_suppliers",
+    "idle_customer_balance",
 )
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
