@@ -32,6 +32,7 @@ PICKS = {
     "cdc_chunk_dedup": "content-defined boundaries in one codegen stage off the scan; chunk-hash shuffle on 16-byte keys",
     "countmin_heavy_counts": "posexplode feeds d sketch rows through ONE map-combined aggregate; probes join broadcast cells",
     "bitmap_distinct_rollup": "exact distinct as mergeable per-bucket bitmaps; the union row ORs bitmaps, never rescans",
+    "waiting_suppliers": "Q21's EXISTS + NOT-EXISTS as ONE per-order aggregate pass; the FACT shuffles at most once in either regime: small SF (captured) - AQE broadcasts the status-filtered orders, the only fact exchange feeds the (orderkey,suppkey) agg and later exchanges move pair PARTIALS; large SF - SMJ exchanges on orderkey and both aggregates reuse it (HashPartitioning(orderkey) satisfies both groupings). No Expand, no count(DISTINCT)",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
