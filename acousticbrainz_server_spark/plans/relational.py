@@ -3041,11 +3041,14 @@ _Q21_LATE_DAYS = 365  # a line is "late" if shipped > this long after the order 
     "— per outer row; both decorrelate into ONE per-order aggregate pass: "
     "n_supp > 1 encodes the EXISTS, distinct-late-supplier-count = 1 "
     "encodes the NOT-EXISTS (the outer row is itself late, so it IS that "
-    "one).  Spark-first: lineitem joins status-filtered orders on "
-    "l_orderkey and BOTH downstream aggregates — (orderkey, suppkey) then "
-    "(orderkey) — reuse that exchange (HashPartitioning(orderkey) "
-    "satisfies both ClusteredDistributions), so the fact shuffles exactly "
-    "once; the two-level agg replaces count(DISTINCT) and avoids the "
+    "one).  Spark-first: the fact shuffles AT MOST ONCE in either plan "
+    "regime — at scale, SMJ exchanges lineitem/orders on orderkey and "
+    "BOTH downstream aggregates reuse that exchange "
+    "(HashPartitioning(orderkey) satisfies both ClusteredDistributions); "
+    "at small SF, AQE broadcasts the status-filtered orders instead, the "
+    "only fact exchange feeds the (orderkey, suppkey) aggregate, and "
+    "later exchanges move pair PARTIALS (PLANS.md capture).  The "
+    "two-level agg replaces count(DISTINCT) and avoids the "
     "Expand operator; the per-supplier rollup (<= |supplier| rows) joins "
     "the nation-filtered dim WITHOUT a broadcast hint (supplier is "
     "SF-proportional — AQE decides).  This schema has no receipt/commit "
