@@ -87,8 +87,8 @@ def _load_all() -> None:
 # currently-valid greens.  Ground truth from the CORRECTNESS_r1-r8 union
 # (latest row per query): 7 rows are r2-vintage, 12 r3, 44 r4 — older
 # than the r4/r5 floor the r8 verdict assumed.  This window clears ALL
-# r2/r3 rows plus the alphabetically-first 22 of the r4 block; the
-# remaining 22 r4 rows (left_join_keep_unmatched onward) rotate in r10,
+# r2/r3 rows plus the alphabetically-first 20 of the r4 block; the
+# remaining 24 r4 rows (job_queue_state onward) rotate in r10,
 # after which the registry floor is r5.  The two watermark audits also
 # ride this window: the update-mode audit is new in r9 and the append
 # audit's source builder moved into the shared _wma_build_src helper
@@ -110,6 +110,9 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "streaming_incremental_corpus",
     # source-builder extracted into _wma_build_src (code motion; re-certify)
     "streaming_watermark_audit",
+    # r9 perf swap onto the shared chained-Generate edge builder
+    "label_propagation_communities",
+    "bfs_shortest_paths",
     # -- rotation: the 7 r2-vintage rows (oldest valid greens) --
     "cohort_retention",
     "daily_moving_average",
@@ -131,7 +134,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "sessionize_events",
     "slugify_names_nfkd",
     "stratified_sample",
-    # -- the alphabetically-first 24 of the 44 r4-vintage rows --
+    # -- the alphabetically-first 20 of the 44 r4-vintage rows --
     "ann_brute_cosine_topk",
     "approx_distinct_sketch",
     "approx_quantile_sketch",
@@ -152,8 +155,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "highlevel_class_map",
     "history_limit_reverse",
     "ingest_validation",
-    "job_queue_state",
-    "json_path_projection",
 )
 
 
