@@ -114,3 +114,27 @@ def test_perf_artifact_names_are_registered():
         | set(mod.TARGETS_FULLCORPUS)
     )
     assert targets <= set(QUERIES), targets - set(QUERIES)
+
+
+def test_exchange_bound_guards_reference_registered_queries():
+    """The executable perf ceilings in tools/bench_ratio.py must track the
+    registry: a renamed query would silently drop its guard otherwise, and
+    every guarded query must still carry a DuckDB oracle (the ceilings are
+    warm-vs-oracle acceptances)."""
+    import importlib.util
+    import os
+
+    from acousticbrainz_server_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_ratio", os.path.join(root, "tools", "bench_ratio.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    guards = mod.EXCHANGE_BOUND_CEILINGS_SF01
+    assert set(guards) <= set(QUERIES), set(guards) - set(QUERIES)
+    for name, ceiling in guards.items():
+        assert QUERIES[name].oracle is not None, name
+        assert 0 < ceiling < 30, (name, ceiling)
