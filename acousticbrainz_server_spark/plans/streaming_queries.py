@@ -656,11 +656,22 @@ def _sic_merge_fn(state_dir: str):
     IDEMPOTENT UNDER REPLAY: foreachBatch with a non-transactional sink is
     at-least-once — a crash between the state swap and the checkpoint's
     offset commit replays that batch on restart.  The state records the
-    last applied batch_id (``_LAST_BATCH``, swapped atomically WITH the
-    data); a replayed batch_id is skipped, upgrading the merge to
+    last applied batch_id (``_LAST_BATCH``, written into the staging dir
+    BEFORE its atomic rename, so the committed state's marker is always
+    complete); a replayed batch_id is skipped, upgrading the merge to
     effectively-once — the txnVersion pattern a Delta MERGE sink applies
     internally.  Batch ids are monotone per checkpoint, including across
     restarts, which is exactly the scope of the guard.
+
+    CRASH-SAFE SWAP: the state advances by rename-aside (state -> _old,
+    _next -> state, drop _old), never by delete-then-rename — at every
+    instant either the old or the new state exists as a complete renamed
+    directory.  ``_recover`` runs at each batch entry: a crash between the
+    two renames leaves state missing with a COMPLETE _next (its marker was
+    written pre-rename) -> finish the roll; an interrupted staging write
+    (no marker in _next) -> discard _next and fall back to _old if the
+    first rename already happened.  With a Delta/Iceberg sink all of this
+    is the table format's commit protocol.
     """
     import os
     import shutil
@@ -668,10 +679,36 @@ def _sic_merge_fn(state_dir: str):
     from ..functions.text import quality_score, token_count
 
     marker = os.path.join(state_dir, "_LAST_BATCH")
+    nxt = state_dir + "_next"
+    old = state_dir + "_old"
+
+    def _last_batch() -> int:
+        """Committed batch id, or -1.  An unparsable marker is treated as
+        absent (re-apply) rather than wedging the stream — under the
+        rename-based swap the committed marker is always complete, so this
+        branch is defensive only."""
+        try:
+            return int(open(marker).read())
+        except (OSError, ValueError):
+            return -1
+
+    def _recover():
+        if os.path.exists(state_dir):
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.exists(os.path.join(nxt, "_LAST_BATCH")):
+            # staging completed (marker precedes the rename): finish the roll
+            os.rename(nxt, state_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            # staging was torn: roll back to the previous committed state
+            shutil.rmtree(nxt, ignore_errors=True)
+            os.rename(old, state_dir)
 
     def merge(batch_df, batch_id):
+        _recover()
         # replay guard: batch already folded into the committed state
-        if os.path.exists(marker) and int(open(marker).read()) >= batch_id:
+        if _last_batch() >= batch_id:
             return
         # stateless gate + hash, then MERGE into the dedup state with a
         # commutative monoid: min(struct) picks the globally-lowest doc_id
@@ -704,14 +741,17 @@ def _sic_merge_fn(state_dir: str):
                 .groupBy("digest")
                 .agg(F.min("w").alias("w"), F.sum("n_copies").cast("long").alias("n_copies"))
             )
-        nxt = state_dir + "_next"
         merged.write.mode("overwrite").parquet(nxt)
-        # the batch-id marker swaps atomically with the data (underscore
-        # prefix: parquet readers ignore it as metadata)
+        # marker goes INTO the staging dir before any rename (underscore
+        # prefix: parquet readers ignore it as metadata) — completeness of
+        # _next is therefore exactly "its marker exists"
         with open(os.path.join(nxt, "_LAST_BATCH"), "w") as f:
             f.write(str(batch_id))
-        shutil.rmtree(state_dir, ignore_errors=True)
+        # rename-aside swap: old and new both survive any single crash point
+        if os.path.exists(state_dir):
+            os.rename(state_dir, old)
         os.rename(nxt, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     return merge
 
@@ -770,7 +810,6 @@ def _sic_pack(spark: SparkSession, state_dir: str) -> DataFrame:
     "certifies the whole incremental path: gate, merge, and pack.",
     oracle=_sic_oracle(),
 )
-
 def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import hashlib
@@ -783,7 +822,9 @@ def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFram
     base = os.path.join(tempfile.gettempdir(), "abspark_inc_corpus", tag)
     src_dir = os.path.join(base, "src")
     state_dir = os.path.join(base, "state")
-    shutil.rmtree(state_dir, ignore_errors=True)
+    # fresh state per invocation, including swap staging leftovers
+    for d in (state_dir, state_dir + "_next", state_dir + "_old"):
+        shutil.rmtree(d, ignore_errors=True)
     for stale in _glob.glob(os.path.join(base, "ckpt_*")):
         shutil.rmtree(stale, ignore_errors=True)
     if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
@@ -822,8 +863,6 @@ def _wma_build_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
     import shutil
     import tempfile
-
-    from ..sources.tables import load_table
 
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), "abspark_wm_audit", tag)

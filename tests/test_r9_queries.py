@@ -47,8 +47,11 @@ def test_waiting_suppliers_matches_literal_correlated_form(spark):
     out = QUERIES["waiting_suppliers"].spark_fn(spark, SF_CORRECT).toPandas()
     truth = _q21_truth(SF_CORRECT)
     assert len(truth) > 0, "Q21 predicates kept zero suppliers — vacuous fixture"
+    # apply the query's own (numwait desc, name asc) top-100 contract to the
+    # truth side, so the comparison survives fixtures with >100 qualifiers
+    top100 = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     got = dict(zip(out["s_name"], out["numwait"]))
-    assert got == {k: int(v) for k, v in truth.items()}
+    assert got == {k: int(v) for k, v in top100}
     # ordering contract: numwait desc, then name asc
     key = [(-n, s) for s, n in zip(out["s_name"], out["numwait"])]
     assert key == sorted(key)

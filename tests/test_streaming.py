@@ -521,3 +521,65 @@ def test_streaming_watermark_update_audit_schedule(spark):
     for (_, _), g in out.groupby(["day", "event_type"]):
         seq = g.sort_values("batch_id")["n_events"].tolist()
         assert seq == sorted(seq) and len(set(seq)) == len(seq)
+
+
+def test_incremental_corpus_swap_crash_recovery(spark, tmp_path):
+    """The rename-aside swap survives every single crash point: (a) crash
+    between the two renames (state missing, staging complete) resumes the
+    roll; (b) a torn staging write rolls back to the previous committed
+    state; in both cases a replay then converges to the exact batch dedup."""
+    import os
+    import shutil
+
+    from acousticbrainz_server_spark.plans.streaming_queries import _sic_merge_fn
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    state = str(tmp_path / "state")
+    merge = _sic_merge_fn(state)
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "lang", "text")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    expect = sorted(map(tuple, _sic_batch_twin(spark, sf).collect()))
+
+    # (a) crash between rename(state->old) and rename(nxt->state): simulate
+    # by applying batch 1, then manually un-rolling to the mid-crash layout
+    merge(half1, 0)
+    after0 = _sic_state_rows(spark, state)
+    merge(half2, 1)
+    # reconstruct the mid-swap instant: state_next complete, state absent,
+    # state_old = pre-batch-1 committed state
+    os.rename(state, state + "_next")          # the batch-1 result, marker inside
+    shutil.rmtree(state + "_old", ignore_errors=True)
+    # rebuild the old state (batch 0 only) as _old
+    merge_old = _sic_merge_fn(str(tmp_path / "rebuild"))
+    merge_old(half1, 0)
+    os.rename(str(tmp_path / "rebuild"), state + "_old")
+    assert not os.path.exists(state)
+    # the checkpoint replays batch 1: _recover must finish the roll, the
+    # guard must then skip the replay (marker in the recovered state = 1)
+    merge(half2, 1)
+    assert _sic_state_rows(spark, state) == expect
+    assert not os.path.exists(state + "_old") and not os.path.exists(state + "_next")
+
+    # (b) torn staging: _next exists WITHOUT a marker, state absent,
+    # _old = the committed batch-0 state -> roll back, then re-apply
+    shutil.rmtree(state + "_old", ignore_errors=True)
+    merge_old2 = _sic_merge_fn(str(tmp_path / "rebuild2"))
+    merge_old2(half1, 0)
+    os.rename(str(tmp_path / "rebuild2"), state + "_old")
+    os.makedirs(state + "_next_tmp")
+    shutil.rmtree(state)
+    os.rename(state + "_next_tmp", state + "_next")  # empty dir, no marker
+    merge(half2, 1)  # _recover rolls back to _old, then applies batch 1
+    assert _sic_state_rows(spark, state) == expect
+    # unparsable marker is treated as absent, not a crash
+    with open(os.path.join(state, "_LAST_BATCH"), "w") as f:
+        f.write("")
+    merge(half2, 1)  # re-applies (marker unreadable) — still converges?
+    # NOTE: re-applying a SEEN batch without a readable marker double-counts
+    # by design limitation; the committed-marker invariant makes this
+    # unreachable in the swap protocol, so here we only assert no crash and
+    # a parseable marker afterwards
+    assert os.path.exists(os.path.join(state, "_LAST_BATCH"))
+    assert open(os.path.join(state, "_LAST_BATCH")).read() == "1"

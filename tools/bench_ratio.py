@@ -112,6 +112,11 @@ def main() -> None:
         benches.append(json.loads(proc.stdout.strip().splitlines()[-1]))
 
     bench = benches[0]
+    # min-over-draws is only meaningful over draws of ONE scale — refuse to
+    # silently mix sf0.1 and sf1 warm times into the same artifact
+    sfs = {b.get("sf") for b in benches}
+    if len(sfs) > 1:
+        raise SystemExit(f"--bench files were measured at different sfs: {sorted(sfs)}")
     # min over draws, per query: one contended window cannot inflate ratios
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -141,29 +146,38 @@ def main() -> None:
     total_warm = round(sum(q["warm"] for q in queries.values() if q["warm"] and q["warm"] > 0), 3)
     total_duck = round(sum(q["duck"] for q in queries.values() if q["duck"]), 3)
 
-    # executable acceptance guards for the exchange-bound class
+    # executable acceptance guards for the exchange-bound class — the
+    # ceilings are sf0.1 numbers, so they only assert on sf0.1 artifacts
+    # (a missing warm entry AT sf0.1 is a loud failure: the query errored)
+    guards_applicable = bench.get("sf") == 0.1
     guards = {}
     for n, ceiling in EXCHANGE_BOUND_CEILINGS_SF01.items():
         w = warm.get(n)
         guards[n] = {
             "warm": w,
             "ceiling": ceiling,
-            "pass": (w is not None and w <= ceiling),
+            "pass": (w is not None and w <= ceiling) if guards_applicable else None,
         }
-    guards_pass = all(g["pass"] for g in guards.values())
+    guards_pass = (
+        all(g["pass"] for g in guards.values()) if guards_applicable else None
+    )
 
     result = {
         "sf": bench.get("sf"),
         "draws": len(benches),
         "totals": {
             "spark_warm": total_warm,
-            "spark_cold": bench.get("value_cold"),
+            # cold total from the same min-over-draws doctrine as warm, so
+            # the committed total agrees with the per-query cold fields
+            "spark_cold": round(sum(cold.values()), 3) if cold else bench.get("value_cold"),
             "duck": total_duck,
             "suite_ratio": round(total_warm / total_duck, 3) if total_duck else None,
         },
         "guards": {
             "doctrine": "exchange-bound class: min-over-draws warm sf0.1 <= ceiling "
-            "(+25% over r8 judge-measured); breach = regression, not acceptance",
+            "(+25% over r8 judge-measured); breach = regression, not acceptance; "
+            "applicable only at sf0.1 (pass=null otherwise)",
+            "applicable": guards_applicable,
             "pass": guards_pass,
             "queries": guards,
         },
@@ -186,7 +200,9 @@ def main() -> None:
                 "draws": len(benches),
                 "totals": result["totals"],
                 "guards_pass": guards_pass,
-                "guard_breaches": [n for n, g in guards.items() if not g["pass"]],
+                "guard_breaches": [
+                    n for n, g in guards.items() if g["pass"] is False
+                ],
                 "tail_over_2x": result["tail_over_2x"],
             }
         )
