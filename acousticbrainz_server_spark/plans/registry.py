@@ -87,8 +87,8 @@ def _load_all() -> None:
 # currently-valid greens.  Ground truth from the CORRECTNESS_r1-r8 union
 # (latest row per query): 7 rows are r2-vintage, 12 r3, 44 r4 — older
 # than the r4/r5 floor the r8 verdict assumed.  This window clears ALL
-# r2/r3 rows plus the alphabetically-first 20 of the r4 block; the
-# remaining 24 r4 rows (job_queue_state onward) rotate in r10,
+# r2/r3 rows plus the alphabetically-first 19 of the r4 block; the
+# remaining 25 r4 rows (ingest_validation, job_queue_state onward) rotate in r10,
 # after which the registry floor is r5.  The two watermark audits also
 # ride this window: the update-mode audit is new in r9 and the append
 # audit's source builder moved into the shared _wma_build_src helper
@@ -102,6 +102,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "waiting_suppliers",
     "idle_customer_balance",
     "streaming_watermark_update_audit",
+    "late_shipment_priority",
     # -- r9 plan touches (void the r8 greens) --
     "bm25_retrieval",
     "rrf_hybrid_search",
@@ -134,7 +135,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "sessionize_events",
     "slugify_names_nfkd",
     "stratified_sample",
-    # -- the alphabetically-first 20 of the 44 r4-vintage rows --
+    # -- the alphabetically-first 19 of the 44 r4-vintage rows --
     "ann_brute_cosine_topk",
     "approx_distinct_sketch",
     "approx_quantile_sketch",
@@ -154,7 +155,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "funnel_stages",
     "highlevel_class_map",
     "history_limit_reverse",
-    "ingest_validation",
 )
 
 

@@ -3229,3 +3229,61 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------------------
+# TPC-H Q12 shape — two-class conditional counts over a lateness band join
+# --------------------------------------------------------------------------------------
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+_Q12_HIGH_SQL = ", ".join(f"'{p}'" for p in _Q12_HIGH)
+
+
+@query(
+    "late_shipment_priority",
+    family="J1,A2,P9",
+    doc="The TPC-H Q12 composition ('shipping modes and order priority' — "
+    "the last classic shape, completing all 22): per line status (this "
+    "schema's shipmode analog), count late-shipped lines split into "
+    "high-priority (1-URGENT/2-HIGH orders) vs low-priority classes — the "
+    "canonical join + CASE-sum two-class rollup.  'Late' is the same "
+    "ship-lag > {d} days band as waiting_suppliers (no receipt/commit "
+    "dates in this schema); the band needs BOTH dates, so it filters "
+    "after the join, but both scans project only their join/band/class "
+    "columns.  Spark-first: the fact joins on orderkey (SMJ at scale; "
+    "AQE broadcasts the pruned orders side at small SF), then ONE "
+    "map-side-combined aggregate over a 2-row group space — the "
+    "conditional classes are codegen CASE expressions, never a pivot or "
+    "a second pass.".format(d=_Q21_LATE_DAYS),
+    oracle=f"""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ({_Q12_HIGH_SQL})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ({_Q12_HIGH_SQL})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("long")).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -97,3 +97,24 @@ def test_waiting_suppliers_single_fact_exchange(spark):
     assert "l_orderkey" in plan
     fact_exchanges = len(re.findall(r"Exchange hashpartitioning\(l_orderkey", plan))
     assert fact_exchanges <= 2, plan
+
+
+def test_late_shipment_priority_matches_pandas(spark):
+    out = QUERIES["late_shipment_priority"].spark_fn(spark, SF_CORRECT).toPandas()
+    li = pd.read_parquet(f"{SF_CORRECT}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF_CORRECT}/orders.parquet")
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    late = j[j["l_shipdate"] > j["o_orderdate"] + pd.Timedelta(days=365)]
+    assert len(late) > 0, "Q12 band kept zero lines — vacuous fixture"
+    high = late["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+    expect_h = high.groupby(late["l_linestatus"]).sum()
+    expect_l = (~high).groupby(late["l_linestatus"]).sum()
+    assert dict(zip(out["l_linestatus"], out["high_line_count"])) == {
+        k: int(v) for k, v in expect_h.items()
+    }
+    assert dict(zip(out["l_linestatus"], out["low_line_count"])) == {
+        k: int(v) for k, v in expect_l.items()
+    }
+    assert list(out["l_linestatus"]) == sorted(out["l_linestatus"])
+    # both classes non-empty: the CASE split is exercised, not degenerate
+    assert (out["high_line_count"] > 0).all() and (out["low_line_count"] > 0).all()

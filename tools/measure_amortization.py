@@ -97,6 +97,8 @@ TARGETS_FULLCORPUS = (
     # at sf0.1, measured anyway for the curve record)
     "waiting_suppliers",
     "idle_customer_balance",
+    # r9: Q12 (lineitem x orders band join + 2-class rollup)
+    "late_shipment_priority",
 )
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
