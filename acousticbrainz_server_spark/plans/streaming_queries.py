@@ -684,9 +684,13 @@ def _sic_merge_fn(state_dir: str):
 
     def _last_batch() -> int:
         """Committed batch id, or -1.  An unparsable marker is treated as
-        absent (re-apply) rather than wedging the stream — under the
-        rename-based swap the committed marker is always complete, so this
-        branch is defensive only."""
+        absent (re-apply) rather than wedging the stream.  The marker is
+        fsynced (file + dir) before the commit rename, so losing its
+        contents requires corruption beyond the crash model; if it ever
+        happens, re-apply can double-count the replayed batch's n_copies —
+        the deliberate availability-over-exactness choice for a state
+        that is fully re-derivable from the source backlog (rebuild =
+        fresh checkpoint), versus wedging the stream unrecoverably."""
         try:
             return int(open(marker).read())
         except (OSError, ValueError):
@@ -744,9 +748,19 @@ def _sic_merge_fn(state_dir: str):
         merged.write.mode("overwrite").parquet(nxt)
         # marker goes INTO the staging dir before any rename (underscore
         # prefix: parquet readers ignore it as metadata) — completeness of
-        # _next is therefore exactly "its marker exists"
+        # _next is therefore exactly "its marker exists".  fsync the marker
+        # AND the staging dir before the rename so an OS crash cannot
+        # persist the rename while losing the marker's data blocks (the
+        # empty-marker -> parse -1 -> silent re-apply hazard).
         with open(os.path.join(nxt, "_LAST_BATCH"), "w") as f:
             f.write(str(batch_id))
+            f.flush()
+            os.fsync(f.fileno())
+        dfd = os.open(nxt, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         # rename-aside swap: old and new both survive any single crash point
         if os.path.exists(state_dir):
             os.rename(state_dir, old)

@@ -555,6 +555,8 @@ def test_incremental_corpus_swap_crash_recovery(spark, tmp_path):
     merge_old = _sic_merge_fn(str(tmp_path / "rebuild"))
     merge_old(half1, 0)
     os.rename(str(tmp_path / "rebuild"), state + "_old")
+    # the reconstructed _old really is the pre-batch-1 committed state
+    assert _sic_state_rows(spark, state + "_old") == after0
     assert not os.path.exists(state)
     # the checkpoint replays batch 1: _recover must finish the roll, the
     # guard must then skip the replay (marker in the recovered state = 1)

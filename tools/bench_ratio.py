@@ -113,10 +113,22 @@ def main() -> None:
 
     bench = benches[0]
     # min-over-draws is only meaningful over draws of ONE scale — refuse to
-    # silently mix sf0.1 and sf1 warm times into the same artifact
+    # silently mix sf0.1 and sf1 warm times into the same artifact, and the
+    # draws must match the sf_dir the DuckDB denominators are measured on
     sfs = {b.get("sf") for b in benches}
     if len(sfs) > 1:
-        raise SystemExit(f"--bench files were measured at different sfs: {sorted(sfs)}")
+        raise SystemExit(
+            f"--bench files were measured at different sfs: {sorted(sfs, key=repr)}"
+        )
+    sf_dir_sf = float(
+        os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "nan"
+    )
+    bench_sf = next(iter(sfs))
+    if bench_sf is not None and bench_sf != sf_dir_sf:
+        raise SystemExit(
+            f"--bench files are sf={bench_sf} but oracle timings would run on "
+            f"{sf_dir} (sf={sf_dir_sf}) — ratios would mix scales"
+        )
     # min over draws, per query: one contended window cannot inflate ratios
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -167,9 +179,15 @@ def main() -> None:
         "draws": len(benches),
         "totals": {
             "spark_warm": total_warm,
-            # cold total from the same min-over-draws doctrine as warm, so
-            # the committed total agrees with the per-query cold fields
-            "spark_cold": round(sum(cold.values()), 3) if cold else bench.get("value_cold"),
+            # cold total from the same min-over-draws doctrine as warm,
+            # summed over REGISTERED queries only (mirrors total_warm), so
+            # the committed total agrees with the per-query cold fields even
+            # when a --bench file carries since-renamed query names
+            "spark_cold": (
+                round(sum(v for n, v in cold.items() if n in QUERIES), 3)
+                if cold
+                else bench.get("value_cold")
+            ),
             "duck": total_duck,
             "suite_ratio": round(total_warm / total_duck, 3) if total_duck else None,
         },
