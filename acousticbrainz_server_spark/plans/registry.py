@@ -76,85 +76,89 @@ def _load_all() -> None:
 # green the packed-lane rewrite voids).  Names absent from this list keep
 # registration order after it; names listed but not registered are ignored.
 #
-# ROUND-9 WINDOW (the r8 verdict's #1 item — freshness rotation).  With
-# zero rewrite-voided rows outstanding after r8, the window's job is
-# (a) this round's plan touches FIRST (a touch voids the older green):
-# the two new TPC-H shapes (Q21 waiting_suppliers, Q22
-# idle_customer_balance), the bm25 NULL-text n_docs parity fix (+
-# rrf_hybrid_search, which shares _postings), the Q11 integral-compare
-# and Q2 broadcast-hint-drop fixes, and the incremental-corpus flagship
-# whose MERGE gained the replay-idempotence guard; then (b) the OLDEST
-# currently-valid greens.  Ground truth from the CORRECTNESS_r1-r8 union
-# (latest row per query): 7 rows are r2-vintage, 12 r3, 44 r4 — older
-# than the r4/r5 floor the r8 verdict assumed.  This window clears ALL
-# r2/r3 rows plus the alphabetically-first 19 of the r4 block; the
-# remaining 25 r4 rows (ingest_validation, job_queue_state onward) rotate in r10,
-# after which the registry floor is r5.  The two watermark audits also
-# ride this window: the update-mode audit is new in r9 and the append
-# audit's source builder moved into the shared _wma_build_src helper
-# (code motion — re-certified anyway).  History: r1-r2 relational/vector core; r3 extensions; r4
-# re-checks + sketches/streaming; r5 export/ingest + 43 extensions; r6
-# the 47 session-2/3 additions; r7 the 19 r6-new + simhash rewrites +
-# 29 r7-new; r8 the 12 stale + r8 touches/new + oldest rotation (50/50
-# green every round).
+# ROUND-10 WINDOW (r9 verdict #1 — the rotation that EMPTIES the backlog).
+# Composition, per the standing doctrine (new + plan touches first, then
+# the oldest currently-valid greens, vintages computed from the
+# CORRECTNESS_r1-r9 union, never from a verdict's stated floor):
+# (a) new in r10: skew_join_adaptive (the AQE-skew-certified default-key
+#     join, r9 verdict #5);
+# (b) r10 plan touches (a touch voids the older green):
+#     idle_customer_balance (the above-average gate moved to the exact
+#     integer cross-multiplication, ADVICE r9), and
+#     streaming_incremental_corpus (the MERGE's rename pair is now made
+#     durable by an explicit parent-directory fsync, ADVICE r9, and the
+#     merge fn grew the on_batch_applied hook the deterministic-kill
+#     restart test uses);
+#     wav_decode_features rides here too: the r10 bimodality diagnosis
+#     (r9 verdict #2) may touch its kernel — listed regardless, a fresh
+#     row on an r7-vintage query costs nothing;
+# (c) the LAST 25 r4-vintage rows (ingest_validation .. zorder_index_key
+#     from the union) — after this window ZERO r4 rows remain and the
+#     registry floor reaches r5 for the first time;
+# (d) the alphabetically-first 21 of the 44 r5-vintage rows
+#     (ann_ivf_kmeans_topk .. feedback_accuracy).
+# History: r1-r2 relational/vector core; r3 extensions; r4 re-checks +
+# sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
+# session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
+# r7-new; r8 the 12 stale + r8 touches/new + oldest rotation; r9 the
+# r9 touches/new + all r2/r3 rows + first 19 r4 rows (50/50 green every
+# round).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- new in r9 --
-    "waiting_suppliers",
+    # -- new in r10 --
+    "skew_join_adaptive",
+    # -- r10 plan touches (void the r9 greens) --
     "idle_customer_balance",
-    "streaming_watermark_update_audit",
-    "late_shipment_priority",
-    # -- r9 plan touches (void the r8 greens) --
-    "bm25_retrieval",
-    "rrf_hybrid_search",
-    "important_parts_value_share",
-    "cheapest_supplier_per_part",
     "streaming_incremental_corpus",
-    # source-builder extracted into _wma_build_src (code motion; re-certify)
-    "streaming_watermark_audit",
-    # r9 perf swap onto the shared chained-Generate edge builder
-    "label_propagation_communities",
-    "bfs_shortest_paths",
-    # -- rotation: the 7 r2-vintage rows (oldest valid greens) --
-    "cohort_retention",
-    "daily_moving_average",
-    "events_within_window",
-    "salted_count_per_key",
-    "topk_per_group",
-    "user_event_gaps",
-    "value_percentiles",
-    # -- the 12 r3-vintage rows --
-    "content_hash_dedup",
-    "content_upsert",
-    "corpus_filter",
-    "document_chunks",
-    "event_type_pivot",
-    "language_id",
-    "pack_training_batches",
-    "pii_redact",
-    "semi_join_window",
-    "sessionize_events",
-    "slugify_names_nfkd",
-    "stratified_sample",
-    # -- the alphabetically-first 19 of the 44 r4-vintage rows --
-    "ann_brute_cosine_topk",
-    "approx_distinct_sketch",
-    "approx_quantile_sketch",
-    "bpm_circle_embedding",
-    "bucketed_join_rollup",
-    "class_normalization_cut",
-    "count_distinct_split",
-    "dataset_snapshot_flat",
-    "dataset_validation",
-    "duplicate_cap",
-    "embedding_quantize_int8",
-    "equidepth_histogram",
-    "feature_projection_defaults",
-    "first_per_key_dedup",
-    "first_tag_element",
-    "format_track_length",
-    "funnel_stages",
-    "highlevel_class_map",
-    "history_limit_reverse",
+    # bimodality-diagnosis candidate (r9 verdict #2); r7-vintage
+    "wav_decode_features",
+    # -- rotation: the LAST 25 r4-vintage rows (backlog empties here) --
+    "ingest_validation",
+    "job_queue_state",
+    "json_path_projection",
+    "left_join_keep_unmatched",
+    "map_collect_per_key",
+    "ordered_lookup",
+    "pairwise_angular_distance",
+    "recent_topk_offset",
+    "resume_cursor",
+    "similarity_vectors",
+    "slugify_names",
+    "streaming_daily_counts",
+    "streaming_dedup_distinct",
+    "streaming_enrich_dim",
+    "streaming_interval_join",
+    "streaming_offsets_stateful",
+    "streaming_sessionize",
+    "tag_whitelist_rewrite",
+    "timestamp_functions",
+    "train_test_split",
+    "uuid_normalize",
+    "value_histogram",
+    "vector_zscore",
+    "winnow_fingerprint",
+    "zorder_index_key",
+    # -- the alphabetically-first 21 of the 44 r5-vintage rows --
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_pq_topk",
+    "ann_pq_adc_topk",
+    "binary_payload_stats",
+    "bloom_semi_join",
+    "bpe_pair_merge",
+    "challenge_leaderboard",
+    "column_profile",
+    "corpus_build_pipeline",
+    "corpus_mixture_report",
+    "cross_snapshot_dedup",
+    "cube_revenue",
+    "doc_length_buckets",
+    "dump_csv_features",
+    "dump_incremental_window",
+    "dump_json_shards",
+    "dump_tsv_roundtrip",
+    "embedding_kmeans_assign",
+    "eval_confusion_matrix",
+    "event_range_join",
+    "feedback_accuracy",
 )
 
 

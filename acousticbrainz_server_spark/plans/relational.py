@@ -2740,6 +2740,70 @@ def skew_isolated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------------------
+# AQE skew-join certification — the default-key (unknown-bucket) skew shape
+# --------------------------------------------------------------------------------------
+_AQE_SKEW_MOD = 4  # orderkeys with l_orderkey % 4 != 0 collapse onto the unknown bucket
+
+
+@query(
+    "skew_join_adaptive",
+    family="J3,A2",
+    doc="The default-key skew join every production pipeline hits: ~75% of "
+    "fact rows carry the sentinel FK 0 (the 'unknown bucket' — here derived "
+    "deterministically as l_orderkey % {m} != 0 so the oracle reproduces "
+    "it), LEFT-joined to orders so unmatched rows survive as the UNKNOWN "
+    "class, then a priority rollup.  Spark-first on TWO regimes: at small "
+    "SF, AQE broadcasts the orders side — a broadcast hash join has no "
+    "skew problem at all, the hot key never shuffles.  At 100 TB the dim "
+    "no longer broadcasts and the plan becomes a sort-merge join whose hot "
+    "post-shuffle partition Spark's OWN skew handling "
+    "(spark.sql.adaptive.skewJoin) splits into advisory-sized chunks — "
+    "certified by a plan-assertion pytest that forces the SMJ regime with "
+    "lowered thresholds and asserts skew=true partitions AND unchanged "
+    "results (tests/test_r10_queries.py).  Unlike skew_isolated_join "
+    "(manual hot/cold planner, the engine-controlled path), this row "
+    "certifies the runtime-adaptive path — both belong in a 100 TB "
+    "toolbox: the planner when hot keys are known, AQE when they emerge "
+    "at runtime.  (Reference analog: the J3 left join + A2 rollup, "
+    "db/data.py:515-559.)".format(m=_AQE_SKEW_MOD),
+    oracle=f"""
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % {_AQE_SKEW_MOD} != 0 THEN 0
+                      ELSE l_orderkey END AS order_fk,
+                 l_extendedprice, l_discount
+          FROM lineitem
+        )
+        SELECT coalesce(o_orderpriority, 'UNKNOWN') AS priority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sql_round_half_up('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+        FROM fact LEFT JOIN orders ON o_orderkey = order_fk
+        GROUP BY coalesce(o_orderpriority, 'UNKNOWN')
+        ORDER BY priority
+    """,
+)
+def skew_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % _AQE_SKEW_MOD != 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("order_fk"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders, li.order_fk == orders.o_orderkey, "left")
+        .groupBy(F.coalesce("o_orderpriority", F.lit("UNKNOWN")).alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------------------
 # A-family — incremental aggregate-state MERGE: the materialized-view
 # maintenance discipline.  A 100 TB rollup is never recomputed from
 # scratch; yesterday's per-key state (count / sum / max — all mergeable
@@ -3170,11 +3234,16 @@ _Q22_CODES_SQL = ", ".join(f"'{c}'" for c in _Q22_CODES)
     "trailing-window recency cutoff.".format(d=_Q22_IDLE_DAYS),
     oracle=f"""
         WITH cand AS (
-          SELECT c_custkey, substr(c_name, 17, 2) AS cntrycode, c_acctbal
+          SELECT c_custkey, substr(c_name, 17, 2) AS cntrycode,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
           FROM customer
           WHERE substr(c_name, 17, 2) IN ({_Q22_CODES_SQL})
         ),
-        gate AS (SELECT avg(c_acctbal) AS avg_bal FROM cand WHERE c_acctbal > 0),
+        gate AS (
+          SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM cand WHERE bal_cents > 0
+        ),
         cutoff AS (
           SELECT max(o_orderdate) - INTERVAL {_Q22_IDLE_DAYS} DAY AS cut FROM orders
         ),
@@ -3183,14 +3252,14 @@ _Q22_CODES_SQL = ", ".join(f"'{c}'" for c in _Q22_CODES)
           WHERE o_orderdate > cut
         ),
         idle AS (
-          SELECT cand.cntrycode, cand.c_acctbal
+          SELECT cand.cntrycode, cand.bal_cents
           FROM cand CROSS JOIN gate
-          WHERE cand.c_acctbal > gate.avg_bal
+          WHERE cand.bal_cents * gate.n_pos > gate.sum_cents
             AND cand.c_custkey NOT IN (SELECT o_custkey FROM recent)
         )
         SELECT cntrycode,
                CAST(count(*) AS BIGINT) AS numcust,
-               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS tot_cents
+               CAST(sum(bal_cents) AS BIGINT) AS tot_cents
         FROM idle
         GROUP BY cntrycode
         ORDER BY cntrycode
@@ -3200,12 +3269,21 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     code = F.substring(F.col("c_name"), 17, 2)
+    # balances live as EXACT integer cents from the scan on: the
+    # above-average gate is then the integral cross-multiplication
+    # bal_cents * n_pos > sum_cents (the Q11 pattern) — both engines
+    # evaluate the same exact predicate, so a balance within 1 ulp of a
+    # float mean can never flip membership between Spark and the oracle.
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
     cand = cust.filter(code.isin(*_Q22_CODES)).select(
-        "c_custkey", code.alias("cntrycode"), "c_acctbal"
+        "c_custkey", code.alias("cntrycode"), cents.alias("bal_cents")
     )
     # scalar gate + recency cutoff as 1-row broadcast relations — the
     # decorrelated scalar subqueries never touch the driver
-    gate = cand.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    gate = cand.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
     cutoff = orders.agg(
         (F.max("o_orderdate") - F.expr(f"INTERVAL {_Q22_IDLE_DAYS} DAYS")).alias("cut")
     )
@@ -3217,15 +3295,14 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idle = (
         cand.crossJoin(F.broadcast(gate))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
         .join(recent, cand.c_custkey == recent.o_custkey, "left_anti")
     )
-    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
     return (
         idle.groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            F.sum(cents).cast("long").alias("tot_cents"),
+            F.sum("bal_cents").cast("long").alias("tot_cents"),
         )
         .orderBy("cntrycode")
     )

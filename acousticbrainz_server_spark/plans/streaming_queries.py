@@ -648,10 +648,14 @@ def _sic_oracle() -> str:
     """
 
 
-def _sic_merge_fn(state_dir: str):
+def _sic_merge_fn(state_dir: str, on_batch_applied=None):
     """foreachBatch body for the incremental-corpus MERGE, reusable by the
     registered query (fresh state per invocation) and by the restart
     certification tests (pinned checkpoint + kill + resume).
+
+    ``on_batch_applied(batch_id)`` fires after a batch's state swap commits
+    (never on a replay-skip) — the restart tests use it to kill the stream
+    deterministically mid-backlog instead of racing a progress poll.
 
     IDEMPOTENT UNDER REPLAY: foreachBatch with a non-transactional sink is
     at-least-once — a crash between the state swap and the checkpoint's
@@ -765,12 +769,25 @@ def _sic_merge_fn(state_dir: str):
         if os.path.exists(state_dir):
             os.rename(state_dir, old)
         os.rename(nxt, state_dir)
+        # make the renames themselves durable: fsync the PARENT directory
+        # (all three paths are siblings, one fsync covers both renames).
+        # Without this an OS crash can roll back the rename while Spark's
+        # later checkpoint offset commit survives — the batch would then
+        # never replay and its rows would be silently absent from the
+        # state: the inverse ordering of the marker hazard closed above.
+        pfd = os.open(os.path.dirname(os.path.abspath(state_dir)) or ".", os.O_RDONLY)
+        try:
+            os.fsync(pfd)
+        finally:
+            os.close(pfd)
         shutil.rmtree(old, ignore_errors=True)
+        if on_batch_applied is not None:
+            on_batch_applied(batch_id)
 
     return merge
 
 
-def _sic_start_stream(spark: SparkSession, src_dir: str, state_dir: str, ckpt: str):
+def _sic_start_stream(spark: SparkSession, src_dir: str, state_dir: str, ckpt: str, on_batch_applied=None):
     """One availableNow pass over the file backlog, one file per micro-batch,
     MERGEing into ``state_dir``; resumes from ``ckpt``'s offset log."""
     schema = spark.read.parquet(src_dir).schema
@@ -778,7 +795,7 @@ def _sic_start_stream(spark: SparkSession, src_dir: str, state_dir: str, ckpt: s
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .writeStream.foreachBatch(_sic_merge_fn(state_dir))
+        .writeStream.foreachBatch(_sic_merge_fn(state_dir, on_batch_applied=on_batch_applied))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -37,6 +37,8 @@ from acousticbrainz_server_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    t_start = time.time()
+    loadavg_start = os.getloadavg()
     _load_all()
     spark = get_spark("bench")
     # warm-up: touch the biggest table so FS cache + codegen are primed, and
@@ -115,6 +117,13 @@ def main() -> None:
                 "value_cold": total_cold,
                 "sf": sf,
                 "n_queries": len(times),
+                # measurement-window provenance: lets a guards breach be
+                # diagnosed as box-noise vs regression from the artifact
+                # alone (r9 verdict #3) — loadavg is 1/5/15-min averages
+                "t_start": round(t_start, 1),
+                "t_end": round(time.time(), 1),
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
                 "queries_cold": times_cold,
                 "queries": times,
             }

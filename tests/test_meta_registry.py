@@ -138,3 +138,8 @@ def test_exchange_bound_guards_reference_registered_queries():
     for name, ceiling in guards.items():
         assert QUERIES[name].oracle is not None, name
         assert 0 < ceiling < 30, (name, ceiling)
+    # the box-portable ratio twin must cover exactly the same query set
+    ratio_guards = mod.EXCHANGE_BOUND_RATIO_CEILINGS_SF01
+    assert set(ratio_guards) == set(guards)
+    for name, rc in ratio_guards.items():
+        assert 1 < rc < 50, (name, rc)

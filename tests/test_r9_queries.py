@@ -65,12 +65,16 @@ def test_idle_customer_balance_matches_literal_form(spark):
     codes = {"03", "13", "17", "18", "23", "29", "31"}
     cc = cust["c_name"].str[16:18]
     cand = cust[cc.isin(codes)].assign(cntrycode=cc[cc.isin(codes)])
-    avg_bal = cand.loc[cand["c_acctbal"] > 0, "c_acctbal"].mean()
+    # integral gate, mirroring the query: bal_cents * n_pos > sum_cents
+    bal_cents = np.floor(cand["c_acctbal"] * 100 + 0.5).astype("int64")
+    pos = bal_cents[bal_cents > 0]
+    sum_cents, n_pos = int(pos.sum()), int(len(pos))
     cut = od["o_orderdate"].max() - pd.Timedelta(days=180)
     recent_cust = set(od.loc[od["o_orderdate"] > cut, "o_custkey"])
-    idle = cand[(cand["c_acctbal"] > avg_bal) & ~cand["c_custkey"].isin(recent_cust)]
+    gate = bal_cents * n_pos > sum_cents
+    idle = cand[gate & ~cand["c_custkey"].isin(recent_cust)]
     assert len(idle) > 0, "Q22 predicates kept zero customers — vacuous fixture"
-    cents = np.floor(idle["c_acctbal"] * 100 + 0.5).astype("int64")
+    cents = bal_cents[idle.index]
     expect_n = idle.groupby("cntrycode").size()
     expect_tot = cents.groupby(idle["cntrycode"]).sum()
     assert dict(zip(out["cntrycode"], out["numcust"])) == {
@@ -81,7 +85,7 @@ def test_idle_customer_balance_matches_literal_form(spark):
     }
     assert list(out["cntrycode"]) == sorted(out["cntrycode"])
     # the scalar gate actually gated something (not everything above avg)
-    assert len(idle) < (cand["c_acctbal"] > avg_bal).sum() or len(recent_cust) == 0
+    assert len(idle) < int(gate.sum()) or len(recent_cust) == 0
 
 
 def test_waiting_suppliers_single_fact_exchange(spark):

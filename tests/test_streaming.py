@@ -401,9 +401,6 @@ def test_incremental_corpus_restart_resumes_from_checkpoint(spark, tmp_path):
     restart against the same checkpoint + state table, and the resumed
     state must equal the one-shot batch dedup — offsets resume from the
     log, already-merged batches are not re-applied."""
-    import shutil
-    import time
-
     from acousticbrainz_server_spark.plans.streaming_queries import _sic_start_stream
     from acousticbrainz_server_spark.sources.tables import load_table
 
@@ -415,17 +412,26 @@ def test_incremental_corpus_restart_resumes_from_checkpoint(spark, tmp_path):
         "doc_id", "source", "lang", "text"
     ).repartition(4).write.mode("overwrite").parquet(src)
 
-    # run 1: stop as soon as >=2 micro-batches committed (mid-backlog kill)
-    q = _sic_start_stream(spark, src, state, ckpt)
-    deadline = time.time() + 120
-    while time.time() < deadline and q.isActive:
-        done = [p for p in q.recentProgress if p["numInputRows"] is not None]
-        if len(done) >= 2:
-            q.stop()
-            break
-        time.sleep(0.05)
-    q.awaitTermination(120)
-    batches_run1 = len({p["batchId"] for p in q.recentProgress})
+    # run 1: DETERMINISTIC mid-backlog kill — the on_batch_applied hook
+    # raises after batch 1's state swap commits, so the micro-batch fails
+    # AFTER the swap but BEFORE its offset commit.  No progress-poll race:
+    # run 1 always dies with exactly batches {0,1} in the state, and run 2
+    # must replay batch 1 (offset never committed) and guard-skip it — the
+    # exact crash window the _LAST_BATCH guard exists for.
+    applied = []
+
+    def _kill_after_batch_1(batch_id):
+        applied.append(batch_id)
+        if batch_id == 1:
+            raise RuntimeError("deterministic mid-backlog kill (test)")
+
+    q = _sic_start_stream(spark, src, state, ckpt, on_batch_applied=_kill_after_batch_1)
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the injected kill surfaces as StreamingQueryException
+    assert not q.isActive
+    assert applied == [0, 1], f"kill was not mid-backlog: applied={applied}"
     mid_state = _sic_state_rows(spark, state)
 
     # run 2: SAME checkpoint, SAME state dir — resume and drain the backlog
@@ -434,13 +440,10 @@ def test_incremental_corpus_restart_resumes_from_checkpoint(spark, tmp_path):
 
     expect = sorted(map(tuple, _sic_batch_twin(spark, sf).collect()))
     got = _sic_state_rows(spark, state)
-    assert got == expect, (
-        f"resumed state != one-shot batch (run1 committed {batches_run1} batches)"
-    )
-    # the kill was mid-backlog more often than not; when the race let run 1
-    # finish, the equality above still certifies restart-no-double-apply
-    if batches_run1 < 4:
-        assert mid_state != expect  # run 1 really stopped with partial state
+    assert got == expect, "resumed state != one-shot batch (run1 killed after batch 1)"
+    # unconditional now that the kill is deterministic: run 1 really
+    # stopped with partial state, and run 2 really advanced it
+    assert mid_state != expect
 
 
 def test_incremental_corpus_merge_replay_is_idempotent(spark, tmp_path):

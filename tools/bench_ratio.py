@@ -53,6 +53,21 @@ EXCHANGE_BOUND_CEILINGS_SF01 = {
     "dominant_part_suppliers": 1.27,
 }
 
+# Box-portable twin of the absolute ceilings (r9 verdict #3): warm-Spark /
+# same-window-DuckDB ratio, +30% over the committed r9 min-over-draws
+# ratios.  A contended window inflates numerator AND denominator together,
+# so the ratio absorbs the uniform-slowdown noise that made 3 of 6 absolute
+# ceilings read 6-8% high on the r9 judge's 1.47x-loaded draw.  A guard
+# query passes if EITHER bound holds; a real plan regression raises both.
+EXCHANGE_BOUND_RATIO_CEILINGS_SF01 = {
+    "pmi_copurchase": 8.7,
+    "degree_distribution": 4.1,
+    "abc_analysis": 20.3,
+    "slow_fulfillment_suppliers": 10.7,
+    "fk_integrity_audit": 32.8,
+    "dominant_part_suppliers": 15.0,
+}
+
 
 def duck_times(sf_dir: str, runs: int = 2) -> dict[str, float]:
     """Best-of-N DuckDB wall time per oracle, full materialization."""
@@ -120,11 +135,24 @@ def main() -> None:
         raise SystemExit(
             f"--bench files were measured at different sfs: {sorted(sfs, key=repr)}"
         )
-    sf_dir_sf = float(
-        os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "nan"
-    )
+    # infer sf from the dir basename ('sf0.1' -> 0.1); an unconventional
+    # layout is a warning + skipped mismatch check, never a crash or a
+    # false NaN != x failure (NaN is unequal to everything)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf_dir_sf = float(base.removeprefix("sf")) if base.startswith("sf") else None
+    except ValueError:
+        sf_dir_sf = None
+    if sf_dir_sf is not None and sf_dir_sf != sf_dir_sf:  # NaN (basename 'sf')
+        sf_dir_sf = None
     bench_sf = next(iter(sfs))
-    if bench_sf is not None and bench_sf != sf_dir_sf:
+    if sf_dir_sf is None:
+        print(
+            f"warning: cannot infer sf from sf_dir {sf_dir!r}; "
+            "skipping the bench-sf/oracle-sf mismatch check",
+            file=sys.stderr,
+        )
+    elif bench_sf is not None and bench_sf != sf_dir_sf:
         raise SystemExit(
             f"--bench files are sf={bench_sf} but oracle timings would run on "
             f"{sf_dir} (sf={sf_dir_sf}) — ratios would mix scales"
@@ -132,14 +160,22 @@ def main() -> None:
     # min over draws, per query: one contended window cannot inflate ratios
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for b in benches:
+    warm_draw: dict[str, int] = {}  # which draw supplied each min (provenance)
+    for di, b in enumerate(benches):
         for n, v in b["queries"].items():
             if v is not None and v >= 0 and (n not in warm or v < warm[n]):
                 warm[n] = v
+                warm_draw[n] = di
         for n, v in b.get("queries_cold", {}).items():
             if v is not None and v >= 0 and (n not in cold or v < cold[n]):
                 cold[n] = v
+    duck_t0 = time.time()
     duck = duck_times(sf_dir)
+    duck_meta = {
+        "t_start": round(duck_t0, 1),
+        "t_end": round(time.time(), 1),
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+    }
 
     queries: dict[str, dict] = {}
     for name in sorted(QUERIES):
@@ -165,14 +201,40 @@ def main() -> None:
     guards = {}
     for n, ceiling in EXCHANGE_BOUND_CEILINGS_SF01.items():
         w = warm.get(n)
+        d = duck.get(n)
+        rc = EXCHANGE_BOUND_RATIO_CEILINGS_SF01[n]
+        ratio = round(w / d, 2) if w is not None and w >= 0 and d else None
+        abs_ok = w is not None and w <= ceiling
+        ratio_ok = ratio is not None and ratio <= rc
         guards[n] = {
             "warm": w,
             "ceiling": ceiling,
-            "pass": (w is not None and w <= ceiling) if guards_applicable else None,
+            "ratio_same_window": ratio,
+            "ratio_ceiling": rc,
+            "min_draw": warm_draw.get(n),
+            "pass_abs": abs_ok if guards_applicable else None,
+            "pass_ratio": ratio_ok if guards_applicable else None,
+            # box-portable verdict: EITHER bound holding is acceptance —
+            # a uniformly-loaded window fails abs but passes ratio; a real
+            # plan regression fails both
+            "pass": (abs_ok or ratio_ok) if guards_applicable else None,
         }
     guards_pass = (
         all(g["pass"] for g in guards.values()) if guards_applicable else None
     )
+    # per-draw provenance so a breach is diagnosable from the artifact alone
+    draw_meta = [
+        {
+            "source": (bench_files[di] if di < len(bench_files) else "fresh"),
+            "sf": b.get("sf"),
+            "total_warm": b.get("value"),
+            "t_start": b.get("t_start"),
+            "t_end": b.get("t_end"),
+            "loadavg_start": b.get("loadavg_start"),
+            "loadavg_end": b.get("loadavg_end"),
+        }
+        for di, b in enumerate(benches)
+    ]
 
     result = {
         "sf": bench.get("sf"),
@@ -192,11 +254,17 @@ def main() -> None:
             "suite_ratio": round(total_warm / total_duck, 3) if total_duck else None,
         },
         "guards": {
-            "doctrine": "exchange-bound class: min-over-draws warm sf0.1 <= ceiling "
-            "(+25% over r8 judge-measured); breach = regression, not acceptance; "
-            "applicable only at sf0.1 (pass=null otherwise)",
+            "doctrine": "exchange-bound class: pass = min-over-draws warm sf0.1 <= "
+            "absolute ceiling (+25% over r8 judge-measured) OR warm / same-window-"
+            "DuckDB <= ratio ceiling (+30% over committed r9 ratios). The ratio "
+            "bound is box-portable: uniform window load inflates both sides; a "
+            "real regression breaches both. Applicable only at sf0.1 (pass=null "
+            "otherwise). draw_meta/duck_meta give the measurement windows.",
             "applicable": guards_applicable,
             "pass": guards_pass,
+            "n_draws": len(benches),
+            "draw_meta": draw_meta,
+            "duck_meta": duck_meta,
             "queries": guards,
         },
         # compute-bound tail: warm >= 1s AND >2x duck (fixed-overhead
