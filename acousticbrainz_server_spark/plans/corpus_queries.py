@@ -1092,7 +1092,15 @@ def wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _synth.__annotations__ = {"media_id": pd.Series, "return": pd.Series}
     synth_wav = pandas_udf(_synth, T.BinaryType())
 
-    media = spark.range(_WAV_IDS).select(
+    # bounded fan-out: spark.range defaults to defaultParallelism (32)
+    # partitions for these 50 ids, and this stage runs TWO Python runners
+    # per task (synth pandas_udf + decode mapInPandas) — 64 worker forks
+    # for 50 rows.  That pool expansion was the slow mode of a measured
+    # 5x bimodality (r9 verdict #2: 0.54s vs 2.78s); 8 partitions keep
+    # the kernel parallel while the worker demand stays inside the warm
+    # pool.  At real scale the media table arrives partitioned by the
+    # source, so the fixed count only affects this synthetic corpus.
+    media = spark.range(0, _WAV_IDS, 1, 8).select(
         F.col("id").alias("media_id"), synth_wav(F.col("id")).alias("payload")
     )
     feats = wav_audio_features(media)
@@ -1174,7 +1182,8 @@ def pgm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _synth.__annotations__ = {"media_id": pd.Series, "return": pd.Series}
     synth_pgm = pandas_udf(_synth, T.BinaryType())
 
-    media = spark.range(_PGM_IDS).select(
+    # bounded fan-out, same rationale as wav_decode_features above
+    media = spark.range(0, _PGM_IDS, 1, 8).select(
         F.col("id").alias("media_id"), synth_pgm(F.col("id")).alias("payload")
     )
     feats = pgm_image_features(media)

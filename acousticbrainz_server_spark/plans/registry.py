@@ -95,8 +95,8 @@ def _load_all() -> None:
 # (c) the LAST 25 r4-vintage rows (ingest_validation .. zorder_index_key
 #     from the union) — after this window ZERO r4 rows remain and the
 #     registry floor reaches r5 for the first time;
-# (d) the alphabetically-first 21 of the 44 r5-vintage rows
-#     (ann_ivf_kmeans_topk .. feedback_accuracy).
+# (d) the alphabetically-first 20 of the 44 r5-vintage rows
+#     (ann_ivf_kmeans_topk .. event_range_join).
 # History: r1-r2 relational/vector core; r3 extensions; r4 re-checks +
 # sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
 # session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
@@ -109,8 +109,10 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # -- r10 plan touches (void the r9 greens) --
     "idle_customer_balance",
     "streaming_incremental_corpus",
-    # bimodality-diagnosis candidate (r9 verdict #2); r7-vintage
+    # the r9-verdict-#2 bimodality fix (bounded Python-runner fan-out)
+    # touched both codec kernels' source partitioning; both r7-vintage
     "wav_decode_features",
+    "pgm_decode_features",
     # -- rotation: the LAST 25 r4-vintage rows (backlog empties here) --
     "ingest_validation",
     "job_queue_state",
@@ -137,7 +139,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "vector_zscore",
     "winnow_fingerprint",
     "zorder_index_key",
-    # -- the alphabetically-first 21 of the 44 r5-vintage rows --
+    # -- the alphabetically-first 20 of the 44 r5-vintage rows --
     "ann_ivf_kmeans_topk",
     "ann_ivf_pq_topk",
     "ann_pq_adc_topk",
@@ -158,7 +160,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "embedding_kmeans_assign",
     "eval_confusion_matrix",
     "event_range_join",
-    "feedback_accuracy",
 )
 
 
