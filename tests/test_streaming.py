@@ -588,3 +588,61 @@ def test_incremental_corpus_swap_crash_recovery(spark, tmp_path):
     # a parseable marker afterwards
     assert os.path.exists(os.path.join(state, "_LAST_BATCH"))
     assert open(os.path.join(state, "_LAST_BATCH")).read() == "1"
+
+
+def test_windowed_aggregation_restart_resumes_from_checkpoint(spark, tmp_path):
+    """The stateful-OPERATOR analog of the foreachBatch restart proof (r9
+    verdict #4): the watermark audits' windowed aggregation against a PINNED
+    checkpoint — the HDFSBackedStateStore path, where the window counts and
+    the watermark itself live in checkpointed state, not in user code.  Kill
+    the stream deterministically mid-backlog, resume on the same checkpoint,
+    and the union of appended outputs must equal the one-shot run: every
+    finalized window emitted exactly once ACROSS the restart, none lost,
+    none duplicated."""
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _stream_state_partitions,
+        _wma_build_src,
+        _wma_windowed_stream,
+    )
+
+    _, src_dir = _wma_build_src(spark, "/root/testdata/sf0.001")
+
+    def run(ckpt_dir: str, rows_out: list, kill_at: int | None = None) -> None:
+        agg = _wma_windowed_stream(spark, src_dir)
+
+        def sink(batch_df, batch_id):
+            # raise BEFORE consuming the batch: its offset was WAL-planned
+            # but never committed, so the resumed run must replay it — the
+            # state store's version-per-batch contract is what keeps the
+            # replayed emission identical instead of doubled
+            if kill_at is not None and batch_id == kill_at:
+                raise RuntimeError("deterministic mid-backlog kill (test)")
+            rows_out.extend(map(tuple, batch_df.collect()))
+
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                pass  # the injected kill surfaces as StreamingQueryException
+            assert not q.isActive
+
+    oneshot: list = []
+    run(str(tmp_path / "ckpt_oneshot"), oneshot)
+    assert len(oneshot) > 0  # the audit backlog finalizes real windows
+
+    ckpt = str(tmp_path / "ckpt_pinned")  # PINNED: both runs share it
+    part1: list = []
+    part2: list = []
+    run(ckpt, part1, kill_at=2)  # dies at batch 2 of the 4-file backlog
+    run(ckpt, part2)  # resume: replays batch 2, drains 3 + the final flush
+
+    assert sorted(part1 + part2) == sorted(oneshot)
+    assert len(part2) > 0  # the resumed run really advanced the state
+    assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
