@@ -1002,26 +1002,78 @@ def _wma_oracle() -> str:
     oracle=_wma_oracle(),
 )
 def streaming_watermark_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wma_run_audit(spark, sf_dir, _WMA_SINK, provider=None)
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _wma_run_audit(
+    spark: SparkSession, sf_dir: str, sink: str, provider: str | None
+) -> DataFrame:
+    """Shared body of the append-mode watermark audit; ``provider`` picks the
+    state store backend (None = session default, i.e. HDFSBacked)."""
     import glob as _glob
     import os
     import shutil
     import uuid
 
     base, src_dir = _wma_build_src(spark, sf_dir)
-    for stale in _glob.glob(os.path.join(base, "ckpt_*")):
+    for stale in _glob.glob(os.path.join(base, f"ckpt_{sink}_*")):
         shutil.rmtree(stale, ignore_errors=True)
     agg = _wma_windowed_stream(spark, src_dir)
-    with _stream_state_partitions(spark):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(_WMA_SINK)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(base, "ckpt_" + uuid.uuid4().hex[:8]))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(_WMA_SINK)
+    saved = spark.conf.get(_STATE_PROVIDER_CONF, None)
+    if provider is not None:
+        spark.conf.set(_STATE_PROVIDER_CONF, provider)
+    try:
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(base, f"ckpt_{sink}_" + uuid.uuid4().hex[:8]),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if provider is not None:
+            if saved is None:
+                spark.conf.unset(_STATE_PROVIDER_CONF)
+            else:
+                spark.conf.set(_STATE_PROVIDER_CONF, saved)
+    return spark.table(sink)
+
+
+@query(
+    "streaming_watermark_audit_rocksdb",
+    family="§2.11,P9,A8",
+    doc="The append-mode watermark audit re-run on the RocksDBStateStore "
+    "provider — the state backend a 100 TB stateful job actually needs: "
+    "HDFSBackedStateStore keeps every window's state in executor HEAP (a "
+    "hard ceiling when keys x windows outgrow memory); RocksDB keeps it "
+    "on local SSD with block-cache reads and changelog/snapshot uploads "
+    "to the checkpoint, so state size is bounded by disk, not heap.  Same "
+    "source backlog, same two-watermark oracle as "
+    "streaming_watermark_audit: a hash match proves the late-data "
+    "contract is BACKEND-INDEPENDENT — eviction, late filtering and the "
+    "final availableNow flush behave identically when the window counts "
+    "live in RocksDB.  The pinned-checkpoint kill-and-resume on this "
+    "provider is certified in tests/test_streaming.py "
+    "(test_windowed_aggregation_restart_rocksdb).  Established on Spark "
+    "4.1.2 / rocksdbjni 9.8.4.",
+    oracle=_wma_oracle(),
+)
+def streaming_watermark_audit_rocksdb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _wma_run_audit(
+        spark, sf_dir, _WMA_SINK + "_rocksdb", provider=_ROCKSDB_PROVIDER
+    )
 
 
 # --------------------------------------------------------------------------------------

@@ -646,3 +646,66 @@ def test_windowed_aggregation_restart_resumes_from_checkpoint(spark, tmp_path):
     assert sorted(part1 + part2) == sorted(oneshot)
     assert len(part2) > 0  # the resumed run really advanced the state
     assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
+
+
+def test_windowed_aggregation_restart_rocksdb(spark, tmp_path):
+    """The RocksDB twin of the pinned-checkpoint windowed restart: the same
+    kill-at-batch-2 / resume protocol with the state in
+    RocksDBStateStoreProvider (local-disk state + changelog into the
+    checkpoint — the backend a 100 TB stateful job runs).  Certifies both
+    (a) backend-independence of the output and (b) that RocksDB snapshot
+    recovery resumes mid-backlog without losing or doubling a window."""
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _ROCKSDB_PROVIDER,
+        _STATE_PROVIDER_CONF,
+        _stream_state_partitions,
+        _wma_build_src,
+        _wma_windowed_stream,
+    )
+
+    _, src_dir = _wma_build_src(spark, "/root/testdata/sf0.001")
+
+    def run(ckpt_dir: str, rows_out: list, kill_at: int | None = None) -> None:
+        agg = _wma_windowed_stream(spark, src_dir)
+
+        def sink(batch_df, batch_id):
+            if kill_at is not None and batch_id == kill_at:
+                raise RuntimeError("deterministic mid-backlog kill (test)")
+            rows_out.extend(map(tuple, batch_df.collect()))
+
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                pass
+            assert not q.isActive
+
+    # one-shot truth on the DEFAULT (HDFSBacked) provider
+    oneshot: list = []
+    run(str(tmp_path / "ckpt_hdfs"), oneshot)
+    assert len(oneshot) > 0
+
+    saved = spark.conf.get(_STATE_PROVIDER_CONF, None)
+    spark.conf.set(_STATE_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    try:
+        ckpt = str(tmp_path / "ckpt_rocks")  # PINNED across kill + resume
+        part1: list = []
+        part2: list = []
+        run(ckpt, part1, kill_at=2)
+        run(ckpt, part2)
+    finally:
+        if saved is None:
+            spark.conf.unset(_STATE_PROVIDER_CONF)
+        else:
+            spark.conf.set(_STATE_PROVIDER_CONF, saved)
+
+    assert sorted(part1 + part2) == sorted(oneshot)  # backend-independent
+    assert len(part2) > 0
+    assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
