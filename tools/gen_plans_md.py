@@ -33,6 +33,7 @@ PICKS = {
     "countmin_heavy_counts": "posexplode feeds d sketch rows through ONE map-combined aggregate; probes join broadcast cells",
     "bitmap_distinct_rollup": "exact distinct as mergeable per-bucket bitmaps; the union row ORs bitmaps, never rescans",
     "waiting_suppliers": "Q21's EXISTS + NOT-EXISTS as ONE per-order aggregate pass; the FACT shuffles at most once in either regime: small SF (captured) - AQE broadcasts the status-filtered orders, the only fact exchange feeds the (orderkey,suppkey) agg and later exchanges move pair PARTIALS; large SF - SMJ exchanges on orderkey and both aggregates reuse it (HashPartitioning(orderkey) satisfies both groupings). No Expand, no count(DISTINCT)",
+    "skew_join_adaptive": "default-key skew, two regimes: small SF (captured) - the dim broadcasts, the 75%-hot fact key never shuffles (broadcast joins HAVE no skew problem); forced-SMJ regime - AQE splits the hot partition at map-output granularity (skew=true, certified in tests/test_r10_queries.py)",
 }
 
 HEADER = """# PLANS — physical-plan audit of headline queries
