@@ -648,19 +648,28 @@ def test_windowed_aggregation_restart_resumes_from_checkpoint(spark, tmp_path):
     assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
 
 
-def test_windowed_aggregation_restart_rocksdb(spark, tmp_path):
+@pytest.mark.parametrize("changelog", [False, True], ids=["snapshot", "changelog"])
+def test_windowed_aggregation_restart_rocksdb(spark, tmp_path, changelog):
     """The RocksDB twin of the pinned-checkpoint windowed restart: the same
     kill-at-batch-2 / resume protocol with the state in
     RocksDBStateStoreProvider (local-disk state + changelog into the
     checkpoint — the backend a 100 TB stateful job runs).  Certifies both
-    (a) backend-independence of the output and (b) that RocksDB snapshot
-    recovery resumes mid-backlog without losing or doubling a window."""
+    (a) backend-independence of the output and (b) that RocksDB recovery
+    resumes mid-backlog without losing or doubling a window — under BOTH
+    commit modes: full-snapshot uploads (default) and changelog
+    checkpointing (the production-recommended mode: per-batch commits
+    upload only the delta; restore replays the changelog onto the last
+    snapshot — a different recovery code path, certified separately)."""
     from acousticbrainz_server_spark.plans.streaming_queries import (
         _ROCKSDB_PROVIDER,
         _STATE_PROVIDER_CONF,
         _stream_state_partitions,
         _wma_build_src,
         _wma_windowed_stream,
+    )
+
+    _CHANGELOG_CONF = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     )
 
     _, src_dir = _wma_build_src(spark, "/root/testdata/sf0.001")
@@ -693,7 +702,9 @@ def test_windowed_aggregation_restart_rocksdb(spark, tmp_path):
     assert len(oneshot) > 0
 
     saved = spark.conf.get(_STATE_PROVIDER_CONF, None)
+    saved_cl = spark.conf.get(_CHANGELOG_CONF, None)
     spark.conf.set(_STATE_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true" if changelog else "false")
     try:
         ckpt = str(tmp_path / "ckpt_rocks")  # PINNED across kill + resume
         part1: list = []
@@ -705,6 +716,10 @@ def test_windowed_aggregation_restart_rocksdb(spark, tmp_path):
             spark.conf.unset(_STATE_PROVIDER_CONF)
         else:
             spark.conf.set(_STATE_PROVIDER_CONF, saved)
+        if saved_cl is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, saved_cl)
 
     assert sorted(part1 + part2) == sorted(oneshot)  # backend-independent
     assert len(part2) > 0
