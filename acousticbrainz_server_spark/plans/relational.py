@@ -2803,6 +2803,82 @@ def skew_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "skew_join_planned",
+    family="J1,A2",
+    doc="The KNOWN-hot-key rung of the skew ladder (the planner twin of "
+    "skew_join_adaptive, second registered consumer of "
+    "functions/skew.py's hot_cold_split_join): ~75% of fact rows are "
+    "remapped onto ONE existing orderkey (min(o_orderkey), a 1-row "
+    "broadcast relation — so the hot key always matches at every SF), "
+    "then the join routes the hot mass through broadcast-only joins "
+    "(their dim slice broadcasts ONTO them — the heavy rows never "
+    "shuffle) while only the cold tail takes the ordinary join.  "
+    "Measured at sf1 (SCALE.md skew playbook, interleaved x3, identical "
+    "outputs): naive SMJ 2.52 s, AQE runtime split 1.46 s, this planner "
+    "1.30 s — known-hot beats runtime-split because AQE splits the "
+    "REDUCE side and still pays the hot rows' map-side scatter.  Use "
+    "this form when hot keys are known up front (catalog stats, a "
+    "heavy-hitter sketch — frequent_items_sketch is the feeder); AQE "
+    "catches the ones nobody predicted.  The hot branch's "
+    "broadcast-only plan contract is asserted in tests/test_plans.py.",
+    oracle=f"""
+        WITH mn AS (SELECT min(o_orderkey) AS hot_key FROM orders),
+        fact AS (
+          SELECT CASE WHEN l_orderkey % {_AQE_SKEW_MOD} != 0 THEN hot_key
+                      ELSE l_orderkey END AS order_fk,
+                 l_extendedprice, l_discount
+          FROM lineitem CROSS JOIN mn
+        )
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_items,
+               {sql_round_half_up('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+        FROM fact JOIN orders ON o_orderkey = order_fk
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+)
+def skew_join_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import hot_cold_split_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # the hot key as a 1-row broadcast relation — no driver collect, and it
+    # provably exists in the dim at every SF
+    mn = orders.agg(F.min("o_orderkey").alias("hot_key"))
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            F.when(F.col("l_orderkey") % _AQE_SKEW_MOD != 0, F.col("hot_key"))
+            .otherwise(F.col("l_orderkey"))
+            .alias("order_fk"),
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    hot_j, cold_j = hot_cold_split_join(
+        fact,
+        orders,
+        fact_key="order_fk",
+        dim_key="o_orderkey",
+        hot_keys=mn.select(F.col("hot_key").alias("order_fk")),
+    )
+    cols = ["order_fk", "l_extendedprice", "l_discount", "o_orderpriority"]
+    return (
+        hot_j.select(*cols)
+        .unionByName(cold_j.select(*cols))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
 # --------------------------------------------------------------------------------------
 # A-family — incremental aggregate-state MERGE: the materialized-view
 # maintenance discipline.  A 100 TB rollup is never recomputed from

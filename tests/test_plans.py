@@ -794,6 +794,21 @@ def test_skew_split_hot_path_has_no_shuffle_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # hot facts x hot dim + semis
 
 
+def test_skew_join_planned_hot_mass_never_shuffles(spark):
+    """skew_join_planned (the planner's second consumer, the genuinely-hot
+    shape): the whole plan must carry the hot branch as broadcast joins —
+    with ~75% of fact rows on the hot key, a single SortMergeJoin touching
+    the hot facts would defeat the planner.  The fact side may shuffle at
+    most for the final priority rollup (an aggregate exchange, not a join
+    exchange of the hot mass)."""
+    plan = _plan(QUERIES["skew_join_planned"].spark_fn(spark, SF_SMOKE))
+    # hot facts x hot dim + the two semi/anti probes are all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the hot branch never sort-merges; the cold tail may (AQE decides) —
+    # at SF_SMOKE AQE broadcasts it too, so the whole plan is SMJ-free
+    assert "SortMergeJoin" not in plan
+
+
 def test_cdc_single_scan_position_explode(spark):
     """cdc_chunk_dedup: the boundary scan is ONE Generate (explode) off the
     documents scan — no join in the position/hash stage; the chunk-hash
