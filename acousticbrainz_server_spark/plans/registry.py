@@ -95,8 +95,8 @@ def _load_all() -> None:
 # (c) the LAST 25 r4-vintage rows (ingest_validation .. zorder_index_key
 #     from the union) — after this window ZERO r4 rows remain and the
 #     registry floor reaches r5 for the first time;
-# (d) the alphabetically-first 18 of the 44 r5-vintage rows
-#     (ann_ivf_kmeans_topk .. embedding_kmeans_assign).
+# (d) the alphabetically-first 17 of the 44 r5-vintage rows
+#     (ann_ivf_kmeans_topk .. dump_tsv_roundtrip).
 # History: r1-r2 relational/vector core; r3 extensions; r4 re-checks +
 # sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
 # session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
@@ -108,6 +108,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "skew_join_adaptive",
     "skew_join_planned",
     "streaming_watermark_audit_rocksdb",
+    "streaming_dedup_within_watermark",
     # -- r10 plan touches (void the r9 greens) --
     "idle_customer_balance",
     "streaming_incremental_corpus",
@@ -141,7 +142,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "vector_zscore",
     "winnow_fingerprint",
     "zorder_index_key",
-    # -- the alphabetically-first 18 of the 44 r5-vintage rows --
+    # -- the alphabetically-first 17 of the 44 r5-vintage rows --
     "ann_ivf_kmeans_topk",
     "ann_ivf_pq_topk",
     "ann_pq_adc_topk",
@@ -159,7 +160,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "dump_incremental_window",
     "dump_json_shards",
     "dump_tsv_roundtrip",
-    "embedding_kmeans_assign",
 )
 
 

@@ -221,6 +221,47 @@ def streaming_dedup_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_DEDUP_SINK)
 
 
+_DEDUP_WM_SINK = "streaming_dedup_wm_sink"
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    family="§2.11,E1,E2",
+    doc="The BOUNDED-STATE streaming dedup — dropDuplicatesWithinWatermark, "
+    "the form a 100 TB stream actually runs: plain dropDuplicates keeps one "
+    "state row per distinct key FOREVER (state is O(all keys ever seen)); "
+    "WithinWatermark evicts a key's state once the watermark passes its "
+    "event time, so state is O(keys per horizon) — the operator trades "
+    "'exactly-once dedup over all time' for 'exactly-once within the "
+    "horizon', which is the right contract when duplicates only arrive "
+    "within a bounded delay (retries, at-least-once producers).  Here the "
+    "horizon spans the whole replay, so the sink provably equals the batch "
+    "DISTINCT (the oracle); the EVICTION half of the contract — a key "
+    "recurring BEYOND the horizon is re-emitted because its state is gone "
+    "— is certified batch-by-batch in tests/test_streaming.py "
+    "(test_dedup_within_watermark_evicts_and_reemits).  Spark 4.1.2.",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_within_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events_stream(spark, sf_dir)
+    dd = (
+        ev.select("ts", "user_id", "event_type")
+        .withWatermark("ts", "3650 days")  # horizon > replay span: no eviction
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(_DEDUP_WM_SINK)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(_DEDUP_WM_SINK)
+
+
 _JOIN_SINK = "streaming_join_sink"
 
 

@@ -724,3 +724,74 @@ def test_windowed_aggregation_restart_rocksdb(spark, tmp_path, changelog):
     assert sorted(part1 + part2) == sorted(oneshot)  # backend-independent
     assert len(part2) > 0
     assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
+
+
+def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
+    """The eviction half of dropDuplicatesWithinWatermark's contract (the
+    registered query certifies the dedup half): a duplicate arriving WITHIN
+    the horizon is dropped, and a key recurring BEYOND the horizon is
+    RE-EMITTED because its state row was evicted when the watermark passed
+    its event time — the exact bounded-state trade a 100 TB dedup makes."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _stream_state_partitions,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = "2024-01-01 00:00:00"
+    t_half = "2024-01-01 12:00:00"    # +0.5d: inside the 1-day horizon
+    t_late = "2024-01-31 00:00:00"    # +30d: far beyond the horizon
+    # the engine's established two-watermark lag (SCALE.md r8: the wm used
+    # while processing batch k derives from data through batch k-2) means
+    # the clock-advancing file must land TWO batches before the recurrence
+    batches = [
+        ("f0", [("A", t0), ("B", t0)]),
+        ("f1", [("B", t_half), ("C", t_late)]),  # B dup (in-horizon), clock jump
+        ("f2", [("D", t_late)]),                  # spacer: jump now k-2 visible
+        ("f3", [("A", t_late)]),                  # A recurs AFTER eviction
+    ]
+    now = _time.time()
+    for i, (name, rows) in enumerate(batches):
+        df = spark.createDataFrame(rows, "k STRING, ts_s STRING").select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        tmp = str(tmp_path / f"tmp_{name}")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{name}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (now - 100 + i * 10,) * 2)  # mtime IS the stream order
+
+    schema = spark.read.parquet(src).schema
+    out: list = []
+    dd = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k", "ts")
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            dd.writeStream.foreachBatch(
+                lambda df, bid: out.extend((r["k"], str(r["ts"])) for r in df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    from collections import Counter
+    counts = Counter(k for k, _ in out)
+    # B's in-horizon duplicate dropped; A re-emitted after eviction
+    assert counts == {"A": 2, "B": 1, "C": 1, "D": 1}, out
+    # and plain dropDuplicates over the same data would have emitted A once —
+    # the batch DISTINCT is {A,B,C,D}: the re-emission is PURELY the eviction
+    assert len(out) == 5
