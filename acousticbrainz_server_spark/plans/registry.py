@@ -95,8 +95,8 @@ def _load_all() -> None:
 # (c) the LAST 25 r4-vintage rows (ingest_validation .. zorder_index_key
 #     from the union) — after this window ZERO r4 rows remain and the
 #     registry floor reaches r5 for the first time;
-# (d) the alphabetically-first 17 of the 44 r5-vintage rows
-#     (ann_ivf_kmeans_topk .. dump_tsv_roundtrip).
+# (d) the alphabetically-first 16 of the 44 r5-vintage rows
+#     (ann_ivf_kmeans_topk .. dump_json_shards).
 # History: r1-r2 relational/vector core; r3 extensions; r4 re-checks +
 # sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
 # session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
@@ -109,6 +109,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "skew_join_planned",
     "streaming_watermark_audit_rocksdb",
     "streaming_dedup_within_watermark",
+    "streaming_state_introspection",
     # -- r10 plan touches (void the r9 greens) --
     "idle_customer_balance",
     "streaming_incremental_corpus",
@@ -142,7 +143,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "vector_zscore",
     "winnow_fingerprint",
     "zorder_index_key",
-    # -- the alphabetically-first 17 of the 44 r5-vintage rows --
+    # -- the alphabetically-first 16 of the 44 r5-vintage rows --
     "ann_ivf_kmeans_topk",
     "ann_ivf_pq_topk",
     "ann_pq_adc_topk",
@@ -159,7 +160,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "dump_csv_features",
     "dump_incremental_window",
     "dump_json_shards",
-    "dump_tsv_roundtrip",
 )
 
 

@@ -1209,3 +1209,59 @@ def streaming_watermark_update_audit_q(spark: SparkSession, sf_dir: str) -> Data
     return spark.read.parquet(out_dir).select(
         "batch_id", "day", "event_type", F.col("n_events").cast("long").alias("n_events")
     )
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 ops — state store introspection: query the checkpoint itself (Spark 4)
+# --------------------------------------------------------------------------------------
+_SSRC_SINK = "streaming_state_introspect_sink"
+
+
+@query(
+    "streaming_state_introspection",
+    family="§2.11,A2",
+    doc="Spark 4's State Data Source as a first-class operator: run a "
+    "stateful per-event_type count stream to completion (update mode, no "
+    "watermark — keyed state persists), then read the CHECKPOINT'S STATE "
+    "STORE back as a DataFrame (format 'statestore') and return it.  The "
+    "oracle is the plain batch GROUP BY — a hash match proves the state "
+    "rows the checkpoint actually holds ARE the aggregate (key struct + "
+    "internal 'count' buffer field exposed as columns).  This is the ops "
+    "tool a production stream needs: inspect/debug/audit a live job's "
+    "state without touching the job — at 100 TB it is also the escape "
+    "hatch for state surgery (read state -> fix -> bootstrap a new "
+    "checkpoint).  Spark 4.1.2; the state source reads the latest "
+    "committed snapshot per partition.",
+    oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+)
+def streaming_state_introspection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = load_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    base = os.path.join(tempfile.gettempdir(), "abspark_state_introspect")
+    if os.path.isdir(base):  # each invocation reads only its own checkpoint
+        for stale in os.listdir(base):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    ckpt = os.path.join(base, uuid.uuid4().hex[:12])
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(_SSRC_SINK)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )
