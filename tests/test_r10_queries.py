@@ -124,3 +124,57 @@ def test_skew_join_adaptive_matches_pandas(spark):
     for p, rev in zip(out["priority"], out["revenue"]):
         assert abs(rev - expect.loc[p, "revenue"]) < 0.5 + 1e-6 * abs(rev)
     assert list(out["priority"]) == sorted(out["priority"])
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Spark's runtime Bloom-filter join pruning — the OPTIMIZER's automatic
+    twin of the registered bloom_semi_join: with a selective dim filter and
+    a non-broadcast join, the optimizer builds a bloom filter from the dim
+    side (bloom_filter_agg) and injects BloomFilterMightContain into the
+    fact side, so most fact rows die BEFORE the shuffle — at 100 TB this is
+    the difference between shuffling the full fact and shuffling the ~few
+    percent that can match.  Certifies injection + unchanged results."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    od = (
+        spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+
+    def q():
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("l_quantity").cast("long").alias("qty"),
+            )
+        )
+
+    baseline = q().collect()
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # scale the size gates to sf0.01 (defaults are 10 MB / 10 GB):
+        # the INJECTION mechanism is what's under test
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # broadcast joins get DPP/broadcast reuse instead — force shuffle
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = _with_confs(spark, confs)
+    try:
+        df = q()
+        got = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        _restore_confs(spark, saved)
+
+    assert "bloom_filter_agg" in plan, plan[:1500]
+    assert "BloomFilterMightContain" in plan or "bloomFilter" in plan
+    assert got == baseline
