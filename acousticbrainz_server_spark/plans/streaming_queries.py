@@ -1063,7 +1063,10 @@ def _wma_run_audit(
     import uuid
 
     base, src_dir = _wma_build_src(spark, sf_dir)
-    for stale in _glob.glob(os.path.join(base, f"ckpt_{sink}_*")):
+    # '-' delimits the sink name: with '_' the plain audit's glob would
+    # prefix-match (and delete) the '<sink>_rocksdb' audit's checkpoints,
+    # since one sink name extends the other
+    for stale in _glob.glob(os.path.join(base, f"ckpt-{sink}-*")):
         shutil.rmtree(stale, ignore_errors=True)
     agg = _wma_windowed_stream(spark, src_dir)
     saved = spark.conf.get(_STATE_PROVIDER_CONF, None)
@@ -1077,7 +1080,7 @@ def _wma_run_audit(
                 .outputMode("append")
                 .option(
                     "checkpointLocation",
-                    os.path.join(base, f"ckpt_{sink}_" + uuid.uuid4().hex[:8]),
+                    os.path.join(base, f"ckpt-{sink}-" + uuid.uuid4().hex[:8]),
                 )
                 .trigger(availableNow=True)
                 .start()
