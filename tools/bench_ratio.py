@@ -54,22 +54,27 @@ EXCHANGE_BOUND_CEILINGS_SF01 = {
 }
 
 # Box-portable twin of the absolute ceilings (r9 verdict #3): warm-Spark /
-# same-window-DuckDB ratio, +30% over the committed r9 min-over-draws
+# same-window-DuckDB ratio, +50% over the committed r9 min-over-draws
 # ratios.  A contended window inflates numerator AND denominator together,
 # so the ratio absorbs the uniform-slowdown noise that made 3 of 6 absolute
 # ceilings read 6-8% high on the r9 judge's 1.47x-loaded draw.  A guard
 # query passes if EITHER bound holds; a real plan regression raises both.
+# Margin sizing: the DuckDB denominator itself spreads +-50% window to
+# window on these sub-0.2s oracles (documented in AMORTIZATION's method
+# note; observed r10: abc_analysis duck 0.073-0.144 across windows), so a
+# ratio bound narrower than its own denominator's noise would flag pure
+# duck-draw luck as a regression — the margin must cover BOTH sides' noise.
 EXCHANGE_BOUND_RATIO_CEILINGS_SF01 = {
-    "pmi_copurchase": 8.7,
-    "degree_distribution": 4.1,
-    "abc_analysis": 20.3,
-    "slow_fulfillment_suppliers": 10.7,
-    "fk_integrity_audit": 32.8,
-    "dominant_part_suppliers": 15.0,
+    "pmi_copurchase": 10.0,
+    "degree_distribution": 4.7,
+    "abc_analysis": 23.5,
+    "slow_fulfillment_suppliers": 12.4,
+    "fk_integrity_audit": 37.9,
+    "dominant_part_suppliers": 17.3,
 }
 
 
-def duck_times(sf_dir: str, runs: int = 2) -> dict[str, float]:
+def duck_times(sf_dir: str, runs: int = 3) -> dict[str, float]:
     """Best-of-N DuckDB wall time per oracle, full materialization."""
     import duckdb
 
