@@ -791,6 +791,21 @@ def _sic_merge_fn(state_dir: str, on_batch_applied=None):
                 .agg(F.min("w").alias("w"), F.sum("n_copies").cast("long").alias("n_copies"))
             )
         merged.write.mode("overwrite").parquet(nxt)
+        # fsync the parquet part files Spark wrote into _next BEFORE the
+        # marker: the marker asserts "this staging dir is complete", so the
+        # data blocks it vouches for must be durable first — otherwise the
+        # same OS-crash model can persist the committed rename + marker
+        # while losing the part files' data blocks (truncated committed
+        # state).  O(files in one small state dir), not O(state bytes
+        # rewritten) — the kernel only flushes dirty pages.
+        for entry in os.listdir(nxt):
+            fp = os.path.join(nxt, entry)
+            if os.path.isfile(fp):
+                ffd = os.open(fp, os.O_RDONLY)
+                try:
+                    os.fsync(ffd)
+                finally:
+                    os.close(ffd)
         # marker goes INTO the staging dir before any rename (underscore
         # prefix: parquet readers ignore it as metadata) — completeness of
         # _next is therefore exactly "its marker exists".  fsync the marker
@@ -1248,7 +1263,14 @@ def streaming_state_introspection_q(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = load_events_stream(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    base = os.path.join(tempfile.gettempdir(), "abspark_state_introspect")
+    # pid-tagged base (same reason as _wma_build_src): a shared base whose
+    # siblings are rmtree'd at invocation start would let a concurrent
+    # process (dual-SF gate, bench overlapping a driver run) delete a LIVE
+    # checkpoint or invalidate a lazily-read statestore DataFrame.  Each
+    # process cleans only within its own tag.
+    base = os.path.join(
+        tempfile.gettempdir(), f"abspark_state_introspect_{os.getpid()}"
+    )
     if os.path.isdir(base):  # each invocation reads only its own checkpoint
         for stale in os.listdir(base):
             shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
