@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.scalar import round_half_up
+from ..functions.scalar import round_half_up, sql_round_half_up
 from ..sources.tables import load_events_stream, load_table
 from .registry import query
 
@@ -1289,4 +1289,340 @@ def streaming_state_introspection_q(spark: SparkSession, sf_dir: str) -> DataFra
     return state.select(
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------------------
+# §2.11 depth (r11) — state time-travel, change feed, in-flight telemetry, Python sink
+# --------------------------------------------------------------------------------------
+_TTB_BATCHES = 4
+
+
+def _ttb_build_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize the 4-file mtime-ordered batch-deterministic backlog the
+    r11 streaming-depth family shares: file k holds exactly the events with
+    ``event_id % 4 == k``, so micro-batch k's content is a pure predicate a
+    SQL oracle can reconstruct (``GROUP BY event_id % 4``) — the same trick
+    ``_wma_build_src`` uses with mtime as the stream order.  Idempotent per
+    (sf_dir, pid)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "abspark_ttbatch", tag)
+    src_dir = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        now = _time.time()
+        for k in range(_TTB_BATCHES):
+            tmp = os.path.join(base, f"tmp_{k}")
+            ev.filter(F.col("event_id") % _TTB_BATCHES == k).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            dst = os.path.join(src_dir, f"f{k}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # mtime IS the stream order: one file per micro-batch, ascending
+            os.utime(dst, (now - 100 + k * 10, now - 100 + k * 10))
+        open(os.path.join(src_dir, "_DONE"), "w").write("ok\n")
+    return base, src_dir
+
+
+def _ttb_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    import os
+
+    schema = spark.read.parquet(os.path.join(src_dir, "f0.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "f*.parquet")
+        .parquet(src_dir)
+    )
+
+
+def _ttb_run_count_stream(spark: SparkSession, sf_dir: str, sink_name: str) -> str:
+    """Run the per-event_type counting aggregation over the 4-batch backlog
+    to completion (update mode) and return the checkpoint path — the state
+    the time-travel and change-feed readers then query."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base, src_dir = _ttb_build_src(spark, sf_dir)
+    # per-invocation checkpoint under the pid-tagged base; clean own leftovers
+    for stale in os.listdir(base):
+        if stale.startswith("ckpt-" + sink_name + "-"):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    ckpt = os.path.join(base, f"ckpt-{sink_name}-{uuid.uuid4().hex[:8]}")
+    agg = _ttb_stream(spark, src_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ckpt
+
+
+def _ttb_delta_cte() -> str:
+    return f"""
+        delta AS (
+          SELECT event_type, CAST(event_id % {_TTB_BATCHES} AS INT) AS b,
+                 count(*) AS d
+          FROM events GROUP BY 1, 2
+        )"""
+
+
+@query(
+    "streaming_state_timetravel",
+    family="§2.11,A2",
+    doc="State Data Source TIME-TRAVEL (r10 verdict #3): after running the "
+    "per-event_type counting stream over the 4-batch mtime-ordered backlog "
+    "(batch k = events with event_id%4==k), read the checkpoint's state "
+    "AS-OF EVERY BATCH k via format('statestore').option('batchId', k) and "
+    "return the union tagged with as_of_batch.  The oracle derives each "
+    "as-of state from the same predicate — the prefix aggregate over "
+    "batches 0..k — so the hash match proves state-as-of-batch-k equals "
+    "the batch-k prefix aggregate for all k, not just the final snapshot "
+    "(the r10 introspection query's claim, strengthened to the whole "
+    "history).  At 100 TB this is the state-debugging primitive: pin any "
+    "micro-batch's exact state without replaying the stream.  Spark 4.1.2; "
+    "versions readable while the checkpoint retains delta files "
+    "(minBatchesToRetain, default 100).",
+    oracle=f"""
+        WITH {_ttb_delta_cte()},
+        ks AS (SELECT range AS k FROM range({_TTB_BATCHES}))
+        SELECT CAST(ks.k AS INT) AS as_of_batch, delta.event_type,
+               CAST(sum(delta.d) AS BIGINT) AS n_events
+        FROM ks JOIN delta ON delta.b <= ks.k
+        GROUP BY ks.k, delta.event_type
+    """,
+)
+def streaming_state_timetravel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    ckpt = _ttb_run_count_stream(spark, sf_dir, "streaming_state_tt_sink")
+    per_batch = [
+        spark.read.format("statestore")
+        .option("batchId", k)
+        .load(ckpt)
+        .select(
+            F.lit(k).cast("int").alias("as_of_batch"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+        for k in range(_TTB_BATCHES)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_batch)
+
+
+@query(
+    "streaming_state_changefeed",
+    family="§2.11,A2",
+    doc="State Data Source CHANGE FEED (r10 verdict #3): read the per-batch "
+    "state-store deltas of the counting stream via "
+    "option('readChangeFeed', true).option('changeStartBatchId', 0) — one "
+    "'update' row per (batch, key updated in that batch) carrying the "
+    "post-batch cumulative count.  The oracle reconstructs the feed from "
+    "the batch predicate: for each key and each batch k the key appears "
+    "in, the cumulative count over batches <= k.  The hash match certifies "
+    "the change-feed contract end-to-end: which keys a batch touched AND "
+    "the value each write installed.  This is the CDC view of operator "
+    "state — at 100 TB the cheap way to audit what a batch did to state "
+    "without diffing two full snapshots.  Spark 4.1.2.",
+    oracle=f"""
+        WITH {_ttb_delta_cte()}
+        SELECT CAST(d.b AS INT) AS batch_id, 'update' AS change_type,
+               d.event_type, CAST(sum(d2.d) AS BIGINT) AS n_events
+        FROM delta d JOIN delta d2
+          ON d2.event_type = d.event_type AND d2.b <= d.b
+        GROUP BY d.b, d.event_type
+    """,
+)
+def streaming_state_changefeed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = _ttb_run_count_stream(spark, sf_dir, "streaming_state_cf_sink")
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    return feed.select(
+        F.col("batch_id").cast("int").alias("batch_id"),
+        F.col("change_type"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "streaming_observe_metrics",
+    family="§2.11,A8",
+    doc="Observation API ON A STREAM (r10 verdict #4): df.observe() attaches "
+    "named aggregates to the streaming plan itself; every micro-batch then "
+    "reports (n_rows, min/max event_id, sum value) through "
+    "StreamingQueryProgress.observedMetrics — in-flight telemetry computed "
+    "WHERE THE DATA FLOWS, no second scan, no sink coupling (the sink here "
+    "is noop).  The query returns the per-batch observed metrics as rows; "
+    "the oracle recomputes them from the batch predicate (event_id%4), so "
+    "the hash match proves the telemetry equals the data — the monitoring "
+    "contract a production pipeline alerts on.  At 100 TB this replaces "
+    "count()-after-the-fact audit jobs: the numbers are free byproducts of "
+    "the stream's own pass.",
+    oracle=f"""
+        SELECT CAST(event_id % {_TTB_BATCHES} AS INT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(event_id) AS min_id, max(event_id) AS max_id,
+               {sql_round_half_up('sum(value)', 4)} AS sum_value
+        FROM events GROUP BY 1
+    """,
+)
+def streaming_observe_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base, src_dir = _ttb_build_src(spark, sf_dir)
+    for stale in os.listdir(base):
+        if stale.startswith("ckpt-obs-"):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    ckpt = os.path.join(base, f"ckpt-obs-{uuid.uuid4().hex[:8]}")
+    observed = _ttb_stream(spark, src_dir).observe(
+        "batch_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum("value").alias("sum_value"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        prog = p if isinstance(p, dict) else None
+        if prog is None:  # pyspark may hand back progress objects
+            import json as _json
+
+            prog = _json.loads(p.json)
+        m = (prog.get("observedMetrics") or {}).get("batch_metrics")
+        if m is None:
+            continue
+        vals = m.asDict() if hasattr(m, "asDict") else dict(m)
+        if not vals.get("n_rows"):
+            continue  # trailing empty batch: no data, nothing to audit
+        rows.append(
+            (
+                int(prog["batchId"]),
+                int(vals["n_rows"]),
+                int(vals["min_id"]),
+                int(vals["max_id"]),
+                float(vals["sum_value"]),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("batch_id", IntegerType()),
+            StructField("n_rows", LongType()),
+            StructField("min_id", LongType()),
+            StructField("max_id", LongType()),
+            StructField("sum_value_raw", DoubleType()),
+        ]
+    )
+    # the handful of progress rows is driver-resident by API design
+    # (observedMetrics live in StreamingQueryProgress); rounding happens in
+    # Spark so both engines apply the identical half-up formula
+    return spark.createDataFrame(rows, schema).select(
+        "batch_id",
+        "n_rows",
+        "min_id",
+        "max_id",
+        round_half_up(F.col("sum_value_raw"), 4).alias("sum_value"),
+    )
+
+
+@query(
+    "streaming_python_sink_rollup",
+    family="§2.11,S1",
+    doc="Python Data Source STREAM WRITER end-to-end (r10 verdict #5, the "
+    "write-side twin of r8's python_datasource_scan): the 4-batch events "
+    "backlog streams through format('jsonlines_py') — a pluggable "
+    "DataSourceStreamWriter whose per-batch two-phase commit (temp files "
+    "-> part renames -> atomic per-batch manifest) upgrades replay "
+    "delivery to exactly-once-per-batch (kill/resume certified at both "
+    "crash points by tests/test_streaming.py).  The committed view (union "
+    "of manifest-listed files only) is read back and rolled up; the oracle "
+    "is the same rollup over the source table, so the hash match proves "
+    "no batch was lost, doubled, or torn on the way through the sink.  "
+    "sources/pydatasource.py:JsonLinesStreamWriter.",
+    oracle=f"""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               min(event_id) AS first_id, max(event_id) AS last_id,
+               {sql_round_half_up('sum(value)', 4)} AS sum_value
+        FROM events GROUP BY event_type
+    """,
+)
+def streaming_python_sink_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.pydatasource import (
+        committed_stream_sink_files,
+        register_jsonlines_sink,
+    )
+
+    register_jsonlines_sink(spark)
+    base, src_dir = _ttb_build_src(spark, sf_dir)
+    for stale in os.listdir(base):
+        if stale.startswith("pysink-"):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    run = os.path.join(base, f"pysink-{uuid.uuid4().hex[:8]}")
+    out, ckpt = os.path.join(run, "out"), os.path.join(run, "ckpt")
+    q = (
+        _ttb_stream(spark, src_dir)
+        .writeStream.format("jsonlines_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    committed = committed_stream_sink_files(out)
+    sunk = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(committed)
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        round_half_up(F.sum("value"), 4).alias("sum_value"),
     )

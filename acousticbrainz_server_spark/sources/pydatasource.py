@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -239,6 +240,128 @@ class JsonLinesWriter(DataSourceWriter):
                 pass
 
 
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    """``DataSourceStreamWriter`` (the write-side twin of the r8 stream
+    READER): a per-micro-batch two-phase commit that upgrades Spark's
+    at-least-once foreachBatch-style delivery to EXACTLY-ONCE-PER-BATCH in
+    the sink, the same contract the incremental-corpus MERGE certifies —
+    here expressed through the pluggable-sink API instead of foreachBatch.
+
+    Protocol per batch: executors ``write()`` rows to uuid-named
+    ``.inprogress`` temp files and report them in commit messages; the
+    driver's ``commit(messages, batchId)`` renames them to
+    ``part-b<batch>-<i>.jsonl`` and then atomically publishes a per-batch
+    manifest ``_batch-<batchId>.json`` listing the files (tmp + fsync +
+    rename, then directory fsync — the same durability ladder as the
+    incremental-corpus state swap).  COMMITTED data is exactly the union of
+    manifest-listed files; orphaned temps and un-manifested parts are
+    invisible to readers.
+
+    Exactly-once under replay: a crash AFTER the manifest but BEFORE
+    Spark's checkpoint offset commit replays the batch on restart — the
+    replayed ``commit()`` finds the manifest already present, discards the
+    fresh temps, and returns (idempotent skip).  A crash BEFORE the
+    manifest leaves the batch invisible, so the replay commits it once.
+    Both crash points are certified by
+    tests/test_streaming.py::test_python_stream_sink_kill_resume_*.
+
+    Fault injection (test hook, inert in production use): option
+    ``fail_at_batch`` raises inside ``commit()`` for that batch exactly
+    once (a marker file records the strike); ``fail_point`` selects the
+    crash side — ``before_manifest`` (default) or ``after_manifest``.
+
+    Deployment constraint: same shared-filesystem assumption as
+    JsonLinesWriter (driver renames executor-written temps).
+    """
+
+    def __init__(self, options: dict, schema) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlines_py stream sink requires option 'path'")
+        self.field_names = [f.name for f in schema.fields]
+        fab = options.get("fail_at_batch")
+        self.fail_at_batch = int(fab) if fab is not None else None
+        self.fail_point = options.get("fail_point", "before_manifest")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        temp = os.path.join(self.path, f".{uuid.uuid4().hex}.inprogress")
+        n = 0
+        with open(temp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.field_names, row))) + "\n")
+                n += 1
+        return _JsonLinesCommit(temp, n)
+
+    def _manifest(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"_batch-{batch_id}.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        manifest = self._manifest(batchId)
+        if os.path.exists(manifest):
+            # replayed batch (crash landed between manifest publish and the
+            # checkpoint's offset commit): already visible — drop the fresh
+            # temps and skip.  THE exactly-once guard.
+            self.abort(messages, batchId)
+            return
+        if self.fail_at_batch == batchId and self.fail_point == "before_manifest":
+            strike = os.path.join(self.path, f"_strike-{batchId}")
+            if not os.path.exists(strike):
+                open(strike, "w").write("struck\n")
+                raise RuntimeError(f"injected commit failure before manifest, batch {batchId}")
+        finals = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            ffd = os.open(final, os.O_RDONLY)
+            try:
+                os.fsync(ffd)
+            finally:
+                os.close(ffd)
+            finals.append({"file": os.path.basename(final), "rows": m.rows})
+        # atomic manifest publish: tmp + fsync + rename + dir fsync — the
+        # manifest's existence IS the batch's commit point
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batchId, "files": finals}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, manifest)
+        dfd = os.open(self.path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        if self.fail_at_batch == batchId and self.fail_point == "after_manifest":
+            strike = os.path.join(self.path, f"_strike-{batchId}")
+            if not os.path.exists(strike):
+                open(strike, "w").write("struck\n")
+                raise RuntimeError(f"injected commit failure after manifest, batch {batchId}")
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.temp_path)
+            except OSError:
+                pass
+
+
 class JsonLinesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -246,6 +369,31 @@ class JsonLinesDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonLinesWriter:
         return JsonLinesWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonLinesStreamWriter:
+        return JsonLinesStreamWriter(self.options, schema)
+
+
+def committed_stream_sink_files(path: str) -> list[str]:
+    """The committed view of a ``jsonlines_py`` stream-sink directory: the
+    union of files listed in per-batch manifests, in batch order.  Anything
+    else in the directory (orphaned temps, renamed-but-unmanifested parts
+    from a crash) is uncommitted and excluded — this listing is the read
+    protocol that makes the sink's two-phase commit meaningful."""
+    import glob as _glob
+    import json
+    import os
+
+    files: list[str] = []
+    manifests = sorted(
+        _glob.glob(os.path.join(path, "_batch-*.json")),
+        key=lambda p: int(os.path.basename(p)[len("_batch-") : -len(".json")]),
+    )
+    for mp in manifests:
+        with open(mp) as f:
+            for entry in json.load(f).get("files", []):
+                files.append(os.path.join(path, entry["file"]))
+    return files
 
 
 def register_jsonlines_sink(spark) -> None:

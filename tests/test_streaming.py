@@ -795,3 +795,96 @@ def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
     # and plain dropDuplicates over the same data would have emitted A once —
     # the batch DISTINCT is {A,B,C,D}: the re-emission is PURELY the eviction
     assert len(out) == 5
+
+
+# --------------------------------------------------------------------------------------
+# r11: Python Data Source stream WRITER — exactly-once-per-batch under kill/resume
+# --------------------------------------------------------------------------------------
+
+
+def _committed_event_ids(spark, out: str) -> list[int]:
+    from acousticbrainz_server_spark.sources.pydatasource import (
+        committed_stream_sink_files,
+    )
+
+    files = committed_stream_sink_files(out)
+    if not files:
+        return []
+    rows = (
+        spark.read.schema("event_id long, user_id long, event_type string, value double")
+        .json(files)
+        .select("event_id")
+        .collect()
+    )
+    return sorted(r.event_id for r in rows)
+
+
+def _manifest_batches(out: str) -> set[int]:
+    import glob
+
+    return {
+        int(os.path.basename(p)[len("_batch-") : -len(".json")])
+        for p in glob.glob(os.path.join(out, "_batch-*.json"))
+    }
+
+
+@pytest.mark.parametrize("fail_point", ["before_manifest", "after_manifest"])
+def test_python_stream_sink_kill_resume(spark, tmp_path, fail_point):
+    """The DataSourceStreamWriter restart certification (mirror of the
+    foreachBatch proof): kill the query inside batch 2's commit() at BOTH
+    crash points — before the manifest publish (batch invisible, the replay
+    must deliver it exactly once) and after it (batch visible, Spark's
+    replay of the uncommitted offset must be guard-skipped, not doubled).
+    Either way the committed view after resume equals the full backlog with
+    no lost and no duplicated rows."""
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _ttb_build_src,
+        _ttb_stream,
+    )
+    from acousticbrainz_server_spark.sources.pydatasource import (
+        register_jsonlines_sink,
+    )
+
+    register_jsonlines_sink(spark)
+    _base, src = _ttb_build_src(spark, "/root/testdata/sf0.001")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")  # PINNED ckpt
+
+    q = (
+        _ttb_stream(spark, src)
+        .writeStream.format("jsonlines_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .option("fail_at_batch", 2)
+        .option("fail_point", fail_point)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected commit failure"):
+        q.awaitTermination()
+    assert not q.isActive
+    visible = _manifest_batches(out)
+    if fail_point == "before_manifest":
+        assert visible == {0, 1}, visible  # batch 2 died invisible
+    else:
+        assert visible == {0, 1, 2}, visible  # visible, but offset uncommitted
+
+    # resume on the SAME checkpoint, injection disarmed: Spark replays the
+    # uncommitted batch 2 and drains the backlog
+    q2 = (
+        _ttb_stream(spark, src)
+        .writeStream.format("jsonlines_py")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert _manifest_batches(out) == {0, 1, 2, 3}
+
+    expect = sorted(
+        r.event_id
+        for r in spark.read.parquet(src).select("event_id").collect()
+    )
+    got = _committed_event_ids(spark, out)
+    assert len(got) == len(expect), (len(got), len(expect))  # no loss, no doubling
+    assert got == expect
