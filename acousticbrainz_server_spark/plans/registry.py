@@ -101,65 +101,66 @@ def _load_all() -> None:
 # sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
 # session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
 # r7-new; r8 the 12 stale + r8 touches/new + oldest rotation; r9 the
-# r9 touches/new + all r2/r3 rows + first 19 r4 rows (50/50 green every
-# round).
+# r9 touches/new + all r2/r3 rows + first 19 r4 rows; r10 the r10
+# touches/new + last 25 r4 + first 16 r5 (50/50 green every round).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- new in r10 --
-    "skew_join_adaptive",
-    "skew_join_planned",
-    "streaming_watermark_audit_rocksdb",
-    "streaming_dedup_within_watermark",
+    # -- new in r11 --
+    "streaming_state_timetravel",
+    "streaming_state_changefeed",
+    "streaming_observe_metrics",
+    "streaming_python_sink_rollup",
+    # -- r11 plan touches (void the r10 greens) --
+    # pid-tagged introspection checkpoint base; part-file fsync in the
+    # incremental-corpus state swap; pydatasource.py gained the stream
+    # writer (same module as the read-side pair)
     "streaming_state_introspection",
-    # -- r10 plan touches (void the r9 greens) --
-    "idle_customer_balance",
     "streaming_incremental_corpus",
-    # the r9-verdict-#2 bimodality fix (bounded Python-runner fan-out)
-    # touched both codec kernels' source partitioning; both r7-vintage
-    "wav_decode_features",
-    "pgm_decode_features",
-    # -- rotation: the LAST 25 r4-vintage rows (backlog empties here) --
-    "ingest_validation",
-    "job_queue_state",
-    "json_path_projection",
-    "left_join_keep_unmatched",
-    "map_collect_per_key",
-    "ordered_lookup",
-    "pairwise_angular_distance",
-    "recent_topk_offset",
-    "resume_cursor",
-    "similarity_vectors",
-    "slugify_names",
-    "streaming_daily_counts",
-    "streaming_dedup_distinct",
-    "streaming_enrich_dim",
-    "streaming_interval_join",
-    "streaming_offsets_stateful",
-    "streaming_sessionize",
-    "tag_whitelist_rewrite",
-    "timestamp_functions",
-    "train_test_split",
-    "uuid_normalize",
-    "value_histogram",
-    "vector_zscore",
-    "winnow_fingerprint",
-    "zorder_index_key",
-    # -- the alphabetically-first 16 of the 44 r5-vintage rows --
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_pq_topk",
-    "ann_pq_adc_topk",
-    "binary_payload_stats",
-    "bloom_semi_join",
-    "bpe_pair_merge",
-    "challenge_leaderboard",
-    "column_profile",
-    "corpus_build_pipeline",
-    "corpus_mixture_report",
-    "cross_snapshot_dedup",
-    "cube_revenue",
-    "doc_length_buckets",
-    "dump_csv_features",
-    "dump_incremental_window",
-    "dump_json_shards",
+    "streaming_python_source_rollup",
+    "python_datasource_scan",
+    # -- rotation: ALL 28 remaining r5-vintage rows (floor reaches r6) --
+    "dump_tsv_roundtrip",
+    "embedding_kmeans_assign",
+    "eval_confusion_matrix",
+    "event_range_join",
+    "feedback_accuracy",
+    "frequent_items_sketch",
+    "gap_fill_forward",
+    "gopher_repetition_filter",
+    "ingest_pipeline_composed",
+    "ivf_recall_eval",
+    "kl_source_drift",
+    "minhash_fingerprint",
+    "minhash_lsh_neardup",
+    "mixture_resample",
+    "neardup_cluster_assign",
+    "ngram_jaccard_neardup",
+    "orc_roundtrip",
+    "pagerank_copurchase",
+    "partitioned_write_prune",
+    "quality_percentile_filter",
+    "rolling_active_users",
+    "scd2_value_history",
+    "semdedup_prune",
+    "streaming_sliding_counts",
+    "streaming_upsert_foreachbatch",
+    "unigram_logprob_quality",
+    "user_api_key_lookup",
+    "weighted_sample_topk",
+    # -- the alphabetically-first 14 of the 39 r6-vintage rows --
+    "abc_analysis",
+    "anomaly_zscore_days",
+    "arrow_vector_norms",
+    "attribution_last_touch",
+    "audience_overlap",
+    "band_join_boundaries",
+    "behavior_bitmap_segments",
+    "class_centroids",
+    "conversion_wilson_ci",
+    "cuped_adjusted_metric",
+    "decile_lift_table",
+    "event_analytics_pipeline",
+    "ewma_daily_value",
+    "frequent_itemsets_fpgrowth",
 )
 
 

@@ -888,3 +888,147 @@ def test_python_stream_sink_kill_resume(spark, tmp_path, fail_point):
     got = _committed_event_ids(spark, out)
     assert len(got) == len(expect), (len(got), len(expect))  # no loss, no doubling
     assert got == expect
+
+
+# --------------------------------------------------------------------------------------
+# r11: stream-stream JOIN state restart on RocksDB (join-state analog of the r10
+# aggregation-state proof)
+# --------------------------------------------------------------------------------------
+
+
+def _ij_build_src(spark, tmp_path) -> str:
+    """4-file mtime-ordered events backlog (batch k = event_id%4==k) WITH the
+    ts column, so a purchase and its attributable click usually land in
+    DIFFERENT micro-batches — the cross-batch buffering that makes join
+    state genuinely load-bearing across the kill."""
+    import shutil
+    import time
+
+    from acousticbrainz_server_spark.sources.tables import load_table
+
+    src = str(tmp_path / "ijsrc")
+    os.makedirs(src)
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    now = time.time()
+    for k in range(4):
+        tmp = str(tmp_path / f"ijtmp{k}")
+        ev.filter(F.col("event_id") % 4 == k).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+        dst = os.path.join(src, f"f{k}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (now - 100 + k * 10, now - 100 + k * 10))
+    return src
+
+
+def _ij_joined(spark, src: str):
+    schema = spark.read.parquet(os.path.join(src, "f0.parquet")).schema
+
+    def side(evt: str, id_alias: str, user_alias: str, ts_alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "f*.parquet")
+            .parquet(src)
+            .filter(F.col("event_type") == evt)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+        )
+
+    # the mod-4 split is NOT time-ordered, so the watermark must exceed the
+    # whole data span — otherwise batch 0 advances it to near-max and later
+    # batches' older rows are dropped as late before they can match.  The
+    # subject here is join-STATE recovery, not late-data policy (that
+    # contract is certified by the watermark audits); an effectively-inert
+    # watermark keeps every pair buffered, maximizing the cross-batch state
+    # the kill must preserve.
+    purchases = side("purchase", "purchase_id", "p_user", "p_ts").withWatermark(
+        "p_ts", "4000 hours"
+    )
+    clicks = side("click", "click_id", "c_user", "c_ts").withWatermark(
+        "c_ts", "4000 hours"
+    )
+    return purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - interval 24 hours AND p_ts"),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+@pytest.mark.parametrize("changelog", [False, True], ids=["snapshot", "changelog"])
+def test_interval_join_restart_rocksdb(spark, tmp_path, changelog):
+    """JOIN-state restart certification on RocksDB (r10 covered aggregation
+    state; this is the two-sided symmetric-hash-join state, a different
+    state layout: per-side keyToNumValues/keyWithIndexToValue stores).
+    Kill the stream-stream interval join mid-backlog on a pinned
+    checkpoint, resume, and the union of appended outputs must equal the
+    one-shot run on the default provider — every match emitted exactly
+    once ACROSS the restart, under both RocksDB commit modes."""
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _ROCKSDB_PROVIDER,
+        _STATE_PROVIDER_CONF,
+        _stream_state_partitions,
+    )
+
+    _CHANGELOG_CONF = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    src = _ij_build_src(spark, tmp_path)
+
+    def run(ckpt_dir: str, rows_out: list, kill_at: int | None = None) -> None:
+        joined = _ij_joined(spark, src)
+
+        def sink(batch_df, batch_id):
+            if kill_at is not None and batch_id == kill_at:
+                raise RuntimeError("deterministic mid-backlog kill (test)")
+            rows_out.extend(map(tuple, batch_df.collect()))
+
+        with _stream_state_partitions(spark):
+            q = (
+                joined.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(180)
+            except Exception:
+                pass
+            assert not q.isActive
+
+    # one-shot truth on the DEFAULT (HDFSBacked) provider
+    oneshot: list = []
+    run(str(tmp_path / "ckpt_hdfs"), oneshot)
+    assert len(oneshot) > 0  # the backlog yields real attributions
+
+    saved = spark.conf.get(_STATE_PROVIDER_CONF, None)
+    saved_cl = spark.conf.get(_CHANGELOG_CONF, None)
+    spark.conf.set(_STATE_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_CONF, "true" if changelog else "false")
+    try:
+        ckpt = str(tmp_path / "ckpt_rocks")  # PINNED across kill + resume
+        part1: list = []
+        part2: list = []
+        run(ckpt, part1, kill_at=2)
+        run(ckpt, part2)
+    finally:
+        if saved is None:
+            spark.conf.unset(_STATE_PROVIDER_CONF)
+        else:
+            spark.conf.set(_STATE_PROVIDER_CONF, saved)
+        if saved_cl is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, saved_cl)
+
+    assert sorted(part1 + part2) == sorted(oneshot)  # backend-independent, exactly-once
+    assert len(part2) > 0  # the resumed run really advanced the join state
+    assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
