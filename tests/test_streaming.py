@@ -1032,3 +1032,110 @@ def test_interval_join_restart_rocksdb(spark, tmp_path, changelog):
     assert sorted(part1 + part2) == sorted(oneshot)  # backend-independent, exactly-once
     assert len(part2) > 0  # the resumed run really advanced the join state
     assert sorted(part1) != sorted(oneshot)  # run 1 really stopped early
+
+
+# --------------------------------------------------------------------------------------
+# r11: watermark drop TELEMETRY — granularity + row-conservation contract
+# --------------------------------------------------------------------------------------
+
+
+def test_watermark_drop_telemetry_granularity_and_conservation(spark, tmp_path):
+    """Certifies what numRowsDroppedByWatermark actually counts — a fact the
+    docs leave open and an alerting rule would get wrong: the metric counts
+    POST-PARTIAL-AGGREGATION rows dropped at the state operator (distinct
+    late (window, key) combos per upstream partition), NOT late input rows.
+    On the audit backlog batch f2 carries 77 late input rows across 57
+    distinct late (day, event_type) windows in one scan partition — the
+    progress reports 57.  Late enforcement uses the k-2 watermark (the same
+    scheduling fact the update-mode audit oracle encodes, Spark 4.1.2):
+    batch f1 drops nothing even though 60+ of its keys are late under the
+    DISPLAYED batch-1 watermark.
+
+    And the row-level books must still balance — the conservation law ties
+    three independent surfaces together: every input row is exactly one of
+    emitted (append sink), retained (checkpoint state read back via the
+    State Data Source), or late-dropped (derived from the data + the k-2
+    enforced watermark).  This is the audit a production stream's
+    monitoring actually needs: telemetry for alerting, statestore for the
+    balance check."""
+    import datetime
+    import uuid
+
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _WMA_DELAY_US,
+        _stream_state_partitions,
+        _wma_build_src,
+        _wma_windowed_stream,
+    )
+
+    _, src = _wma_build_src(spark, "/root/testdata/sf0.001")
+    agg = _wma_windowed_stream(spark, src)
+    ckpt = str(tmp_path / "ckpt")
+    sink = f"wm_telemetry_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    telemetry = {}
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        for so in d.get("stateOperators") or []:
+            telemetry[int(d["batchId"])] = so.get("numRowsDroppedByWatermark") or 0
+
+    # derive per-batch late sets from the data under the k-2 enforced
+    # watermark: batch k enforces max(event time over batches <= k-2) - delay
+    delay = datetime.timedelta(microseconds=_WMA_DELAY_US)
+    files = ["f0", "f1", "f2", "f3"]
+    batch_rows = [
+        spark.read.parquet(os.path.join(src, f + ".parquet"))
+        .select("ts", "event_type")
+        .collect()
+        for f in files
+    ]
+    running_max: list = []  # running_max[k] = max event time over batches 0..k
+    for k, rows in enumerate(batch_rows):
+        mx = max(r.ts for r in rows)
+        running_max.append(mx if not running_max else max(mx, running_max[-1]))
+
+    total_late_rows = 0
+    for k, rows in enumerate(batch_rows):
+        wm = (running_max[k - 2] - delay) if k >= 2 else None
+        late_rows = 0
+        late_keys = set()
+        if wm is not None:
+            for r in rows:
+                window_end = datetime.datetime.combine(
+                    r.ts.date() + datetime.timedelta(days=1), datetime.time()
+                )
+                if window_end <= wm:
+                    late_rows += 1
+                    late_keys.add((r.ts.date(), r.event_type))
+        total_late_rows += late_rows
+        assert telemetry.get(k, 0) == len(late_keys), (k, telemetry, len(late_keys))
+        if k == 2:
+            # the granularity distinction must be REAL on this backlog:
+            # more late input rows than late keys, telemetry counts keys
+            assert late_rows > len(late_keys) > 0, (late_rows, len(late_keys))
+
+    # conservation: emitted + retained-in-state + late-dropped == input
+    emitted = spark.table(sink).agg(F.sum("n_events")).collect()[0][0]
+    retained = (
+        spark.read.format("statestore")
+        .load(ckpt)
+        .agg(F.sum("value.count"))
+        .collect()[0][0]
+    )
+    total = sum(len(rows) for rows in batch_rows)
+    assert emitted + (retained or 0) + total_late_rows == total, (
+        emitted,
+        retained,
+        total_late_rows,
+        total,
+    )
