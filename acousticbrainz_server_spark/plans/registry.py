@@ -107,6 +107,7 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     # -- new in r11 --
     "streaming_state_timetravel",
     "streaming_state_changefeed",
+    "streaming_state_join_introspection",
     "streaming_observe_metrics",
     "streaming_python_sink_rollup",
     # -- r11 plan touches (void the r10 greens) --
@@ -160,7 +161,6 @@ DRIVER_ORDER_HEAD: tuple[str, ...] = (
     "decile_lift_table",
     "event_analytics_pipeline",
     "ewma_daily_value",
-    "frequent_itemsets_fpgrowth",
 )
 
 

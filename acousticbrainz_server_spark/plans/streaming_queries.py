@@ -1626,3 +1626,93 @@ def streaming_python_sink_rollup_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("event_id").alias("last_id"),
         round_half_up(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_state_join_introspection",
+    family="§2.11,J1",
+    doc="State Data Source on JOIN state: after running the stream-stream "
+    "purchase<-click interval join to completion, read BOTH sides' buffered "
+    "state back via format('statestore').option('joinSide', 'left'/'right') "
+    "— the per-side keyWithIndexToValue stores exposed as DataFrames with "
+    "the full buffered row in `value`.  The join runs with a deliberately "
+    "inert watermark (4000h > the data span) so NOTHING is evicted and the "
+    "expected buffer is exact: every purchase on the left, every click on "
+    "the right — the oracle is that UNION.  The hash match proves the "
+    "introspection surface covers the join-state layout too (the r10/r11 "
+    "aggregation-state reads are a different store format).  Production "
+    "joins run tight watermarks (streaming_interval_join certifies "
+    "eviction); at 100 TB this read is how an operator audits exactly "
+    "which rows a stuck join is holding, per side, without touching the "
+    "job.  Spark 4.1.2.",
+    oracle="""
+        SELECT 'left' AS side, event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'right' AS side, event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+        FROM events WHERE event_type = 'click'
+    """,
+)
+def streaming_state_join_introspection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    purchases = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "4000 hours")
+    )
+    clicks = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "4000 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("p_user = c_user AND c_ts BETWEEN p_ts - interval 24 hours AND p_ts"),
+        "inner",
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), f"abspark_join_introspect_{os.getpid()}"
+    )
+    if os.path.isdir(base):  # clean only within this pid's tag
+        for stale in os.listdir(base):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    ckpt = os.path.join(base, uuid.uuid4().hex[:12])
+    with _stream_state_partitions(spark):
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def side_df(side: str, idc: str, userc: str, tsc: str) -> DataFrame:
+        return (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(ckpt)
+            .select(
+                F.lit(side).alias("side"),
+                F.col(f"value.{idc}").alias("event_id"),
+                F.col(f"value.{userc}").alias("user_id"),
+                F.unix_micros(F.col(f"value.{tsc}")).alias("ts_us"),
+            )
+        )
+
+    return side_df("left", "purchase_id", "p_user", "p_ts").unionByName(
+        side_df("right", "click_id", "c_user", "c_ts")
+    )
