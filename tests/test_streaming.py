@@ -1139,3 +1139,114 @@ def test_watermark_drop_telemetry_granularity_and_conservation(spark, tmp_path):
         total_late_rows,
         total,
     )
+
+
+# --------------------------------------------------------------------------------------
+# r11: State Data Source reads against RocksDB checkpoints (reader-path matrix)
+# --------------------------------------------------------------------------------------
+
+
+def test_statestore_reads_on_rocksdb(spark, tmp_path):
+    """The r11 read surface (snapshot / batchId time-travel / change feed)
+    certified against ROCKSDB checkpoints — a different reader path than
+    the HDFSBacked gates (RocksDBStateStoreChangeDataReader vs the HDFS
+    delta replay).  Contract matrix established empirically on 4.1.2:
+
+    - changelog-checkpointing mode: ALL THREE reads work (the change feed
+      replays the per-batch .changelog files);
+    - full-snapshot mode: snapshot and batchId reads work, but
+      readChangeFeed FAILS (no .changelog files exist to replay) — the
+      documented operational trade: changelog mode is what buys CDC-style
+      state auditability.
+
+    (snapshotStartBatchId reconstruction is NOT certified here: it reads
+    maintenance-written .snapshot files, whose existence depends on the
+    background maintenance interval and minDeltasForSnapshot — timing no
+    correctness test should depend on.)"""
+    import collections
+
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _ROCKSDB_PROVIDER,
+        _STATE_PROVIDER_CONF,
+        _stream_state_partitions,
+        _ttb_build_src,
+        _ttb_stream,
+    )
+
+    _CHANGELOG_CONF = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    _, src = _ttb_build_src(spark, "/root/testdata/sf0.001")
+
+    # batch-derived truth from the mod-4 predicate
+    rows = spark.read.parquet(src).select("event_id", "event_type").collect()
+    delta = collections.Counter()  # (batch, event_type) -> rows
+    for r in rows:
+        delta[(r.event_id % 4, r.event_type)] += 1
+    full = collections.Counter()
+    prefix1 = collections.Counter()
+    for (b, et), n in delta.items():
+        full[et] += n
+        if b <= 1:
+            prefix1[et] += n
+
+    def run(ckpt: str, changelog: bool, sink: str):
+        agg = (
+            _ttb_stream(spark, src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        spark.conf.set(_STATE_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+        spark.conf.set(_CHANGELOG_CONF, "true" if changelog else "false")
+        try:
+            with _stream_state_partitions(spark):
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(sink)
+                    .outputMode("update")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+        finally:
+            spark.conf.unset(_STATE_PROVIDER_CONF)
+            spark.conf.unset(_CHANGELOG_CONF)
+
+    def snapshot_counts(ckpt: str, batch_id: int | None = None) -> dict:
+        rd = spark.read.format("statestore")
+        if batch_id is not None:
+            rd = rd.option("batchId", batch_id)
+        return {
+            r["key"]["event_type"]: r["value"]["count"]
+            for r in rd.load(ckpt).collect()
+        }
+
+    for changelog in (True, False):
+        ckpt = str(tmp_path / f"ckpt_{'cl' if changelog else 'snap'}")
+        run(ckpt, changelog, f"rocks_reads_{'cl' if changelog else 'snap'}")
+        assert snapshot_counts(ckpt) == dict(full)
+        assert snapshot_counts(ckpt, batch_id=1) == dict(prefix1)
+        cf_read = (
+            spark.read.format("statestore")
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", 0)
+            .load(ckpt)
+        )
+        if changelog:
+            feed = {
+                (r["batch_id"], r["key"]["event_type"]): (
+                    r["change_type"],
+                    r["value"]["count"],
+                )
+                for r in cf_read.collect()
+            }
+            # cumulative counts at every (batch, key-touched-in-batch)
+            expect = {}
+            for (b, et), _n in delta.items():
+                cum = sum(n for (b2, e2), n in delta.items() if e2 == et and b2 <= b)
+                expect[(b, et)] = ("update", cum)
+            assert feed == expect
+        else:
+            with pytest.raises(Exception, match="CANNOT_LOAD_STATE_STORE|does not exist"):
+                cf_read.count()
