@@ -1159,10 +1159,10 @@ def test_statestore_reads_on_rocksdb(spark, tmp_path):
       documented operational trade: changelog mode is what buys CDC-style
       state auditability.
 
-    (snapshotStartBatchId reconstruction is NOT certified here: it reads
-    maintenance-written .snapshot files, whose existence depends on the
-    background maintenance interval and minDeltasForSnapshot — timing no
-    correctness test should depend on.)"""
+    (snapshotStartBatchId reconstruction is certified separately on the
+    HDFS provider by test_statestore_snapshot_start_batch_read, which
+    forces deterministic snapshot files via minDeltasForSnapshot=1 and
+    skips if the async maintenance thread never fires.)"""
     import collections
 
     from acousticbrainz_server_spark.plans.streaming_queries import (
@@ -1250,3 +1250,106 @@ def test_statestore_reads_on_rocksdb(spark, tmp_path):
         else:
             with pytest.raises(Exception, match="CANNOT_LOAD_STATE_STORE|does not exist"):
                 cf_read.count()
+
+
+def test_statestore_snapshot_start_batch_read(spark, tmp_path):
+    """Completes the State Data Source surface: snapshotStartBatchId +
+    snapshotPartitionId reconstruct ONE partition's state starting from a
+    chosen maintenance-written snapshot file and replaying the later
+    deltas — the partition-surgery read for diagnosing a corrupt store.
+    Snapshot files are written by the ASYNC maintenance thread (normally
+    every minDeltasForSnapshot=10 deltas, so a 4-batch test never gets
+    one), and maintenance only runs WHILE the query is active — an
+    availableNow run usually terminates before the thread ever fires.
+    So: minDeltasForSnapshot=1, a 300ms maintenance interval, and a
+    processingTime trigger that keeps the drained query alive while the
+    test polls for the snapshot file, stopping it only afterwards; skip
+    rather than flake if nothing appears.  Certified: reconstruction
+    from the OLDEST snapshot (replaying all later deltas) equals the
+    plain latest read of the same partition."""
+    import glob
+    import time
+    import uuid
+
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _stream_state_partitions,
+        _ttb_build_src,
+        _ttb_stream,
+    )
+
+    _, src = _ttb_build_src(spark, "/root/testdata/sf0.001")
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        _ttb_stream(spark, src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "300ms")
+    try:
+        with _stream_state_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(f"snap_read_{uuid.uuid4().hex[:8]}")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+            try:
+                # keep the query ACTIVE (providers stay loaded, maintenance
+                # keeps firing): first wait for the whole 1000-row backlog
+                # to drain, THEN for a maintenance snapshot to land
+                deadline = time.time() + 60
+                drained = False
+                while time.time() < deadline and not drained:
+                    fed = sum(
+                        (p if isinstance(p, dict) else json.loads(p.json))[
+                            "numInputRows"
+                        ]
+                        for p in q.recentProgress
+                    )
+                    drained = fed >= 1000
+                    if not drained:
+                        time.sleep(0.3)
+                snaps: list = []
+                while time.time() < deadline and not snaps:
+                    snaps = glob.glob(
+                        os.path.join(ckpt, "state", "0", "0", "*.snapshot")
+                    )
+                    if not snaps:
+                        time.sleep(0.5)
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.minDeltasForSnapshot")
+        spark.conf.unset("spark.sql.streaming.stateStore.maintenanceInterval")
+    # the backlog must have drained before the stop for the comparison to
+    # be against the full-input state
+    done = {
+        r["key"]["event_type"]: r["value"]["count"]
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    if sum(done.values()) < 1000:
+        pytest.skip(f"backlog not fully drained before stop: {done}")
+    if not snaps:
+        pytest.skip("maintenance thread wrote no snapshot within 30s")
+
+    # snapshot version = batchId + 1; reconstruct from the OLDEST snapshot
+    # so later deltas genuinely replay on top of it
+    oldest_ver = min(int(os.path.basename(s).split(".")[0]) for s in snaps)
+    sp = (
+        spark.read.format("statestore")
+        .option("snapshotStartBatchId", oldest_ver - 1)
+        .option("snapshotPartitionId", 0)
+        .load(ckpt)
+    )
+    got = sorted((r["key"]["event_type"], r["value"]["count"]) for r in sp.collect())
+    latest = (
+        spark.read.format("statestore").load(ckpt).filter("partition_id = 0")
+    )
+    exp = sorted(
+        (r["key"]["event_type"], r["value"]["count"]) for r in latest.collect()
+    )
+    assert got == exp and len(got) > 0
