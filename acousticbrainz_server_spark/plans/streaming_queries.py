@@ -1304,14 +1304,28 @@ def _ttb_build_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     ``event_id % 4 == k``, so micro-batch k's content is a pure predicate a
     SQL oracle can reconstruct (``GROUP BY event_id % 4``) — the same trick
     ``_wma_build_src`` uses with mtime as the stream order.  Idempotent per
-    (sf_dir, pid)."""
+    (sf_dir, pid, source-content fingerprint) — the fingerprint (mtime+size
+    of every file under the events table path) keys the cache tag, so a
+    regenerated testdata dir or a recycled pid hitting a surviving /tmp
+    rebuilds instead of silently feeding stale batches (ADVICE r11)."""
     import hashlib
     import os
     import shutil
     import tempfile
     import time as _time
 
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:8]
+    ev_path = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    fp = hashlib.md5()
+    if os.path.isdir(ev_path):
+        for name in sorted(os.listdir(ev_path)):
+            st = os.stat(os.path.join(ev_path, name))
+            fp.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    elif os.path.exists(ev_path):
+        st = os.stat(ev_path)
+        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{os.getpid()}:{fp.hexdigest()}".encode()
+    ).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), "abspark_ttbatch", tag)
     src_dir = os.path.join(base, "src")
     if not os.path.exists(os.path.join(src_dir, "_DONE")):

@@ -24,6 +24,68 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+_SCRATCH_TTL_SEC = 6 * 3600
+_reaped = False
+
+
+def reap_scratch(ttl_sec: int = _SCRATCH_TTL_SEC) -> list[str]:
+    """Reap orphaned ``abspark_*`` scratch under the system temp dir (r11
+    verdict #5: ~35 dead-pid tags had accumulated across rounds).  Two
+    classes, both safe-by-construction:
+
+    - ``abspark_<name>_<pid>`` directories whose pid is DEAD (pid-keyed
+      scratch is only ever touched by its owner, so a dead owner means the
+      tree is garbage);
+    - tag-keyed cache subdirs (``abspark_ttbatch/<md5>``,
+      ``abspark_sink_strikes/<md5>``, ...) older than ``ttl_sec`` — their
+      builders are idempotent behind ``_DONE``/marker guards, so a reaped
+      tag is rebuilt on next use, never corrupted.
+
+    Top-level non-pid dirs themselves (``abspark_bucketed`` etc.) are
+    persistent caches and are left alone.  Returns the removed paths."""
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    removed: list[str] = []
+    tmp = tempfile.gettempdir()
+    now = time.time()
+    try:
+        entries = [e for e in os.listdir(tmp) if e.startswith("abspark_")]
+    except OSError:
+        return removed
+    for e in entries:
+        path = os.path.join(tmp, e)
+        if not os.path.isdir(path):
+            continue
+        m = re.match(r".*_(\d+)$", e)
+        if m:
+            pid = int(m.group(1))
+            if pid != os.getpid():
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+                except OSError:
+                    pass
+            continue
+        # tag-keyed cache: reap only STALE subdirs, keep the parent
+        try:
+            subs = os.listdir(path)
+        except OSError:
+            continue
+        for s in subs:
+            sp = os.path.join(path, s)
+            try:
+                if os.path.isdir(sp) and now - os.stat(sp).st_mtime > ttl_sec:
+                    shutil.rmtree(sp, ignore_errors=True)
+                    removed.append(sp)
+            except OSError:
+                pass
+    return removed
+
 
 def get_spark(
     app_name: str = "acousticbrainz_server_spark",
@@ -32,6 +94,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the SparkSession with engine defaults."""
+    global _reaped
+    if not _reaped:
+        _reaped = True
+        reap_scratch()
     # Parallelism belongs to Spark, not to BLAS: numpy kernels inside Pandas
     # UDFs already run in one Python worker per core — letting OpenBLAS spawn
     # its own thread pool per worker oversubscribes cores ~32x (measured 6x

@@ -269,6 +269,12 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
     ``fail_at_batch`` raises inside ``commit()`` for that batch exactly
     once (a marker file records the strike); ``fail_point`` selects the
     crash side — ``before_manifest`` (default) or ``after_manifest``.
+    Strike markers live OUTSIDE the data directory, under a tmp-area tag
+    keyed by the sink path (``abspark_sink_strikes/<md5(path)>``), so the
+    committed output directory only ever contains parts + manifests —
+    external consumers listing it never see test debris, and the tag is
+    reaped by the same dead-pid TTL sweep as every other ``abspark_*``
+    scratch area.
 
     Deployment constraint: same shared-filesystem assumption as
     JsonLinesWriter (driver renames executor-written temps).
@@ -282,6 +288,19 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
         fab = options.get("fail_at_batch")
         self.fail_at_batch = int(fab) if fab is not None else None
         self.fail_point = options.get("fail_point", "before_manifest")
+
+    def _strike_path(self, batch_id: int) -> str:
+        """One-shot fail-injection marker for ``batch_id`` — kept under a
+        tmp-area tag keyed by the sink path, NOT in the data directory, so
+        the sink's output stays parts + manifests only (ADVICE r11)."""
+        import hashlib
+        import os
+        import tempfile
+
+        tag = hashlib.md5(os.path.abspath(self.path).encode()).hexdigest()[:12]
+        d = os.path.join(tempfile.gettempdir(), "abspark_sink_strikes", tag)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"strike-{batch_id}")
 
     def write(self, iterator):
         import json
@@ -315,7 +334,7 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
             self.abort(messages, batchId)
             return
         if self.fail_at_batch == batchId and self.fail_point == "before_manifest":
-            strike = os.path.join(self.path, f"_strike-{batchId}")
+            strike = self._strike_path(batchId)
             if not os.path.exists(strike):
                 open(strike, "w").write("struck\n")
                 raise RuntimeError(f"injected commit failure before manifest, batch {batchId}")
@@ -345,7 +364,7 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
         finally:
             os.close(dfd)
         if self.fail_at_batch == batchId and self.fail_point == "after_manifest":
-            strike = os.path.join(self.path, f"_strike-{batchId}")
+            strike = self._strike_path(batchId)
             if not os.path.exists(strike):
                 open(strike, "w").write("struck\n")
                 raise RuntimeError(f"injected commit failure after manifest, batch {batchId}")
