@@ -1730,3 +1730,141 @@ def streaming_state_join_introspection_q(spark: SparkSession, sf_dir: str) -> Da
     return side_df("left", "purchase_id", "p_user", "p_ts").unionByName(
         side_df("right", "click_id", "c_user", "c_ts")
     )
+
+
+_JCF_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+@query(
+    "streaming_join_state_changefeed",
+    family="§2.11,J1",
+    doc="CHANGE FEED on JOIN state (r11 verdict #4, composing r11's two "
+    "certifications): run the purchase<-click stream-stream join over the "
+    "4-batch mod-4 backlog on changelog-mode RocksDB, then read each "
+    "side's keyWithIndexToValue store via option('storeName', "
+    "'<side>-keyWithIndexToValue').option('readChangeFeed', true) — "
+    "joinSide+readChangeFeed is rejected as STDS_CONFLICT_OPTIONS, the "
+    "per-store name is the supported spelling (probed, Spark 4.1.2).  The "
+    "feed shows one 'update' per state write: a row buffered UNMATCHED at "
+    "its arrival batch, plus a single matched=true write at the batch the "
+    "row first found a partner.  The oracle reconstructs both from the "
+    "mod-4 predicate, INCLUDING the within-batch processing order the "
+    "feed exposes: the left input is joined against the right side's "
+    "PRE-BATCH state (a purchase arrives unmatched unless a same-user "
+    "click exists in a STRICTLY earlier batch), while the right input "
+    "sees the left state with this batch's purchases already inserted "
+    "(a click arrives matched if a purchase exists in an earlier-OR-EQUAL "
+    "batch) — the asymmetry is the left-first execution order of "
+    "StreamingSymmetricHashJoin, observable only through this feed.  An "
+    "inert 4000h watermark keeps eviction out of the picture ('update' "
+    "rows only), as streaming_state_join_introspection certifies the "
+    "snapshot side.  At 100 TB this is the per-batch audit of what a "
+    "stream-stream join buffered and when each buffered row first "
+    "matched — the CDC view of join state no snapshot diff can give.  "
+    "The ts axis is synthetic (timestamp_micros(event_id)) so the "
+    "interval condition reduces to user equality and stays "
+    "SQL-reconstructable.",
+    oracle="""
+        WITH p AS (
+          SELECT event_id, user_id, CAST(event_id % 4 AS INT) AS b
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT event_id, user_id, CAST(event_id % 4 AS INT) AS b
+          FROM events WHERE event_type = 'click'
+        ),
+        pmin AS (SELECT user_id, min(b) AS mb FROM p GROUP BY user_id),
+        cmin AS (SELECT user_id, min(b) AS mb FROM c GROUP BY user_id)
+        SELECT 'left' AS side, CAST(p.b AS INT) AS batch_id, 'update' AS change_type,
+               p.event_id, p.user_id, FALSE AS matched
+        FROM p LEFT JOIN cmin ON cmin.user_id = p.user_id
+        WHERE cmin.mb IS NULL OR cmin.mb >= p.b
+        UNION ALL
+        SELECT 'left', CAST(GREATEST(p.b, cmin.mb) AS INT), 'update',
+               p.event_id, p.user_id, TRUE
+        FROM p JOIN cmin ON cmin.user_id = p.user_id
+        UNION ALL
+        SELECT 'right', CAST(c.b AS INT), 'update', c.event_id, c.user_id, FALSE
+        FROM c LEFT JOIN pmin ON pmin.user_id = c.user_id
+        WHERE pmin.mb IS NULL OR pmin.mb > c.b
+        UNION ALL
+        SELECT 'right', CAST(GREATEST(c.b, pmin.mb) AS INT), 'update',
+               c.event_id, c.user_id, TRUE
+        FROM c JOIN pmin ON pmin.user_id = c.user_id
+    """,
+)
+def streaming_join_state_changefeed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base, src_dir = _ttb_build_src(spark, sf_dir)
+    for stale in os.listdir(base):
+        if stale.startswith("ckpt-jcf-"):
+            shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    ckpt = os.path.join(base, f"ckpt-jcf-{uuid.uuid4().hex[:8]}")
+
+    def side_stream(et: str, idc: str, userc: str, tsc: str) -> DataFrame:
+        return (
+            _ttb_stream(spark, src_dir)
+            .filter(F.col("event_type") == et)
+            .select(
+                F.col("event_id").alias(idc),
+                F.col("user_id").alias(userc),
+                F.timestamp_micros(F.col("event_id")).alias(tsc),
+            )
+            .withWatermark(tsc, "4000 hours")
+        )
+
+    joined = side_stream("purchase", "purchase_id", "p_user", "p_ts").join(
+        side_stream("click", "click_id", "c_user", "c_ts"),
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - interval 1 hour AND p_ts + interval 1 hour"
+        ),
+        "inner",
+    )
+    saved_prov = spark.conf.get(_STATE_PROVIDER_CONF, None)
+    saved_clog = spark.conf.get(_JCF_CHANGELOG_CONF, None)
+    spark.conf.set(_STATE_PROVIDER_CONF, _ROCKSDB_PROVIDER)
+    spark.conf.set(_JCF_CHANGELOG_CONF, "true")
+    try:
+        with _stream_state_partitions(spark):
+            q = (
+                joined.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        for conf, saved in ((_STATE_PROVIDER_CONF, saved_prov),
+                            (_JCF_CHANGELOG_CONF, saved_clog)):
+            if saved is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, saved)
+
+    def side_feed(side: str, idc: str, userc: str) -> DataFrame:
+        return (
+            spark.read.format("statestore")
+            .option("storeName", f"{side}-keyWithIndexToValue")
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", 0)
+            .load(ckpt)
+            .select(
+                F.lit(side).alias("side"),
+                F.col("batch_id").cast("int").alias("batch_id"),
+                F.col("change_type"),
+                F.col(f"value.{idc}").alias("event_id"),
+                F.col(f"value.{userc}").alias("user_id"),
+                F.col("value.matched").alias("matched"),
+            )
+        )
+
+    return side_feed("left", "purchase_id", "p_user").unionByName(
+        side_feed("right", "click_id", "c_user")
+    )
