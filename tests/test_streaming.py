@@ -1353,3 +1353,101 @@ def test_statestore_snapshot_start_batch_read(spark, tmp_path):
         (r["key"]["event_type"], r["value"]["count"]) for r in latest.collect()
     )
     assert got == exp and len(got) > 0
+
+
+def test_stateful_restart_pins_checkpoint_shuffle_partitions(spark, tmp_path):
+    """r11 verdict #3: state is keyed by partition id, so a stateful
+    restart MUST keep the checkpoint's state partitioning even when the
+    session's spark.sql.shuffle.partitions differs — this test turns the
+    implicit invariant behind _stream_state_partitions into an explicit
+    certification.  Protocol: run the windowed aggregation with the pinned
+    8 state partitions, kill mid-backlog, then RESUME under session
+    shuffle.partitions=3.  Spark's contract (certified here, 4.1.2): the
+    checkpoint's offset-log conf WINS silently — no error, no reshuffle of
+    state; the resumed batches still run 8 state partitions (observable in
+    StreamingQueryProgress.stateOperators[].numShufflePartitions and in the
+    on-disk state layout), and the union of outputs stays exact.  A
+    mismatch therefore CANNOT corrupt state by mis-keying partitions; the
+    only way to change state partitioning is an offline state rebuild
+    (read via the statestore source, re-write under a new checkpoint)."""
+    import json
+
+    from acousticbrainz_server_spark.plans.streaming_queries import (
+        _STREAM_STATE_PARTITIONS,
+        _stream_state_partitions,
+        _wma_build_src,
+        _wma_windowed_stream,
+    )
+
+    _, src_dir = _wma_build_src(spark, "/root/testdata/sf0.001")
+    progresses: list = []
+
+    def run(ckpt_dir: str, rows_out: list, kill_at: int | None = None) -> None:
+        agg = _wma_windowed_stream(spark, src_dir)
+
+        def sink(batch_df, batch_id):
+            if kill_at is not None and batch_id == kill_at:
+                raise RuntimeError("deterministic mid-backlog kill (test)")
+            rows_out.extend(map(tuple, batch_df.collect()))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        except Exception:
+            pass
+        assert not q.isActive
+        progresses.extend(q.recentProgress)
+
+    # one-shot truth at the pinned 8 partitions
+    oneshot: list = []
+    with _stream_state_partitions(spark):
+        run(str(tmp_path / "ckpt_oneshot"), oneshot)
+    assert len(oneshot) > 0
+
+    ckpt = str(tmp_path / "ckpt_pinned")
+    part1: list = []
+    part2: list = []
+    with _stream_state_partitions(spark):
+        run(ckpt, part1, kill_at=2)
+
+    # RESUME under a DIFFERENT session shuffle-partition count
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    progresses.clear()
+    try:
+        run(ckpt, part2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    # exactness across the restart despite the conf mismatch
+    assert sorted(part1 + part2) == sorted(oneshot)
+    assert len(part2) > 0
+
+    # the resumed batches really ran the CHECKPOINT's partitioning, not the
+    # session's: every progress reports 8 state-store shuffle partitions
+    n_parts = {
+        op["numShufflePartitions"]
+        for p in progresses
+        for op in json.loads(p.json)["stateOperators"]
+    }
+    assert n_parts == {_STREAM_STATE_PARTITIONS}, n_parts
+
+    # and the on-disk state layout still has exactly the 8 partition dirs
+    state_parts = sorted(
+        int(d) for d in os.listdir(os.path.join(ckpt, "state", "0")) if d.isdigit()
+    )
+    assert state_parts == list(range(_STREAM_STATE_PARTITIONS)), state_parts
+
+    # the pinning mechanism is visible in the checkpoint itself: the offset
+    # log records the conf the query was STARTED with
+    off_files = sorted(os.listdir(os.path.join(ckpt, "offsets")))
+    with open(os.path.join(ckpt, "offsets", off_files[-1])) as f:
+        lines = f.read().splitlines()
+    conf = json.loads(lines[1])["conf"]
+    assert conf["spark.sql.shuffle.partitions"] == str(_STREAM_STATE_PARTITIONS)
