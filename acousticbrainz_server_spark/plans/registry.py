@@ -76,91 +76,88 @@ def _load_all() -> None:
 # green the packed-lane rewrite voids).  Names absent from this list keep
 # registration order after it; names listed but not registered are ignored.
 #
-# ROUND-10 WINDOW (r9 verdict #1 — the rotation that EMPTIES the backlog).
+# ROUND-12 WINDOW (r11 verdict #1 — empty the r6 backlog, floor to r7).
 # Composition, per the standing doctrine (new + plan touches first, then
 # the oldest currently-valid greens, vintages computed from the
-# CORRECTNESS_r1-r9 union, never from a verdict's stated floor):
-# (a) new in r10: skew_join_adaptive (the AQE-skew-certified default-key
-#     join, r9 verdict #5);
-# (b) r10 plan touches (a touch voids the older green):
-#     idle_customer_balance (the above-average gate moved to the exact
-#     integer cross-multiplication, ADVICE r9), and
-#     streaming_incremental_corpus (the MERGE's rename pair is now made
-#     durable by an explicit parent-directory fsync, ADVICE r9, and the
-#     merge fn grew the on_batch_applied hook the deterministic-kill
-#     restart test uses);
-#     wav_decode_features rides here too: the r10 bimodality diagnosis
-#     (r9 verdict #2) may touch its kernel — listed regardless, a fresh
-#     row on an r7-vintage query costs nothing;
-# (c) the LAST 25 r4-vintage rows (ingest_validation .. zorder_index_key
-#     from the union) — after this window ZERO r4 rows remain and the
-#     registry floor reaches r5 for the first time;
-# (d) the alphabetically-first 16 of the 44 r5-vintage rows
-#     (ann_ivf_kmeans_topk .. dump_json_shards).
+# CORRECTNESS_r1-r11 union, never from a verdict's stated floor):
+# (a) new in r12: streaming_join_state_changefeed (change feed over the
+#     stream-stream join's keyWithIndexToValue stores, r11 verdict #4);
+# (b) r12 plan touches (a touch voids the older green): the four queries
+#     sharing _ttb_build_src — its cache tag now fingerprints the source
+#     table's mtime+size (ADVICE r11), a rebuild-trigger change on the
+#     backlog all four read — plus the two pydatasource.py read-side
+#     queries (same module as the stream writer whose fail-injection
+#     strike markers moved out of the sink data directory, ADVICE r11).
+#     session.py gained the dead-pid scratch reaper; it runs before any
+#     query and deletes only dirs no live process owns, so it is gated by
+#     the full dual-SF oracle sweep rather than window rotation.
+# (c) ALL 25 remaining r6-vintage rows (frequent_itemsets_fpgrowth ..
+#     unpivot_wide_metrics from the union) — after this window ZERO r6
+#     rows remain and the registry floor reaches r7;
+# (d) the alphabetically-first 18 of the 43 r7-vintage rows
+#     (ab_welch_ttest .. link_prediction_adamic_adar).
 # History: r1-r2 relational/vector core; r3 extensions; r4 re-checks +
 # sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
 # session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
 # r7-new; r8 the 12 stale + r8 touches/new + oldest rotation; r9 the
 # r9 touches/new + all r2/r3 rows + first 19 r4 rows; r10 the r10
-# touches/new + last 25 r4 + first 16 r5 (50/50 green every round).
+# touches/new + last 25 r4 + first 16 r5; r11 the 5 r11-new + 4 touches
+# + last 28 r5 + first 13 r6 (50/50 green every round).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- new in r11 --
+    # -- new in r12 --
+    "streaming_join_state_changefeed",
+    # -- r12 plan touches (void the r11 greens) --
     "streaming_state_timetravel",
     "streaming_state_changefeed",
-    "streaming_state_join_introspection",
     "streaming_observe_metrics",
     "streaming_python_sink_rollup",
-    # -- r11 plan touches (void the r10 greens) --
-    # pid-tagged introspection checkpoint base; part-file fsync in the
-    # incremental-corpus state swap; pydatasource.py gained the stream
-    # writer (same module as the read-side pair)
-    "streaming_state_introspection",
-    "streaming_incremental_corpus",
-    "streaming_python_source_rollup",
     "python_datasource_scan",
-    # -- rotation: ALL 28 remaining r5-vintage rows (floor reaches r6) --
-    "dump_tsv_roundtrip",
-    "embedding_kmeans_assign",
-    "eval_confusion_matrix",
-    "event_range_join",
-    "feedback_accuracy",
-    "frequent_items_sketch",
-    "gap_fill_forward",
-    "gopher_repetition_filter",
-    "ingest_pipeline_composed",
-    "ivf_recall_eval",
-    "kl_source_drift",
-    "minhash_fingerprint",
-    "minhash_lsh_neardup",
-    "mixture_resample",
-    "neardup_cluster_assign",
-    "ngram_jaccard_neardup",
-    "orc_roundtrip",
-    "pagerank_copurchase",
-    "partitioned_write_prune",
-    "quality_percentile_filter",
-    "rolling_active_users",
-    "scd2_value_history",
-    "semdedup_prune",
-    "streaming_sliding_counts",
-    "streaming_upsert_foreachbatch",
-    "unigram_logprob_quality",
-    "user_api_key_lookup",
-    "weighted_sample_topk",
-    # -- the alphabetically-first 14 of the 39 r6-vintage rows --
-    "abc_analysis",
-    "anomaly_zscore_days",
-    "arrow_vector_norms",
-    "attribution_last_touch",
-    "audience_overlap",
-    "band_join_boundaries",
-    "behavior_bitmap_segments",
-    "class_centroids",
-    "conversion_wilson_ci",
-    "cuped_adjusted_metric",
-    "decile_lift_table",
-    "event_analytics_pipeline",
-    "ewma_daily_value",
+    "streaming_python_source_rollup",
+    # -- rotation: ALL 25 remaining r6-vintage rows (floor reaches r7) --
+    "frequent_itemsets_fpgrowth",
+    "geomean_grouped_udaf",
+    "global_rank_twopass",
+    "grouping_sets_report",
+    "inverted_index_postings",
+    "kaplan_meier_conversion",
+    "markov_transitions",
+    "model_auc_mannwhitney",
+    "numeric_corr_matrix",
+    "quantile_normalize_source",
+    "range_frame_revenue",
+    "reciprocal_best_match",
+    "regression_value_drift",
+    "robust_stats_outliers",
+    "schema_evolution_merge",
+    "sequence_pattern_match",
+    "session_path_topk",
+    "set_ops_audience",
+    "skyline_pareto",
+    "snapshot_diff",
+    "source_keyness_llr",
+    "sql_udf_revenue",
+    "streaming_interval_join_left",
+    "table_checksum",
+    "unpivot_wide_metrics",
+    # -- the alphabetically-first 18 of the 43 r7-vintage rows --
+    "ab_welch_ttest",
+    "benford_digit_profile",
+    "bitmap_distinct_rollup",
+    "brand_quantity_revenue",
+    "cdc_chunk_dedup",
+    "chisquare_independence",
+    "countmin_heavy_counts",
+    "customer_order_distribution",
+    "dormant_rich_customers",
+    "dump_archive_roundtrip",
+    "forecast_revenue_change",
+    "fuzzy_name_match_report",
+    "hll_partition_merge",
+    "incremental_agg_merge",
+    "interval_merge_spans",
+    "kmv_distinct_union",
+    "large_order_customers",
+    "link_prediction_adamic_adar",
 )
 
 
