@@ -163,8 +163,26 @@ def main() -> None:
 
     _load_all()
 
-    # legacy Spark-only draws (no paired duck window)
-    legacy: list[dict] = [json.load(open(f)) for f in bench_files]
+    # legacy Spark-only draws (no paired duck window).  Two shapes are
+    # accepted: raw bench.py stdout JSON ({"queries": ...}), and the
+    # driver's BENCH_r*.json wrapper ({"parsed": <raw or null>, "tail":
+    # <possibly-truncated stdout>}) — a wrapper whose tail was truncated
+    # past parseability carries no per-query data and is a loud error,
+    # not a silent skip.
+    legacy: list[dict] = []
+    for f in bench_files:
+        b = json.load(open(f))
+        if "queries" not in b and "parsed" in b:
+            if b["parsed"] is None:
+                raise SystemExit(
+                    f"--bench {f}: driver wrapper with parsed=null (stdout "
+                    "tail truncated) — no per-query timings to merge; pass "
+                    "a raw bench.py output file instead"
+                )
+            b = b["parsed"]
+        if "queries" not in b:
+            raise SystemExit(f"--bench {f}: no 'queries' field — not a bench draw")
+        legacy.append(b)
     # fresh paired draws — at least one if no legacy input was given
     pairs: list[dict] = []
     for _ in range(max(draws, 0 if legacy else 1)):
