@@ -63,10 +63,19 @@ def connected_components(
         edge_dst=(edges, dst_col),
     )
     # no distinct(): duplicate edges are harmless under the min-aggregate
-    # (and the near-dup pair sources already dedup), so skip that shuffle
+    # (and the near-dup pair sources already dedup), so skip that shuffle.
+    #
+    # hash-partition by the per-round join key ONCE at cache time (guide
+    # §2.4, remove shuffles outright): the cached relation's partitioning is
+    # visible to the planner, so every round's edges ⋈ labels join reuses it
+    # and only the O(|V|) label vector is exchanged — the O(|E|) relation
+    # never reshuffles after this one exchange.  Width = the session's
+    # shuffle partitioning (scale-adaptive; the join requires the counts to
+    # match for the exchange to be elided).
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .repartition("a")
         .cache()
     )
     # only vertices that HAVE edges iterate; isolated vertices (the vast
@@ -79,26 +88,39 @@ def connected_components(
     # O(2^iters) analysis blow-up.  The checkpoint materializes one
     # (vertex, label) pair per edge-touched node and makes every round's
     # plan constant-size.  (Cluster deployments would use a reliable
-    # checkpoint dir to also survive executor loss.)
+    # checkpoint dir to also survive executor loss.)  eager=False
+    # throughout (r12): the fixpoint-test aggregate below is the action
+    # that materializes each checkpoint — one job per round, not two.
+    #
+    # init label(v) = min(v, min Γ(v)): the first hook's least() computed in
+    # the same aggregate that enumerates the vertex set — one materialized
+    # round saved vs label(v) = v (measured: 6 -> 5 rounds at the sf0.1
+    # near-dup graph).  Any init that is a member id of v's own component
+    # and >= the component min converges to the identical fixpoint.
     labels = (
-        sym.select(F.col("a").alias("v")).distinct().withColumn("lbl", F.col("v").cast("long"))
-    ).localCheckpoint(eager=True)
+        sym.groupBy(F.col("a").alias("v"))
+        .agg(F.least(F.col("v"), F.min("b")).cast("long").alias("lbl"))
+    ).localCheckpoint(eager=False)
+
     def _hook_and_jump(lab):
-        # hook: take the min label over the neighbourhood
-        nbr_min = (
+        # hook: min label over {self} ∪ neighbourhood, as ONE union+aggregate
+        # (r12; replaces the groupBy + left-join pair — same semantics:
+        # min(own, min over in-neighbours), one join fewer per round).  The
+        # (b, lbl) stream partially aggregates map-side, so the exchange
+        # carries ~|V| rows, not |E|.
+        relab = (
             sym.join(lab, sym["a"] == lab["v"])
-            .groupBy(F.col("b").alias("v2"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        hooked = lab.join(nbr_min, lab["v"] == nbr_min["v2"], "left").select(
-            "v", F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl")
+            .select(F.col("b").alias("v"), "lbl")
+            .unionByName(lab.select("v", "lbl"))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
         )
         # pointer jump: v -> lbl(lbl(v)).  Every label is itself a vertex of
         # the subgraph (it is the min id seen so far), so the self-join
         # shortcuts label chains — path-shaped components converge in
         # O(log diameter) materialized rounds instead of O(diameter).
-        return hooked.join(
-            hooked.select(F.col("v").alias("lbl"), F.col("lbl").alias("lbl2")),
+        return relab.join(
+            relab.select(F.col("v").alias("lbl"), F.col("lbl").alias("lbl2")),
             "lbl",
             "left",
         ).select("v", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
@@ -107,11 +129,12 @@ def connected_components(
     converged = False
     for _ in range(max_iter):
         # one hook+jump per materialized round: composing extra steps per
-        # checkpoint was measured 2-5x SLOWER warm (the composed join tree
-        # pays superlinear analysis/codegen per round and the pointer jump
-        # already collapses label chains), so the round count stays
-        # O(log diameter) with the cheapest possible per-round plan
-        new_labels = _hook_and_jump(labels).localCheckpoint(eager=True)
+        # checkpoint was measured 2-5x SLOWER warm in r11 AND re-confirmed
+        # r12 on the leaner round shape (steps-per-ckpt=2: 8-9 s vs 3-4 s —
+        # the composed join tree pays superlinear analysis/codegen and the
+        # pointer jump already collapses label chains), so the round count
+        # stays O(log diameter) with the cheapest possible per-round plan
+        new_labels = _hook_and_jump(labels).localCheckpoint(eager=False)
         # labels only ever decrease (least of own + neighbour min), so the
         # fixpoint test is "sum unchanged" — one scan of the checkpointed
         # relation, no self-join
