@@ -32,11 +32,13 @@ import contextlib
 # start; every stateful operator then opens one state-store instance per
 # partition per micro-batch, and with trivial per-partition data that fixed
 # cost dominates (measured at sf0.1: the stream-stream interval join drops
-# 5.7-7.9 s -> ~2.7 s going 32 -> 8 partitions).  On an unbounded production
-# stream this would be sized to the cluster (and AQE does not apply to
-# stateful stages), so the knob lives HERE, scoped to the job, not in the
-# session defaults.
-_STREAM_STATE_PARTITIONS = 8
+# 5.7-7.9 s -> ~2.7 s going 32 -> 8 partitions; r12 re-measured the whole
+# 22-query family interleaved at 8 vs 4 vs 2 — 4 wins on every query,
+# family min-total 60.3 -> 49.9 s, and 2 loses it back (49.5 vs 51.5) as
+# parallelism bottoms out).  On an unbounded production stream this would
+# be sized to the cluster (and AQE does not apply to stateful stages), so
+# the knob lives HERE, scoped to the job, not in the session defaults.
+_STREAM_STATE_PARTITIONS = 4
 
 
 @contextlib.contextmanager

@@ -1430,7 +1430,7 @@ def test_stateful_restart_pins_checkpoint_shuffle_partitions(spark, tmp_path):
     assert len(part2) > 0
 
     # the resumed batches really ran the CHECKPOINT's partitioning, not the
-    # session's: every progress reports 8 state-store shuffle partitions
+    # session's: every progress reports _STREAM_STATE_PARTITIONS state partitions
     n_parts = {
         op["numShufflePartitions"]
         for p in progresses
