@@ -80,7 +80,19 @@ def pagerank(
     # decorate each edge with its source's out-degree ONCE; iterations reuse
     # it.  (pr/outdeg stays a division, NOT a precomputed 1/outdeg multiply:
     # the oracle divides, and the two differ by double rounding.)
-    ed = edges.join(deg, src).localCheckpoint(eager=False)
+    #
+    # r12 (guide §2.4): in the symmetric case the decorated edge relation is
+    # hash-partitioned by ``dst`` and cached — cached partitioning is planner-
+    # visible, hash(dst) satisfies the contribution aggregate's clustering,
+    # and the 0.0 seed union is unnecessary (both directions present ⇒ every
+    # node has an in-edge; dropping a +0.0 term is IEEE-exact), so every
+    # iteration is a broadcast join + in-place aggregation, zero exchanges.
+    # The non-symmetric path keeps the union seed (nodes without in-edges
+    # must still appear), whose concatenation discards partitioning anyway.
+    if symmetric:
+        ed = edges.join(deg, src).repartition(F.col(dst)).cache()
+    else:
+        ed = edges.join(deg, src).localCheckpoint(eager=False)
     ranks = nodes.withColumn("pr", F.lit(1.0))
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
@@ -91,11 +103,12 @@ def pagerank(
         # seed every node with a 0.0 contribution instead of left-joining the
         # node list afterwards: one shuffle per iteration, no second join
         # (x + 0.0 == x in IEEE754, so the seed never perturbs the sum)
-        total = (
-            contrib.unionByName(nodes.select("node", F.lit(0.0).alias("c")))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
+        seeded = (
+            contrib
+            if symmetric
+            else contrib.unionByName(nodes.select("node", F.lit(0.0).alias("c")))
         )
+        total = seeded.groupBy("node").agg(F.sum("c").alias("contrib"))
         if has_dangling:
             # rank sitting on nodes with no out-edges is spread uniformly
             # (1-row aggregate cross-joined, not collected)
@@ -131,7 +144,18 @@ def label_propagation(
     list never reshuffles, the O(|V|) label vector broadcasts each round
     (or co-partitions when past the broadcast budget), and localCheckpoint
     keeps the per-round plan constant-size.
+
+    r12 (guide §2.4, remove shuffles outright): the edge relation is
+    hash-partitioned by ``dst`` and cached ONCE — a cached plan's
+    partitioning is visible to the planner (localCheckpoint's LogicalRDD
+    is not), and hash(dst) satisfies the clustering of BOTH per-round
+    aggregates (``(dst, label)`` and ``dst``), so every round runs with
+    zero exchanges: broadcast join + in-place aggregation over the cached
+    partitions.  Interleaved A/B at sf0.1: 4.0-6.9 s -> 3.1-3.3 s.  The
+    cache lives until the caller's action (the rounds are lazy
+    checkpoints); gate/bench harnesses clear caches between queries.
     """
+    edges = edges.repartition(F.col(dst)).cache()
     labels = edges.select(F.col(src).alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=False)

@@ -120,6 +120,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner choose shuffled-hash join when its size conditions
+        # hold instead of always preferring sort-merge (optimization guide
+        # §3.1): the per-partition hash build skips both sort passes.  This
+        # is planner-gated by build-side size (not a forced hint), so joins
+        # whose build side cannot fit per-partition still take sort-merge.
+        # r12 interleaved A/B over the 35 heaviest batch queries: total
+        # min-over-trials 85.4 -> 78.3 s, 14 queries >10% faster (graph edge
+        # builders, dedup shingle joins, ANN probes), none reproducibly
+        # slower on re-test.  Scale note: same setting a 100 TB deployment
+        # wants — SMJ remains the fallback wherever estimates say a
+        # partition's build side is large.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
