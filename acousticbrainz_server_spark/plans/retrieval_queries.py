@@ -401,8 +401,15 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", F.col("vec_id").alias("cid"), round_half_up(cosine(F.col("v"), F.col("qv")), 4).alias("rel"))
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
-    shortlist = rel.withColumn("rn", F.row_number().over(wq)).filter(
-        F.col("rn") <= _MMR_SHORTLIST
+    # shortlist feeds FIVE consumers (sv, s1, and the c2/c3 candidate sets)
+    # and sims three; without materialization each reference re-runs the
+    # brute-force cosine scan + rank window (r12: the executed plan carried
+    # 94 Exchanges).  Both relations are O(queries x shortlist) rows —
+    # materialize once, lazily (the first consumer's action fills them).
+    shortlist = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _MMR_SHORTLIST)
+        .localCheckpoint(eager=False)
     )
 
     sv = shortlist.join(v, shortlist.cid == v.vec_id).select("qid", "cid", "rel", "v")
@@ -415,6 +422,7 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.cid").alias("j"),
             round_half_up(cosine(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
         )
+        .localCheckpoint(eager=False)
     )
 
     s1 = shortlist.filter(F.col("rn") == 1).select(
