@@ -125,26 +125,32 @@ def connected_components(
             "left",
         ).select("v", F.coalesce(F.col("lbl2"), F.col("lbl")).alias("lbl"))
 
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     converged = False
-    for _ in range(max_iter):
-        # one hook+jump per materialized round: composing extra steps per
-        # checkpoint was measured 2-5x SLOWER warm in r11 AND re-confirmed
-        # r12 on the leaner round shape (steps-per-ckpt=2: 8-9 s vs 3-4 s —
-        # the composed join tree pays superlinear analysis/codegen and the
-        # pointer jump already collapses label chains), so the round count
-        # stays O(log diameter) with the cheapest possible per-round plan
-        new_labels = _hook_and_jump(labels).localCheckpoint(eager=False)
-        # labels only ever decrease (least of own + neighbour min), so the
-        # fixpoint test is "sum unchanged" — one scan of the checkpointed
-        # relation, no self-join
-        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
-    sym.unpersist()
+    try:
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(max_iter):
+            # one hook+jump per materialized round: composing extra steps per
+            # checkpoint was measured 2-5x SLOWER warm in r11 AND re-confirmed
+            # r12 on the leaner round shape (steps-per-ckpt=2: 8-9 s vs 3-4 s —
+            # the composed join tree pays superlinear analysis/codegen and the
+            # pointer jump already collapses label chains), so the round count
+            # stays O(log diameter) with the cheapest possible per-round plan
+            new_labels = _hook_and_jump(labels).localCheckpoint(eager=False)
+            # labels only ever decrease (least of own + neighbour min), so the
+            # fixpoint test is "sum unchanged" — one scan of the checkpointed
+            # relation, no self-join
+            new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        # every per-round action materialized the lazy checkpoints, so the
+        # labels relation no longer references the cache; unpersisting in
+        # finally means a raising per-round action cannot leak the cached
+        # symmetrized edge relation for the session lifetime (r12 ADVICE)
+        sym.unpersist()
     if not converged:
         # partially-converged labels are WRONG labels — never return them
         # silently.  A diameter > max_iter graph is exactly what the

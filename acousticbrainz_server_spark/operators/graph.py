@@ -50,12 +50,27 @@ def pagerank(
     correction term is exactly 0.0 and the formula reduces to the plain
     update, so an oracle over such a graph can omit the term.
 
-    ``symmetric=True`` declares that every node appears as a source (true by
-    construction for any graph built with both edge directions): the node set
-    is then the out-degree keys and no dangling mass can exist, which skips
-    one distinct over the full edge list and the dangling probe — measured,
-    the one-time setup is the bulk of the wall clock (iterations are ~0.1 s
-    each at 1.2M edges), so trimming setup jobs matters more than the loop.
+    ``symmetric=True`` declares that BOTH directions of every edge are
+    present — every node appears as a source AND as a destination.  That is
+    true by construction for any graph built by symmetrizing an undirected
+    edge list, and it is the full contract: the node set is taken from the
+    out-degree keys (skipping one distinct over the full edge list), no
+    dangling mass can exist (skipping the probe), and the per-iteration
+    0.0-contribution seed is dropped because every node is guaranteed an
+    in-edge.  A graph where some node has out-edges but no in-edges does
+    NOT satisfy the contract: that node would silently vanish from the
+    result along with its rank mass — pass ``symmetric=False`` for such
+    graphs.  Measured, the one-time setup is the bulk of the wall clock
+    (iterations are ~0.1 s each at 1.2M edges), so trimming setup jobs
+    matters more than the loop.
+
+    Caching contract (r12): with ``symmetric=True`` the decorated O(|E|)
+    edge relation is hash-partitioned and ``cache()``d so every iteration
+    reuses its partitioning with zero exchanges; the returned DataFrame is
+    a lazy-checkpoint chain over that cache, so the cache must outlive the
+    caller's action.  Long-lived sessions composing many graph calls should
+    ``spark.catalog.clearCache()`` between them (the bench/gate harnesses
+    do).
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint(eager=False)
     if symmetric:

