@@ -50,11 +50,20 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    dedupe_edges: bool = False,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable via edges.
 
     ``nodes``: one row per vertex.  ``edges``: undirected pairs (either
     orientation).  Isolated vertices keep their own id as component.
+
+    ``dedupe_edges=True`` dedups the symmetrized edge relation INSIDE the
+    exchange this function already pays (r13): hash(a) partitioning
+    satisfies the (a, b) clustering a distinct needs, so the dedup
+    aggregate runs in place with zero extra shuffles.  Pair producers that
+    would otherwise pay their own dedup shuffle (near-dup banding joins
+    emit a hamming<=3 pair once per agreeing band) should pass their raw
+    stream here instead — one whole shuffle stage less end-to-end.
     """
     _require_integral_ids(
         "connected_components",
@@ -62,8 +71,17 @@ def connected_components(
         edge_src=(edges, src_col),
         edge_dst=(edges, dst_col),
     )
-    # no distinct(): duplicate edges are harmless under the min-aggregate
-    # (and the near-dup pair sources already dedup), so skip that shuffle.
+    # duplicate edges are harmless under the min-aggregate, so there is no
+    # UNCONDITIONAL distinct(); callers with a cheap pre-deduped relation
+    # skip it, callers with multiplicity fold it into the exchange below.
+    #
+    # symmetrize with ONE pass (explode of both orientations), not a
+    # self-union: a union reads the edge subtree twice, and when the caller
+    # hands a non-materialized pipeline (e.g. the banding join with its
+    # dedup deferred here) each branch would re-execute the whole producer —
+    # measured r13: the unioned raw-pairs variant was ~25% SLOWER than
+    # paying a separate dedup shuffle, entirely from that double execution.
+    # The explode runs the producer once and doubles rows in place.
     #
     # hash-partition by the per-round join key ONCE at cache time (guide
     # §2.4, remove shuffles outright): the cached relation's partitioning is
@@ -73,11 +91,25 @@ def connected_components(
     # shuffle partitioning (scale-adaptive; the join requires the counts to
     # match for the exchange to be elided).
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src_col).alias("a"), F.col(dst_col).alias("b")),
+                    F.struct(F.col(dst_col).alias("a"), F.col(src_col).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .repartition("a")
-        .cache()
     )
+    if dedupe_edges:
+        # zero-exchange dedup: HashPartitioning(a) satisfies
+        # ClusteredDistribution([a, b]) (partition keys ⊆ grouping keys), so
+        # this plans as one in-place aggregate over the repartition output —
+        # the cached relation is multiplicity-free and keeps hash(a)
+        # partitioning (aggregates preserve their child's partitioning)
+        sym = sym.dropDuplicates(["a", "b"])
+    sym = sym.cache()
     # only vertices that HAVE edges iterate; isolated vertices (the vast
     # majority of any near-dup graph) are singleton components by definition
     # and rejoin at the end — the fixpoint loop runs on the edge-touched
@@ -291,15 +323,23 @@ def neardup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    dedupe_edges: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) from near-dup candidate pairs.
 
     ``cluster_id`` = min doc_id in the connected component; singletons get
     their own id with size 1.  Downstream dedup keeps ``doc_id ==
-    cluster_id`` rows as canonicals.
+    cluster_id`` rows as canonicals.  ``dedupe_edges=True`` accepts a raw
+    pair stream with multiplicity (e.g. banding joins with ``dedupe=False``)
+    and folds the dedup into the component loop's own exchange.
     """
     comp = connected_components(
-        docs.select(id_col), pairs, id_col=id_col, src_col="doc_a", dst_col="doc_b"
+        docs.select(id_col),
+        pairs,
+        id_col=id_col,
+        src_col="doc_a",
+        dst_col="doc_b",
+        dedupe_edges=dedupe_edges,
     )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -234,11 +234,16 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..dedup.simhash import simhash_neardup_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    # deduped pairs: the component loop joins the edge relation EVERY round,
-    # so paying one dedup shuffle of the (tiny) surviving-pair stream beats
-    # carrying ~1.8x edge multiplicity through every iteration
-    pairs = simhash_neardup_pairs(d, max_hamming=3, portable=True)
-    return neardup_clusters(d, pairs, id_col="doc_id")
+    # raw (multiplicity ~1.8x) pairs, deduped INSIDE the component loop's own
+    # repartition("a") exchange (dedupe_edges=True — hash(a) satisfies the
+    # (a,b) clustering, so the distinct is in-place).  The real r13 win is in
+    # connected_components' symmetrization: explode of both orientations runs
+    # the banding-join pipeline ONCE, where the r12 union re-executed the
+    # whole post-exchange join+filter+dedup per branch (plan pair:
+    # plans/r13/neardup_pairs_sym_{before,after}.txt, 24 -> 14 plan nodes;
+    # interleaved A/B min 7.56 -> 7.06 s, new shape won 4/5 trials)
+    pairs = simhash_neardup_pairs(d, max_hamming=3, portable=True, dedupe=False)
+    return neardup_clusters(d, pairs, id_col="doc_id", dedupe_edges=True)
 
 
 # --------------------------------------------------------------------------------------
