@@ -149,9 +149,22 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 def char_shingle_stream(docs, id_col: str, text_col: str, k: int = 5):
     """(doc, s) shingle stream WITHOUT dedup — for min-aggregations (MinHash),
-    where duplicates don't change the result.  explode(sequence)+substring
-    stays in whole-stage codegen, unlike transform/array_distinct (interpreted
-    higher-order functions).
+    where duplicates don't change the result.
+
+    Formulation (r13): the per-doc shingle ARRAY is built in ONE expression —
+    split the text into chars once, bind that array as a lambda variable
+    (``transform(array(chars), cs -> ...)``), emit shingle i as a concat of k
+    O(1) ``element_at`` lookups — and exploded.  The former
+    explode(sequence)+``substring(_t, _i, k)`` re-located char offset ``_i``
+    by scanning bytes from the string start (UTF8String char indexing), i.e.
+    O(i) per shingle = O(L²) per doc; this is O(L·k), measured 1.3-1.4x
+    faster at sf0.1 on the 8-hash signature pipeline (TEXTAB.json) with
+    byte-identical output.  The obvious alternative — projecting the char
+    array in a column BELOW the explode — is a trap: whole-stage codegen
+    defers the projected expression into the per-output-row consume, so the
+    split re-executes per position (measured 18-58x SLOWER).  Binding it as
+    a lambda variable inside the generator's own input expression is what
+    forces one evaluation per doc.
 
     The source is fanned out first when it arrives narrow
     (``repartition_if_narrow``): a compact parquet file is ONE input split,
@@ -159,11 +172,18 @@ def char_shingle_stream(docs, id_col: str, text_col: str, k: int = 5):
     single core (explode fan-out inherits the input partitioning).
     """
     docs = repartition_if_narrow(docs)
+    parts = ", ".join(f"element_at(cs, least(_i + {j}, size(cs)))" for j in range(k))
+    # the least() clamp keeps element_at in-bounds while the CASE picks the
+    # branch: docs shorter than k take substring's truncation semantics
+    shingle_arr = (
+        f"element_at(transform(array(split(_t, '')), "
+        f"cs -> transform(sequence(1, greatest(size(cs) - {k - 1}, 1)), "
+        f"_i -> CASE WHEN size(cs) >= {k} THEN concat({parts}) "
+        f"ELSE substring(_t, 1, {k}) END)), 1)"
+    )
     return docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(text_col).alias("_t"),
-        F.explode(F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))).alias("_i"),
-    ).select("doc", F.expr(f"substring(_t, _i, {k})").alias("s"))
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+    ).select("doc", F.explode(F.expr(shingle_arr)).alias("s"))
 
 
 def word_ngrams(text: Column, n: int) -> Column:

@@ -741,8 +741,9 @@ def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental corpus sync use CDC.  Here: an 8-char polynomial window
 # hash, boundary when h % DIV == 0, chunks hashed with md5 and counted
 # corpus-wide; the report is per-source chunk-level duplication.
-# Scale shape: the position explode is ONE codegen stage off the scan
-# (bounded 8 ascii+substr terms per position); chunk reassembly is a
+# Scale shape: boundary positions are computed per doc in ONE O(L)
+# expression (char-code array bound as a lambda variable, 8 O(1) lookups
+# per position) and exploded off the scan; chunk reassembly is a
 # per-doc window (partitioned by doc_id); the only corpus-wide shuffle
 # is the chunk-hash count — 16-byte keys, map-side combined.
 # Determinism: integer polynomial hash, md5 hex, integer counts; the one
@@ -753,13 +754,31 @@ _CDC_P = 2147483647
 _CDC_DIV = 32  # boundary divisor -> ~32-char mean chunks on this corpus
 
 
-def _cdc_hash_spark(text, i):
-    h = F.lit(0).cast("long")
-    for j in range(_CDC_W):
-        h = h + F.ascii(F.substr(text, i + F.lit(j), F.lit(1))).cast("long") * F.lit(
-            31 ** (_CDC_W - 1 - j)
-        )
-    return h % F.lit(_CDC_P)
+def _cdc_cuts_expr() -> str:
+    """Boundary-position ARRAY per doc, as ONE expression (r13).
+
+    The r12 shape evaluated 8 x ``ascii(substr(text, i+j, 1))`` per position;
+    UTF8String locates a char offset by scanning bytes from the string start,
+    so that is O(8·i) per position = O(L²) per doc.  Here the text is
+    decomposed once into a char-code array, bound as a lambda variable
+    (``transform(array(codes), cs -> ...)``), and the rolling hash reads 8
+    O(1) ``element_at`` lookups per position — O(L) per doc, measured 1.8x
+    faster end-to-end at sf0.1 (TEXTAB.json; byte-identical result, exact
+    char semantics, no ASCII assumption).  The whole decomposition must live
+    INSIDE the generator's input expression: projecting the codes array in a
+    column below the explode re-executes the split per generated row under
+    whole-stage codegen's deferred evaluation (measured 18-58x slower, OOM
+    at L=20k — see tools/text_ab.py header).
+    """
+    terms = " + ".join(
+        f"CAST(element_at(cs, i + {j}) AS BIGINT) * {31 ** (_CDC_W - 1 - j)}L"
+        for j in range(_CDC_W)
+    )
+    return (
+        "element_at(transform(array(transform(split(text, ''), c -> ascii(c))), "
+        f"cs -> filter(sequence(1, len - {_CDC_W - 1}), "
+        f"i -> (({terms}) % {_CDC_P}L) % {_CDC_DIV} = 0)), 1)"
+    )
 
 
 def _cdc_hash_sql(text: str, i: str) -> str:
@@ -824,14 +843,9 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text", F.length("text").alias("len")
     )
     long_docs = d.filter(F.col("len") >= _CDC_W)
-    pos = long_docs.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.col("len") - _CDC_W + 1)).alias("i"),
-    )
-    cuts = pos.filter(_cdc_hash_spark(F.col("text"), F.col("i")) % _CDC_DIV == 0).select(
-        "doc_id", "i"
-    )
+    # boundary positions computed per doc in one expression, then exploded —
+    # only the ~L/DIV surviving cuts leave the generator (see _cdc_cuts_expr)
+    cuts = long_docs.select("doc_id", F.explode(F.expr(_cdc_cuts_expr())).alias("i"))
     from pyspark.sql import Window
 
     wd = Window.partitionBy("doc_id").orderBy("i")

@@ -378,3 +378,78 @@ def test_semdedup_gemm_matches_brute_force_reference(spark, tmp_path):
             assert got[j]["kept"] is False and got[j]["max_prior_sim"] > 0.99
             caught += 1
     assert caught >= 2
+
+
+def test_char_shingle_stream_matches_substring_reference(spark):
+    """The r13 let-binding shingle build (split once, k element_at lookups per
+    position) must emit EXACTLY the multiset the former explode+substring
+    formulation emitted — including short docs (< k), exactly-k docs, empty
+    text, and multi-byte (non-ASCII) chars, where byte-offset shortcuts would
+    diverge from char semantics."""
+    from acousticbrainz_server_spark.functions.text import char_shingle_stream
+
+    rows = [
+        (1, "abcdefgh"),          # normal
+        (2, "abcd"),              # len < k: one truncated shingle
+        (3, "abcde"),             # len == k: exactly one shingle
+        (4, ""),                  # empty: one empty shingle
+        (5, "naïve café über"),   # multi-byte chars at interior positions
+        (6, "ααββγγδδεε"),        # fully non-ASCII
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc"], r["s"]) for r in char_shingle_stream(d, "doc_id", "text", 5).collect()
+    )
+    ref = sorted(
+        (r["doc"], r["s"])
+        for r in d.select(
+            F.col("doc_id").alias("doc"),
+            F.col("text").alias("_t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+            ).alias("_i"),
+        )
+        .select("doc", F.expr("substring(_t, _i, 5)").alias("s"))
+        .collect()
+    )
+    assert got == ref
+
+
+def test_cdc_cuts_expr_matches_per_position_hash(spark):
+    """The r13 one-expression boundary build (codes array bound as a lambda
+    variable, 8 O(1) lookups per position) must select EXACTLY the positions
+    the former 8 x ascii(substr(text, i+j, 1)) stream selected — char
+    semantics, multi-byte chars included."""
+    from acousticbrainz_server_spark.plans.dedup_queries import (
+        _CDC_DIV,
+        _CDC_P,
+        _CDC_W,
+        _cdc_cuts_expr,
+    )
+
+    rows = [(i, f"doc {i} " + "the quick brown fox jümps över the lazy dög " * 7)
+            for i in range(40)] + [(99, "exactly8")]
+    d = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select("doc_id", "text", F.length("text").alias("len"))
+        .filter(F.col("len") >= _CDC_W)
+    )
+    got = sorted(
+        (r["doc_id"], r["i"])
+        for r in d.select("doc_id", F.explode(F.expr(_cdc_cuts_expr())).alias("i")).collect()
+    )
+    h = F.lit(0).cast("long")
+    for j in range(_CDC_W):
+        h = h + F.ascii(F.substr(F.col("text"), F.col("i") + F.lit(j), F.lit(1))).cast(
+            "long"
+        ) * F.lit(31 ** (_CDC_W - 1 - j))
+    ref = sorted(
+        (r["doc_id"], r["i"])
+        for r in d.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(1), F.col("len") - _CDC_W + 1)).alias("i")
+        )
+        .filter(h % F.lit(_CDC_P) % _CDC_DIV == 0)
+        .select("doc_id", "i")
+        .collect()
+    )
+    assert got == ref and len(got) > 0

@@ -1,22 +1,27 @@
 """A/B the per-position substring formulations of the text kernels (r13).
 
-Hypothesis (guide §1 measure-first): Spark's UTF8String.substring locates a
-CHAR offset by scanning bytes from the string start, so a per-position
-``substr(text, i, k)`` stream costs O(i) per call = O(L^2) per document.
-Two candidates:
+Measured context (guide §1):
+- Spark's UTF8String.substring locates a CHAR offset by scanning bytes from
+  the string start, so per-position ``substr(text, i, k)`` streams cost O(i)
+  per call = O(L^2) per document.
+- The naive fix (project a codes array below the explode, element_at above
+  it) is a TRAP: whole-stage codegen defers the projected expression into
+  the per-generated-row consume, so split+transform re-executes per
+  position — measured 18x (L=2000) to 58x (L=8000) SLOWER than the
+  substring baseline, OOMing at L=20000 (tools/ probe, r13 round notes).
+Candidates that evaluate the decomposition ONCE per doc:
+  cdc "let":  bind the codes array as a lambda variable —
+              explode(element_at(transform(array(codes),
+                cs -> filter(sequence(1, len-7), i -> h(cs,i)%DIV=0)), 1))
+              — the generator input is one expression evaluated once per row.
+  cdc "win":  w = substring(text, i, 8) once per position (codegen CSE),
+              then 8 O(1) scans of the 8-char window.
+  shingle "let": same let-binding, shingle = concat of k element_at lookups,
+              posexplode of the per-doc shingle array.
 
-  cdc_chunk_dedup — the rolling hash evaluates 8 x ascii(substr(text,i+j,1))
-    per position (O(8*L^2) byte steps + 8 UTF8String allocs/position).
-    Candidate: decompose once per doc (split -> ascii codes array, one O(L)
-    pass), then 8 x O(1) element_at per position.  Exact char semantics —
-    no ASCII assumption.
-
-  char_shingle_stream (minhash family) — substr(text,i,k) per position.
-    Candidate: array_join(slice(chars,i,k),'') over the split array.
-
-Method: equality check first (sorted collect old vs new), then interleaved
+Method: equality gates first (collect old vs new), then interleaved
 min-over-N timed trials in ONE session, full-query toPandas (bench action).
-Run only on a quiet box; writes TEXTAB.json.
+Writes TEXTAB.json.
 """
 
 from __future__ import annotations
@@ -54,44 +59,60 @@ def _cdc_hash_substr(text, i):
     return h % F.lit(_CDC_P)
 
 
-def _cdc_hash_codes(codes, i):
-    h = F.lit(0).cast("long")
-    for j in range(_CDC_W):
-        h = h + F.element_at(codes, i + F.lit(j)).cast("long") * F.lit(
-            31 ** (_CDC_W - 1 - j)
-        )
-    return h % F.lit(_CDC_P)
-
-
-def _cdc_query(spark, sf_dir: str, use_codes: bool):
-    """Copy of the registered cdc_chunk_dedup with the cuts stage switchable."""
-    from pyspark.sql import Window
-
-    from acousticbrainz_server_spark.functions.math import round_half_up
-
-    d = repartition_if_narrow(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "source", "text", F.length("text").alias("len")
+def _cdc_cuts_sql_let() -> str:
+    """Boundary-position ARRAY per doc, codes bound once as a lambda var."""
+    terms = " + ".join(
+        f"CAST(element_at(cs, i + {j}) AS BIGINT) * {31 ** (_CDC_W - 1 - j)}L"
+        for j in range(_CDC_W)
     )
-    long_docs = d.filter(F.col("len") >= _CDC_W)
-    if use_codes:
-        codes = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
-        pos = long_docs.select(
-            "doc_id",
-            codes.alias("_codes"),
-            F.explode(F.sequence(F.lit(1), F.col("len") - _CDC_W + 1)).alias("i"),
+    return (
+        "element_at(transform(array(transform(split(text, ''), c -> ascii(c))), "
+        f"cs -> filter(sequence(1, len - {_CDC_W - 1}), "
+        f"i -> (({terms}) % {_CDC_P}L) % {_CDC_DIV} = 0)), 1)"
+    )
+
+
+def _cdc_cuts(long_docs, variant: str):
+    """(doc_id, i) boundary stream under the chosen formulation."""
+    if variant == "let":
+        return long_docs.select(
+            "doc_id", F.explode(F.expr(_cdc_cuts_sql_let())).alias("i")
         )
-        cuts = pos.filter(
-            _cdc_hash_codes(F.col("_codes"), F.col("i")) % _CDC_DIV == 0
-        ).select("doc_id", "i")
-    else:
+    if variant == "win":
         pos = long_docs.select(
             "doc_id",
             "text",
             F.explode(F.sequence(F.lit(1), F.col("len") - _CDC_W + 1)).alias("i"),
         )
-        cuts = pos.filter(
-            _cdc_hash_substr(F.col("text"), F.col("i")) % _CDC_DIV == 0
-        ).select("doc_id", "i")
+        w = F.substr(F.col("text"), F.col("i"), F.lit(_CDC_W))
+        h = F.lit(0).cast("long")
+        for j in range(_CDC_W):
+            h = h + F.ascii(F.substr(w, F.lit(j + 1), F.lit(1))).cast("long") * F.lit(
+                31 ** (_CDC_W - 1 - j)
+            )
+        return pos.filter(h % F.lit(_CDC_P) % _CDC_DIV == 0).select("doc_id", "i")
+    # baseline: the registered r12 shape
+    pos = long_docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.col("len") - _CDC_W + 1)).alias("i"),
+    )
+    return pos.filter(
+        _cdc_hash_substr(F.col("text"), F.col("i")) % _CDC_DIV == 0
+    ).select("doc_id", "i")
+
+
+def _cdc_query(spark, sf_dir: str, variant: str):
+    """Copy of registered cdc_chunk_dedup with the cuts stage switchable."""
+    from pyspark.sql import Window
+
+    from acousticbrainz_server_spark.functions.scalar import round_half_up
+
+    d = repartition_if_narrow(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text", F.length("text").alias("len")
+    )
+    long_docs = d.filter(F.col("len") >= _CDC_W)
+    cuts = _cdc_cuts(long_docs, variant)
     wd = Window.partitionBy("doc_id").orderBy("i")
     mid = cuts.select(
         "doc_id",
@@ -130,25 +151,38 @@ def _cdc_query(spark, sf_dir: str, use_codes: bool):
     )
 
 
-def _shingle_stream(docs, id_col, text_col, k, use_codes: bool):
+def _shingle_sql_let(k: int) -> str:
+    """Per-doc shingle ARRAY, chars bound once as a lambda variable."""
+    parts = ", ".join(f"element_at(cs, least(i + {j}, size(cs)))" for j in range(k))
+    # least() clamp only pads when len(text) < k (the sequence is 1..1 then);
+    # concat of repeated last chars differs from substring's truncation, so
+    # short docs fall back to substring(text, 1, k) — identical output.
+    return (
+        "element_at(transform(array(split(_t, '')), "
+        f"cs -> transform(sequence(1, greatest(size(cs) - {k - 1}, 1)), "
+        f"i -> CASE WHEN size(cs) >= {k} THEN concat({parts}) "
+        f"ELSE substring(_t, 1, {k}) END)), 1)"
+    )
+
+
+def _shingle_stream(docs, id_col, text_col, k, variant: str):
     docs = repartition_if_narrow(docs)
-    n = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
-    if use_codes:
+    if variant == "let":
         return docs.select(
-            F.col(id_col).alias("doc"),
-            F.split(F.col(text_col), "").alias("_c"),
-            F.explode(F.sequence(F.lit(1), n)).alias("_i"),
-        ).select("doc", F.array_join(F.slice("_c", F.col("_i"), k), "").alias("s"))
+            F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+        ).select("doc", F.explode(F.expr(_shingle_sql_let(k))).alias("s"))
     return docs.select(
         F.col(id_col).alias("doc"),
         F.col(text_col).alias("_t"),
-        F.explode(F.sequence(F.lit(1), n)).alias("_i"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+        ).alias("_i"),
     ).select("doc", F.expr(f"substring(_t, _i, {k})").alias("s"))
 
 
-def _sig_query(spark, sf_dir: str, use_codes: bool):
+def _sig_query(spark, sf_dir: str, variant: str):
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingle_stream(d, "doc_id", "text", 5, use_codes)
+    sh = _shingle_stream(d, "doc_id", "text", 5, variant)
     return (
         sh.groupBy("doc")
         .agg(*minhash_signature_aggs("s", 8, portable=True))
@@ -170,47 +204,30 @@ def main() -> None:
 
     out: dict = {"sf_dir": sf_dir, "trials": trials}
 
-    # 0. split('') semantics (documented precondition of the codes variants)
+    # split('') semantics precondition: 1-based element k == char k
     row = spark.sql("SELECT split('abc','') a, split('','') b").first()
     out["split_semantics"] = {"abc": row["a"], "empty": row["b"]}
     assert row["a"][:3] == ["a", "b", "c"], row["a"]
 
-    # 1. microbench: position-cost of substr-on-full-text vs element_at
-    #    (one 20k-char doc per row x 2k rows; sum of per-position values)
-    doc = spark.sql(
-        "SELECT id, repeat('abcdefgh', 2500) AS t FROM range(2000)"
-    ).localCheckpoint(eager=True)
-    sub = doc.select(
-        "id", F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"), "t"
-    ).select(F.sum(F.ascii(F.expr("substring(t, i, 1)"))).alias("s"))
-    codes = doc.select(
-        "id",
-        F.transform(F.split("t", ""), lambda c: F.ascii(c)).alias("_c"),
-        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
-    ).select(F.sum(F.element_at("_c", F.col("i"))).alias("s"))
-    mb = {"substr": [], "codes": []}
-    for _ in range(3):
-        mb["substr"].append(round(_timed(sub), 3))
-        mb["codes"].append(round(_timed(codes), 3))
-    out["microbench_20kchar"] = mb
+    # equality gates
+    base_cdc = _cdc_query(spark, sf_dir, "base").toPandas()
+    eq = {"cdc_let": bool(base_cdc.equals(_cdc_query(spark, sf_dir, "let").toPandas())),
+          "cdc_win": bool(base_cdc.equals(_cdc_query(spark, sf_dir, "win").toPandas()))}
+    so = _sig_query(spark, sf_dir, "base").toPandas().sort_values("doc").reset_index(drop=True)
+    sn = _sig_query(spark, sf_dir, "let").toPandas().sort_values("doc").reset_index(drop=True)
+    eq["sig_let"] = bool(so.equals(sn))
+    out["equal"] = eq
+    print("EQUAL:", eq, flush=True)
 
-    # 2. equality gates
-    pd_old = _cdc_query(spark, sf_dir, False).toPandas()
-    pd_new = _cdc_query(spark, sf_dir, True).toPandas()
-    eq_cdc = pd_old.equals(pd_new)
-    so = _sig_query(spark, sf_dir, False).toPandas().sort_values("doc").reset_index(drop=True)
-    sn = _sig_query(spark, sf_dir, True).toPandas().sort_values("doc").reset_index(drop=True)
-    eq_sig = so.equals(sn)
-    out["equal"] = {"cdc": bool(eq_cdc), "sig": bool(eq_sig)}
-    print("EQUAL cdc:", eq_cdc, "sig:", eq_sig, flush=True)
-
-    # 3. interleaved timing, min-over-trials
-    t: dict[str, list[float]] = {k: [] for k in ["cdc_old", "cdc_new", "sig_old", "sig_new"]}
+    # interleaved timing, min-over-trials
+    keys = ["cdc_base", "cdc_let", "cdc_win", "sig_base", "sig_let"]
+    t: dict[str, list[float]] = {k: [] for k in keys}
     for i in range(trials):
-        t["cdc_old"].append(round(_timed(_cdc_query(spark, sf_dir, False)), 3))
-        t["cdc_new"].append(round(_timed(_cdc_query(spark, sf_dir, True)), 3))
-        t["sig_old"].append(round(_timed(_sig_query(spark, sf_dir, False)), 3))
-        t["sig_new"].append(round(_timed(_sig_query(spark, sf_dir, True)), 3))
+        t["cdc_base"].append(round(_timed(_cdc_query(spark, sf_dir, "base")), 3))
+        t["cdc_let"].append(round(_timed(_cdc_query(spark, sf_dir, "let")), 3))
+        t["cdc_win"].append(round(_timed(_cdc_query(spark, sf_dir, "win")), 3))
+        t["sig_base"].append(round(_timed(_sig_query(spark, sf_dir, "base")), 3))
+        t["sig_let"].append(round(_timed(_sig_query(spark, sf_dir, "let")), 3))
         print(f"trial {i}: " + ", ".join(f"{k}={v[-1]}" for k, v in t.items()), flush=True)
         spark.catalog.clearCache()
     out["times"] = t
