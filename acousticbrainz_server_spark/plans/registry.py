@@ -76,88 +76,94 @@ def _load_all() -> None:
 # green the packed-lane rewrite voids).  Names absent from this list keep
 # registration order after it; names listed but not registered are ignored.
 #
-# ROUND-12 WINDOW (r11 verdict #1 — empty the r6 backlog, floor to r7).
-# Composition, per the standing doctrine (new + plan touches first, then
-# the oldest currently-valid greens, vintages computed from the
-# CORRECTNESS_r1-r11 union, never from a verdict's stated floor):
-# (a) new in r12: streaming_join_state_changefeed (change feed over the
-#     stream-stream join's keyWithIndexToValue stores, r11 verdict #4);
-# (b) r12 plan touches (a touch voids the older green): the four queries
-#     sharing _ttb_build_src — its cache tag now fingerprints the source
-#     table's mtime+size (ADVICE r11), a rebuild-trigger change on the
-#     backlog all four read — plus the two pydatasource.py read-side
-#     queries (same module as the stream writer whose fail-injection
-#     strike markers moved out of the sink data directory, ADVICE r11).
-#     session.py gained the dead-pid scratch reaper; it runs before any
-#     query and deletes only dirs no live process owns, so it is gated by
-#     the full dual-SF oracle sweep rather than window rotation.
-# (c) ALL 25 remaining r6-vintage rows (frequent_itemsets_fpgrowth ..
-#     unpivot_wide_metrics from the union) — after this window ZERO r6
-#     rows remain and the registry floor reaches r7;
-# (d) the alphabetically-first 18 of the 43 r7-vintage rows
-#     (ab_welch_ttest .. link_prediction_adamic_adar).
+# ROUND-13 WINDOW.  Composition, per the standing doctrine (new + plan
+# touches first, then the oldest currently-valid greens, vintages computed
+# from the CORRECTNESS_r1-r12 union, never from a verdict's stated floor):
+# (a) no new queries in r13 (optimization round 2 of 2);
+# (b) r13 plan touches (a touch voids the older green):
+#     - the O(L) text-kernel rewrite (HOF let-binding shingle/cuts builds):
+#       cdc_chunk_dedup + the five char_shingle_stream consumers
+#       (minhash_fingerprint, minhash_lsh_neardup, minhash_recall_eval,
+#       cross_snapshot_dedup, corpus_build_pipeline);
+#     - neardup_cluster_assign (connected_components explode
+#       symmetrization + fused edge dedup);
+#     - the scratch-TTL touch_scratch_tag reuse paths + the derived
+#       _STREAM_STATE_PARTITIONS formula (same value at the driver's core
+#       counts, but the code path changed): the ttb/wma/sink/upsert/
+#       incremental-corpus streaming builders and the bucketed sketch
+#       scratch (streaming_state_timetravel, streaming_state_changefeed,
+#       streaming_observe_metrics, streaming_python_sink_rollup,
+#       streaming_join_state_changefeed, streaming_upsert_foreachbatch,
+#       streaming_incremental_corpus, streaming_watermark_audit{,_rocksdb},
+#       streaming_watermark_update_audit, bucketed_join_rollup);
+# (c) rotation fill: the 24 remaining r7-vintage rows not covered above
+#     (matryoshka_recall_eval .. zipf_token_slope) — after this window ONE
+#     r7 row remains only where it sits in the touch set — plus the
+#     alphabetically-first 8 of the r8-vintage rows.
 # History: r1-r2 relational/vector core; r3 extensions; r4 re-checks +
 # sketches/streaming; r5 export/ingest + 43 extensions; r6 the 47
 # session-2/3 additions; r7 the 19 r6-new + simhash rewrites + 29
 # r7-new; r8 the 12 stale + r8 touches/new + oldest rotation; r9 the
 # r9 touches/new + all r2/r3 rows + first 19 r4 rows; r10 the r10
 # touches/new + last 25 r4 + first 16 r5; r11 the 5 r11-new + 4 touches
-# + last 28 r5 + first 13 r6 (50/50 green every round).
+# + last 28 r5 + first 13 r6; r12 the 1 r12-new + 6 touches + all 25
+# remaining r6 + first 18 r7 (50/50 green every round).
 DRIVER_ORDER_HEAD: tuple[str, ...] = (
-    # -- new in r12 --
-    "streaming_join_state_changefeed",
-    # -- r12 plan touches (void the r11 greens) --
+    # -- r13 plan touches: O(L) text kernels (void the older greens) --
+    "cdc_chunk_dedup",
+    "minhash_fingerprint",
+    "minhash_lsh_neardup",
+    "minhash_recall_eval",
+    "cross_snapshot_dedup",
+    "corpus_build_pipeline",
+    # -- r13 plan touch: CC explode symmetrization + fused edge dedup --
+    "neardup_cluster_assign",
+    # -- r13 code-path touches: scratch TTL + derived state partitions --
     "streaming_state_timetravel",
     "streaming_state_changefeed",
     "streaming_observe_metrics",
     "streaming_python_sink_rollup",
-    "python_datasource_scan",
-    "streaming_python_source_rollup",
-    # -- rotation: ALL 25 remaining r6-vintage rows (floor reaches r7) --
-    "frequent_itemsets_fpgrowth",
-    "geomean_grouped_udaf",
-    "global_rank_twopass",
-    "grouping_sets_report",
-    "inverted_index_postings",
-    "kaplan_meier_conversion",
-    "markov_transitions",
-    "model_auc_mannwhitney",
-    "numeric_corr_matrix",
-    "quantile_normalize_source",
-    "range_frame_revenue",
-    "reciprocal_best_match",
-    "regression_value_drift",
-    "robust_stats_outliers",
-    "schema_evolution_merge",
-    "sequence_pattern_match",
-    "session_path_topk",
-    "set_ops_audience",
-    "skyline_pareto",
-    "snapshot_diff",
-    "source_keyness_llr",
-    "sql_udf_revenue",
-    "streaming_interval_join_left",
-    "table_checksum",
-    "unpivot_wide_metrics",
-    # -- the alphabetically-first 18 of the 43 r7-vintage rows --
-    "ab_welch_ttest",
-    "benford_digit_profile",
-    "bitmap_distinct_rollup",
-    "brand_quantity_revenue",
-    "cdc_chunk_dedup",
-    "chisquare_independence",
-    "countmin_heavy_counts",
-    "customer_order_distribution",
-    "dormant_rich_customers",
-    "dump_archive_roundtrip",
-    "forecast_revenue_change",
-    "fuzzy_name_match_report",
-    "hll_partition_merge",
-    "incremental_agg_merge",
-    "interval_merge_spans",
-    "kmv_distinct_union",
-    "large_order_customers",
-    "link_prediction_adamic_adar",
+    "streaming_join_state_changefeed",
+    "streaming_upsert_foreachbatch",
+    "streaming_incremental_corpus",
+    "streaming_watermark_audit",
+    "streaming_watermark_audit_rocksdb",
+    "streaming_watermark_update_audit",
+    "bucketed_join_rollup",
+    # -- rotation: the 24 remaining r7-vintage rows --
+    "matryoshka_recall_eval",
+    "nation_market_share",
+    "nation_trade_volume",
+    "order_priority_check",
+    "paragraph_dedup",
+    "part_supplier_diversity",
+    "product_type_profit",
+    "promo_revenue_share",
+    "python_udtf_chunk_profile",
+    "recursive_cte_reachability",
+    "regional_supplier_volume",
+    "returned_item_losses",
+    "rfm_segmentation",
+    "session_window_native",
+    "simhash_fingerprint",
+    "simhash_neardup",
+    "simhash_recall_eval",
+    "slow_fulfillment_suppliers",
+    "top_supplier_revenue",
+    "transpose_metrics_matrix",
+    "variant_props_rollup",
+    "window_rank_suite",
+    "xml_roundtrip",
+    "zipf_token_slope",
+    # -- rotation: the alphabetically-first 8 r8-vintage rows --
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "anti_join_unprocessed",
+    "asof_latest_purchase",
+    "benchmark_contamination",
+    "categorical_mi_entropy",
+    "circle_of_fifths_embedding",
+    "cohort_ltv_curve",
 )
 
 
